@@ -1,0 +1,69 @@
+"""Writers: parquet/CSV/JDBC sinks.
+
+Replaces the reference's insert paths:
+- batched insert / fast_executemany / execute_batch (fast_etl.py:41-68,334-341)
+  -> df.write.jdbc(batchsize=...)
+- truncate-and-load (fast_etl.py:66,317-321) -> mode="overwrite", truncate=true
+- reflected append with case-insensitive column intersection
+  (insert_df_to_db, fast_etl.py:71-97) -> select_intersection + append
+- CSV extract (db_to_csv_operator.py:74-109) -> df.write.csv
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def select_intersection(df: DataFrame, dest_columns: list[str]) -> DataFrame:
+    """Keep only df columns that exist in the destination, case-insensitively
+    (reference fast_etl.py:84-89 lower-cases both sides)."""
+    dest = {c.lower(): c for c in dest_columns}
+    keep = [c for c in df.columns if c.lower() in dest]
+    return df.select(*keep)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """CSV extract (reference DbToCSVOperator); header always on, like the
+    reference's to_csv(index=False)."""
+    writer = df.write.mode(mode).option("header", "true").option("sep", sep)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def write_jdbc_options(
+    url: str,
+    table: str,
+    truncate: bool = False,
+    batchsize: int = 10_000,
+    create_table_column_types: str | None = None,
+) -> dict[str, str]:
+    """Options for df.write.jdbc. `truncate` reproduces destination_truncate
+    (fast_etl.py:317-321); createTableColumnTypes carries the type-mapping
+    overrides from types_mapping.yml (see io/types_mapping.py)."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batchsize),
+        "truncate": "true" if truncate else "false",
+    }
+    if create_table_column_types:
+        opts["createTableColumnTypes"] = create_table_column_types
+    return opts
+
+
+def write_jdbc(df: DataFrame, mode: str = "append", **options) -> None:
+    df.write.format("jdbc").options(**write_jdbc_options(**options)).mode(mode).save()

@@ -1,0 +1,310 @@
+"""Deduplication operators over the `documents` table — the LLM-data
+extension (BASELINE north star; no counterpart in the reference, which
+only dedups by PK — patchwork.py:380-412).
+
+Scale design:
+- exact dedup = hash-groupBy on a 128-bit fingerprint: one shuffle of
+  (fingerprint, doc_id) pairs only, never the text bodies;
+- n-gram Jaccard = shingle-explode + equi-join on shingle. The join key
+  is the shingle, so common-shingle skew is the risk at 100 TB —
+  mitigate by dropping ultra-frequent shingles (document-frequency cap,
+  like a stopword filter) before the join; AQE skew-join covers the rest;
+- MinHash+LSH = the scale path: signature length k, banded into b
+  groups; candidate pairs come from a groupBy on (band_id, band_hash),
+  so cost is proportional to true near-duplicates, not n².
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.registry import query
+
+# --- shingling helpers (shared by jaccard / minhash / simhash) ----------
+
+
+def word_tokens(c: Column) -> Column:
+    return F.split(c, " ")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; empty array when the doc is too short.
+    element_at chain (1-based) keeps the construction portable."""
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(gen)).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for near-exact dedup: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+# --- exact / normalized dedup -------------------------------------------
+
+_EXACT_SQL = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", _EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groupBy; only (hash, id) shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_NORM_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_normalized", _NORM_SQL)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalize_text(F.col("text"))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- n-gram Jaccard near-dup pairs --------------------------------------
+
+_JACCARD_THRESHOLD = 0.35
+_SHINGLE_N = 3
+
+_JACCARD_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= {_SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tokens) - {_SHINGLE_N - 1}),
+                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+), exploded AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM shingled
+), pair_counts AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b, COUNT(*) AS shared
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       shared * 1.0 / (n_a + n_b - shared) AS jaccard
+FROM pair_counts
+WHERE shared * 1.0 / (n_a + n_b - shared) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by {_SHINGLE_N}-word shingle Jaccard >= threshold.
+    Shingle-explode + self-equi-join on the shingle; jaccard computed
+    from exact integer counts (deterministic division)."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", word_shingles(word_tokens(F.col("text")), _SHINGLE_N).alias("shingles")
+    )
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.max("a.n_sh").alias("n_a"),
+            F.max("b.n_sh").alias("n_b"),
+            F.count("*").alias("shared"),
+        )
+    )
+    jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return pairs.select(
+        "doc_a", "doc_b", "shared", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+
+
+# --- MinHash + LSH (banded) ---------------------------------------------
+
+_MINHASH_K = 32  # signature length
+_MINHASH_BANDS = 8  # rows per band = k / bands
+_M31 = (1 << 31) - 1  # Mersenne prime; keeps affine products within long range
+
+
+def minhash_signature(shingles: Column, k: int = _MINHASH_K) -> Column:
+    """k minhash values via affine re-hashes of xxhash64(shingle).
+    Coefficients are small odd constants (deterministic, seedless); base
+    hashes are reduced mod 2^31-1 so h * a + b never overflows a long
+    (ANSI-safe)."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_M31)))
+    sigs = [
+        F.array_min(F.transform(base, lambda h: (h * (2 * i + 1) + i * 7919) % _M31))
+        for i in range(k)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str, bands: int = _MINHASH_BANDS) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidate
+    pairs. groupBy on (band, bucket) — cost scales with collisions, not n²."""
+    k = _MINHASH_K
+    rows = k // bands
+    banded = df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.element_at(sig_col, b * rows + r + 1).cast("string") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+@query("dedup_minhash_lsh")  # engine-hash based — rows-only check (no oracle)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidate pairs, verified by true shingle
+    Jaccard — the 100 TB near-dup path (brute-force pair join never runs)."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", word_shingles(word_tokens(F.col("text")), _SHINGLE_N).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sigs = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
+    # verify candidates with exact jaccard (small candidate set)
+    shn = sh.select("doc_id", F.col("shingles").alias("sh"), F.size("shingles").alias("n_sh"))
+    verified = (
+        cands.join(shn.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(shn.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return verified.select("id_a", "id_b", "shared", "jaccard")
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over xxhash64 token hashes, as pure expressions:
+    bit b of the result is set iff more token-hashes have bit b set than
+    unset. 64 filter/size expressions — JVM-side, no UDF."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        mask = F.shiftleft(F.lit(1).cast("long"), b)  # 1<<63 overflows a lit
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = acc + F.shiftleft(bit, b)
+    return acc
+
+
+@query("dedup_simhash")  # engine-hash based — rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= 3, found by
+    4-segment pigeonhole blocking (any pair within distance 3 shares at
+    least one exact 16-bit segment) — join on segments, not n² pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    sims = d.select("doc_id", simhash64(F.array_distinct(word_tokens(F.col("text")))).alias("sim"))
+    seg = sims.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg_id"),
+                        F.shiftrightunsigned(F.col("sim"), s * 16).bitwiseAND(F.lit(0xFFFF)).alias("seg"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("ss"),
+    ).select("doc_id", "sim", "ss.seg_id", "ss.seg")
+    a, b = seg.alias("a"), seg.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")
+
+
+# --- canonical assignment (dedup groups -> keep list) -------------------
+
+_KEEP_SQL = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+FROM fp
+"""
+
+
+@query("dedup_keep_list", _KEEP_SQL)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep/drop flag (min doc_id per fingerprint wins) — the
+    form a training-data pipeline actually consumes."""
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (image/audio libraries are not in this
+container): `decode_image` raises NotImplementedError, and
+`fake_image_features` provides a deterministic stand-in so the Spark
+plumbing — schema, batch shape, partitioning — is real and tested.
+At scale the pattern matters more than the codec: binary payloads never
+pass through Python row-by-row; they move as Arrow record batches, and
+per-file metadata (byte size, checksum) is computed JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.registry import query
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_size", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
+    """Wrap an opaque binary column with typed metadata (JVM-side)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.length(payload_col).cast("long").alias("byte_size"),
+        F.md5(payload_col).alias("checksum"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode would use PIL/libvips — not available here."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this environment; "
+        "use fake_image_features for pipeline testing"
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Deterministic stand-in for decode+feature-extract: 'dimensions'
+    and a feature vector derived from the payload bytes. Runs through
+    mapInPandas exactly as a real decoder would (Arrow batches in,
+    Arrow batches out) — swap the body for PIL/torch when available."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = pdf["payload"].map(len)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (sizes % 640 + 1).astype("int32"),
+                    "height": (sizes % 480 + 1).astype("int32"),
+                    "feature": [
+                        [float((s + i) % 255) / 255.0 for i in range(feat_dim)] for s in sizes
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# --- registered queries --------------------------------------------------
+
+_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_size,
+       md5(text) AS checksum,
+       'text/plain' AS media_type
+FROM documents
+"""
+
+
+@query("binary_metadata", _META_SQL)
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata computed JVM-side (documents' text encoded
+    to bytes stands in for an image payload)."""
+    d = read_table(spark, sf_dir, "documents")
+    media = to_media_table(
+        d.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload", "text/plain"
+    )
+    return media.select("doc_id", "byte_size", "checksum", "media_type")
+
+
+@query("multimodal_features")  # mapInPandas fake-decode — rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline shape: binary wrap -> Arrow-batched
+    feature extraction (stubbed decode) -> flat feature table."""
+    d = read_table(spark, sf_dir, "documents")
+    media = to_media_table(
+        d.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload", "image/fake"
+    )
+    feats = fake_image_features(media)
+    return feats.select("doc_id", "width", "height", F.size("feature").alias("feat_dim"))

@@ -1,0 +1,120 @@
+"""Event-time operators over `events`: tumbling-window aggregation and
+gap-based sessionization, in batch form (the streaming twins live in
+fastetl_spark/streaming/ and are asserted equivalent in tests).
+
+The reference has no streaming/window surface (SURVEY §2.10); these are
+the batch-equivalent semantics of Structured Streaming's
+window()/session_window(), expressed so a DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fastetl_spark.functions.stable import dec
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.registry import query
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+# --- tumbling window -----------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("tumbling_window_agg", _TUMBLING_SQL)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows (batch twin of groupBy(window(ts,'1 hour'));
+    epoch-aligned hour buckets are identical to date_trunc)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --- gap-based sessionization -------------------------------------------
+
+_SESSION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@query("sessionize_events", _SESSION_SQL)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions via lag + cumulative-sum (batch twin of
+    session_window(ts, '30 minutes')). One shuffle on user_id serves both
+    window passes and the final aggregation — partitioning is reused."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+    )
+
+
+# --- incremental CDC diff over event time (P3 on streams) ----------------
+
+_CDC_SQL = """
+SELECT event_type, COUNT(*) AS n_new,
+       MAX(ts) AS new_watermark
+FROM events
+WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+GROUP BY event_type
+"""
+
+
+@query("events_cdc_diff", _CDC_SQL)
+def events_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC by high-watermark on the stream table (sync §2.9 step 2-3
+    applied to event time)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_new"), F.max("ts").alias("new_watermark"))
+    )

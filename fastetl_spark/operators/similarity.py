@@ -1,0 +1,144 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the scale path (candidates come from sign-pattern buckets, so
+the pairwise work is proportional to bucket collisions, not |Q|x|N|).
+
+Scale design: the query set is broadcast (top-k is usually requested for
+a small probe set); the corpus side streams through, so the plan is one
+broadcast-nested-loop + a per-query top-k window — no corpus shuffle.
+All arithmetic is in DOUBLE with a fixed left-to-right fold
+(F.aggregate), so scores are reproducible across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.registry import query
+
+TOP_K = 5
+QUERY_STRIDE = 50  # probe set = vec_id % stride == 0
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold — deterministic double summation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k of each query vector against the corpus.
+    Queries are broadcast; ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM c, q WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("embedding_cosine_topk", _TOPK_SQL)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} cosine neighbors for every {QUERY_STRIDE}th vector.
+    Only integer (query, neighbor, rank) triples are emitted — the float
+    scores stay internal so the result is hash-stable."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return cosine_topk(e, queries, "vec_id", "embedding").select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# --- LSH-bucketed ANN (scale path) --------------------------------------
+
+N_PLANES = 12
+
+
+def hyperplane_signature(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign pattern against deterministic pseudo-random hyperplanes.
+    Plane p component d = sin(1 + p * 131 + d * 7) — fixed, seedless,
+    computable on any worker without shipping plane matrices."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x * F.sin(F.lit(1.0) + F.lit(p * 131).cast("double") + d.cast("double") * 7.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+@query("similarity_lsh_bucketed")  # approximate — rows-only check
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane signatures bucket the corpus; each query
+    only scores its own bucket's members. Returns (query_id, neighbor_id,
+    rank) within-bucket — recall vs brute force is asserted in tests."""
+    e = read_table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        hyperplane_signature(as_double(F.col("embedding"))).alias("bucket"),
+    )
+    q = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        sig.join(broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,155 @@
+"""Replication & incremental sync (reference flagship, SURVEY §2.9).
+
+The reference's `sync_db_2_db` (fast_etl.py:454-652) stages a diff by
+high-watermark, then runs UPDATE-join + anti-join INSERT + chunked
+DELETE inside the destination DB. Here the same semantics are pure
+DataFrame algebra, so they run distributed:
+
+- merge_upsert      = J3 update-join + J4 anti-join insert in one pass
+- delete_sync       = J5 semi-join delete (anti-join retain)
+- incremental_sync  = watermark -> diff -> merge -> delete composite
+- WatermarkStore    = the control/state table (parquet-backed)
+
+Scale notes: the merge shuffles both sides once on the key. On a real
+lakehouse this maps 1:1 to Delta `MERGE INTO` (whenMatchedUpdateAll /
+whenNotMatchedInsertAll / whenNotMatchedBySourceDelete); this engine
+keeps a pure-Spark implementation so it works against any sink. The
+increment side is usually far smaller than the base — AQE will pick a
+broadcast or skew-aware join at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.registry import query
+
+
+def merge_upsert(dest: DataFrame, inc: DataFrame, keys: list[str]) -> DataFrame:
+    """Upsert: incoming rows win on key match (J3), new keys are appended
+    (J4). Equivalent to the reference's UPDATE ... FROM + INSERT WHERE NOT
+    EXISTS pair (fast_etl.py:437-451), executed as one distributed plan."""
+    kept = dest.join(inc.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(inc.select(*dest.columns))
+
+
+def delete_sync(dest: DataFrame, deleted_keys: DataFrame, keys: list[str]) -> DataFrame:
+    """Remove rows whose keys appear in the exclusion feed (J5;
+    fast_etl.py:612-633 did chunked `DELETE ... WHERE key IN (...)`)."""
+    return dest.join(deleted_keys.select(*keys), on=keys, how="left_anti")
+
+
+def incremental_sync(
+    dest: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    watermark_col: str,
+    deleted_keys: DataFrame | None = None,
+    since: object | None = None,
+) -> DataFrame:
+    """Full §2.9 composite. Guard: destination must be non-empty
+    (fast_etl.py:551-555). Watermark = MAX(watermark_col) of dest unless
+    `since` is given (fast_etl.py:557-559)."""
+    if dest.isEmpty():
+        raise ValueError("destination table is empty — run a full load first")
+    wm = since if since is not None else dest.agg(F.max(watermark_col)).first()[0]
+    inc = source.filter(F.col(watermark_col) > F.lit(wm))
+    merged = merge_upsert(dest, inc, keys)
+    if deleted_keys is not None:
+        merged = delete_sync(merged, deleted_keys, keys)
+    return merged
+
+
+class WatermarkStore:
+    """Parquet-backed watermark state table (the reference reads the max
+    back from the destination each run; a control table avoids a full
+    scan of a 100 TB destination)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def get(self, table: str):
+        try:
+            rows = (
+                self.spark.read.parquet(self.path)
+                .filter(F.col("table_name") == table)
+                .agg(F.max("watermark_value"))
+                .first()
+            )
+            return rows[0] if rows else None
+        except Exception:
+            return None
+
+    def set(self, table: str, value) -> None:
+        row = self.spark.createDataFrame(
+            [(table, str(value))], "table_name string, watermark_value string"
+        ).withColumn("updated_at", F.current_timestamp())
+        row.write.mode("append").parquet(self.path)
+
+
+# --- registered demonstration queries -------------------------------------
+
+_ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+_UPSERT_SQL = f"""
+WITH dest AS (
+  SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 2 = 0
+), inc AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT * FROM inc
+UNION ALL
+SELECT d.* FROM dest d
+WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = d.o_orderkey)
+"""
+
+
+@query("upsert_merge", _UPSERT_SQL)
+def upsert_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J4 as one distributed merge: dest = even orderkeys, increment =
+    every third orderkey with a changed totalprice; increment wins."""
+    o = read_table(spark, sf_dir, "orders")
+    dest = o.filter(F.col("o_orderkey") % 2 == 0)
+    inc = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    return merge_upsert(dest, inc, ["o_orderkey"])
+
+
+_SYNC_SQL = f"""
+WITH dest AS (
+  SELECT {_ORDER_COLS} FROM orders WHERE o_orderdate <= TIMESTAMP '2000-06-01'
+), wm AS (
+  SELECT MAX(o_orderdate) AS v FROM dest
+), inc AS (
+  SELECT {_ORDER_COLS} FROM orders WHERE o_orderdate > (SELECT v FROM wm)
+), merged AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT d.* FROM dest d
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = d.o_orderkey)
+), excluded AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderdate > TIMESTAMP '2001-01-01'
+)
+SELECT m.* FROM merged m
+WHERE NOT EXISTS (SELECT 1 FROM excluded e WHERE e.o_orderkey = m.o_orderkey)
+"""
+
+
+@query("incremental_sync_composite", _SYNC_SQL)
+def incremental_sync_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sync_db_2_db pipeline: watermark from the loaded snapshot,
+    diff from source, merge, then deletion sync from an exclusion feed."""
+    o = read_table(spark, sf_dir, "orders")
+    dest = o.filter(F.col("o_orderdate") <= F.lit("2000-06-01").cast("timestamp"))
+    excluded = o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") > F.lit("2001-01-01").cast("timestamp"))
+    ).select("o_orderkey")
+    return incremental_sync(dest, o, ["o_orderkey"], "o_orderdate", deleted_keys=excluded)

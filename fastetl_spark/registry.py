@@ -1,0 +1,52 @@
+"""Query/oracle registry.
+
+Every operator module registers its demonstration queries here via the
+``@query`` decorator. ``__spark_entry__.py`` re-exports QUERIES/ORACLES
+for the driver harness: each query is a (spark, sf_dir) -> DataFrame
+callable; each oracle is the equivalent DuckDB SQL over the same parquet
+tables. Column names/aliases MUST match between the two — the driver
+sorts columns by name before hashing values.
+
+Determinism rule used throughout: any float that is *derived* by
+aggregation is computed through exact DECIMAL arithmetic and only cast
+to DOUBLE at the end (identical digits in Spark and DuckDB regardless
+of partition/accumulation order); floats merely *passed through* from
+parquet are bit-identical anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` marks a non-SQL-expressible op
+    (driver records a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import fastetl_spark.operators.relational  # noqa: F401
+    import fastetl_spark.operators.sync  # noqa: F401
+    import fastetl_spark.operators.cleaning_queries  # noqa: F401
+    import fastetl_spark.operators.dedup  # noqa: F401
+    import fastetl_spark.operators.similarity  # noqa: F401
+    import fastetl_spark.operators.text  # noqa: F401
+    import fastetl_spark.operators.sessionize  # noqa: F401
+    import fastetl_spark.operators.multimodal  # noqa: F401
+    import fastetl_spark.plans.patch  # noqa: F401
