@@ -44,6 +44,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan has fewer partitions than the
+    cluster has slots. The driver fixtures are single-row-group parquet
+    files (unsplittable -> 1 scan task); expression-heavy operators call
+    this so per-row work fans out. On real multi-file/multi-row-group
+    data the scan is already parallel and this is a no-op — no shuffle
+    is added at scale."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:

@@ -18,7 +18,7 @@ from fastetl_spark.functions.cpf import (
     cpf_clean,
     cpf_is_valid,
 )
-from fastetl_spark.io.readers import read_table
+from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
 # --- F1: decimal-comma repair -------------------------------------------
@@ -42,7 +42,7 @@ FROM dirty
 
 @query("clean_decimal_comma", _F1_SQL)
 def clean_decimal_comma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = read_table(spark, sf_dir, "lineitem")
+    l = ensure_parallelism(read_table(spark, sf_dir, "lineitem"))
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     int_part = F.floor(cents / 100).cast("bigint").cast("string")
     frac_part = F.lpad((cents % 100).cast("string"), 2, "0")
@@ -178,7 +178,7 @@ FROM norm
 def clean_cpf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize CPFs from c_custkey (valid check digits via the real
     algorithm), corrupt every 5th, then run the engine's validator."""
-    c = read_table(spark, sf_dir, "customer")
+    c = ensure_parallelism(read_table(spark, sf_dir, "customer"))
     b9 = F.lpad((F.col("c_custkey") % 999999999).cast("string"), 9, "0")
     base = c.select("c_custkey", b9.alias("b9"))
     dv1 = cpf_check_digit_1(F.col("b9"))

@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fastetl_spark.io.readers import read_table
+from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
 # --- shingling helpers (shared by jaccard / minhash / simhash) ----------
@@ -40,6 +40,21 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
     return F.when(F.size(tokens) >= n, F.array_distinct(gen)).otherwise(
         F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+
+
+def shingle_hashes(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as 64-bit hashes: multi-arg xxhash64 over
+    the token window — no shingle-string allocation, long join keys.
+    Jaccard counts over hashed shingles equal string-shingle counts up to
+    64-bit collisions (~1e-11 at corpus scale). `tokens` must be a bound
+    column (see minhash_signature_from_hashes)."""
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(tokens, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(gen)).otherwise(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)")
     )
 
 
@@ -63,7 +78,7 @@ GROUP BY md5(text)
 @query("dedup_exact", _EXACT_SQL)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint groupBy; only (hash, id) shuffles."""
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return (
         d.select(F.md5("text").alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -82,7 +97,7 @@ GROUP BY 1
 
 @query("dedup_normalized", _NORM_SQL)
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return (
         d.select(F.md5(normalize_text(F.col("text"))).alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -125,22 +140,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by {_SHINGLE_N}-word shingle Jaccard >= threshold.
     Shingle-explode + self-equi-join on the shingle; jaccard computed
     from exact integer counts (deterministic division)."""
-    d = read_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", word_shingles(word_tokens(F.col("text")), _SHINGLE_N).alias("shingles")
-    )
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.max("a.n_sh").alias("n_a"),
-            F.max("b.n_sh").alias("n_b"),
-            F.count("*").alias("shared"),
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    # tokens materialized as a column: inside higher-order lambdas Spark
+    # re-evaluates expression subtrees per element, so passing split()
+    # inline costs O(shingles * n) re-splits per row
+    tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
+    # shingles as 64-bit hashes (shingle_hashes): long keys shuffle and
+    # compare ~5x cheaper than shingle strings, same jaccard counts
+    sh = tok.select("doc_id", shingle_hashes(F.col("tokens"), _SHINGLE_N).alias("shingles"))
+    # group-by-shingle + in-bucket pair combos instead of a self-join:
+    # the expensive shingle construction is evaluated once (a self-join
+    # recomputes its whole input on both sides), and pair work scales
+    # with sum(df^2) per shingle. At 100 TB add a document-frequency cap
+    # on the bucket size (ultra-common shingles are stopword-like and
+    # only produce false pairs).
+    # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate
+    # would add a size(shingles)>0 filter and push it below the
+    # repartition, re-evaluating the whole shingle expression on the
+    # unsplit scan partition (single-threaded)
+    ex = (
+        sh.select(
+            F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("doc"),
+            F.explode_outer("shingles").alias("shingle"),
         )
+        .filter(F.col("shingle").isNotNull())
+        # materialize: the shingle table feeds two shuffles; at 100 TB a
+        # dedup pipeline persists this stage (reliable checkpoint dir on
+        # a cluster; executor-local here)
+        .localCheckpoint()
+    )
+    groups = (
+        ex.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    docs = F.col("docs")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(docs) - 1),
+            lambda i: F.transform(
+                F.slice(docs, i + 1, F.size(docs)),
+                lambda dd: F.struct(F.element_at(docs, i).alias("a"), dd.alias("b")),
+            ),
+        )
+    )
+    flat = groups.select(F.explode(combos).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.a.n_sh").alias("n_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.b.n_sh").alias("n_b"),
+    )
+    pairs = flat.groupBy("doc_a", "doc_b").agg(
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"), F.count("*").alias("shared")
     )
     jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return pairs.select(
@@ -155,17 +206,25 @@ _MINHASH_BANDS = 8  # rows per band = k / bands
 _M31 = (1 << 31) - 1  # Mersenne prime; keeps affine products within long range
 
 
-def minhash_signature(shingles: Column, k: int = _MINHASH_K) -> Column:
-    """k minhash values via affine re-hashes of xxhash64(shingle).
-    Coefficients are small odd constants (deterministic, seedless); base
-    hashes are reduced mod 2^31-1 so h * a + b never overflows a long
-    (ANSI-safe)."""
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_M31)))
+def minhash_signature_from_hashes(base: Column, k: int = _MINHASH_K) -> Column:
+    """k minhash values via affine re-hashes of pre-hashed shingles.
+    `base` MUST be a bound column of pmod(xxhash64(shingle), 2^31-1)
+    values (materialize it first — passing the hash expression inline
+    would re-evaluate it k times per row). Coefficients are small odd
+    constants (deterministic, seedless); mod 2^31-1 keeps h * a + b in
+    long range (ANSI-safe)."""
     sigs = [
         F.array_min(F.transform(base, lambda h: (h * (2 * i + 1) + i * 7919) % _M31))
         for i in range(k)
     ]
     return F.array(*sigs)
+
+
+def minhash_signature(shingles: Column, k: int = _MINHASH_K) -> Column:
+    """Convenience wrapper when `shingles` is a bound column."""
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_M31))), k
+    )
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str, bands: int = _MINHASH_BANDS) -> DataFrame:
@@ -206,14 +265,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str, bands: int = _
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidate pairs, verified by true shingle
     Jaccard — the 100 TB near-dup path (brute-force pair join never runs)."""
-    d = read_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", word_shingles(word_tokens(F.col("text")), _SHINGLE_N).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sigs = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    # the short-doc filter tests token count, not the shingle array: the
+    # predicate that gets pushed to the scan is then a single cheap
+    # split(), not the full shingle construction
+    tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens")).filter(
+        F.size(F.col("tokens")) >= _SHINGLE_N
+    )
+    sh = tok.select("doc_id", shingle_hashes(F.col("tokens"), _SHINGLE_N).alias("shingles"))
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda s: F.pmod(s, F.lit(_M31))).alias("hs"),
+    ).localCheckpoint()  # feeds both the signature and the verify branch
+    sigs = hashed.select("doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
     # verify candidates with exact jaccard (small candidate set)
-    shn = sh.select("doc_id", F.col("shingles").alias("sh"), F.size("shingles").alias("n_sh"))
+    shn = hashed.select("doc_id", F.col("shingles").alias("sh"), F.size("shingles").alias("n_sh"))
     verified = (
         cands.join(shn.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(shn.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -227,11 +295,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash -------------------------------------------------------------
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash over xxhash64 token hashes, as pure expressions:
-    bit b of the result is set iff more token-hashes have bit b set than
+def simhash64_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash over pre-hashed tokens (bound column — see
+    minhash_signature_from_hashes for why), as pure expressions: bit b
+    of the result is set iff more token-hashes have bit b set than
     unset. 64 filter/size expressions — JVM-side, no UDF."""
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     n = F.size(hashes)
     acc = F.lit(0).cast("long")
     for b in range(64):
@@ -242,13 +310,22 @@ def simhash64(tokens: Column) -> Column:
     return acc
 
 
+def simhash64(tokens: Column) -> Column:
+    """Convenience wrapper: hashes tokens then folds bits."""
+    return simhash64_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)))
+
+
 @query("dedup_simhash")  # engine-hash based — rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= 3, found by
     4-segment pigeonhole blocking (any pair within distance 3 shares at
     least one exact 16-bit segment) — join on segments, not n² pairs."""
-    d = read_table(spark, sf_dir, "documents")
-    sims = d.select("doc_id", simhash64(F.array_distinct(word_tokens(F.col("text")))).alias("sim"))
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.array_distinct(word_tokens(F.col("text"))).alias("tokens"))
+    hashed = tok.select("doc_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("hs"))
+    sims = hashed.select(
+        "doc_id", simhash64_from_hashes(F.col("hs")).alias("sim")
+    ).localCheckpoint()  # 64-expression fold; never recompute it per join side
     seg = sims.select(
         "doc_id",
         "sim",
@@ -304,7 +381,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     form a training-data pipeline actually consumes."""
     from pyspark.sql.window import Window
 
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
     return fp.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))

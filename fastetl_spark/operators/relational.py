@@ -21,7 +21,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from fastetl_spark.functions.stable import dec
-from fastetl_spark.io.readers import read_table
+from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
 # --- q1: flagship pricing summary (scan -> filter -> agg; SURVEY §7.1.2) ---
@@ -46,7 +46,7 @@ GROUP BY l_returnflag, l_linestatus
 
 @query("q1_pricing_summary", _Q1_SQL)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = read_table(spark, sf_dir, "lineitem")
+    l = ensure_parallelism(read_table(spark, sf_dir, "lineitem"))
     disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
         T.DecimalType(18, 6)
     )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from fastetl_spark.io.readers import read_table
+from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
 TOP_K = 5
@@ -49,14 +49,23 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k of each query vector against the corpus.
     Queries are broadcast; ties broken by neighbor id."""
+    # norms are materialized per row BEFORE the pairwise join — computing
+    # them inside the pair expression would redo |Q| norm folds per corpus
+    # row (and vice versa)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.crossJoin(broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -87,7 +96,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_K} cosine neighbors for every {QUERY_STRIDE}th vector.
     Only integer (query, neighbor, rank) triples are emitted — the float
     scores stay internal so the result is hash-stable."""
-    e = read_table(spark, sf_dir, "embeddings")
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     return cosine_topk(e, queries, "vec_id", "embedding").select(
         "query_id", "neighbor_id", "rank"
@@ -123,18 +132,27 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: random-hyperplane signatures bucket the corpus; each query
     only scores its own bucket's members. Returns (query_id, neighbor_id,
     rank) within-bucket — recall vs brute force is asserted in tests."""
-    e = read_table(spark, sf_dir, "embeddings")
-    sig = e.select(
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    vecs = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    sig = vecs.select(
         "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-        hyperplane_signature(as_double(F.col("embedding"))).alias("bucket"),
+        "v",
+        l2_norm(F.col("v")).alias("vn"),
+        hyperplane_signature(F.col("v")).alias("bucket"),
     )
     q = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        F.col("bucket").alias("qb"),
     )
     scored = (
         sig.join(broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v")).alias("sim"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fastetl_spark.io.readers import read_table
+from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
 STOPWORDS = {
@@ -39,7 +39,7 @@ FROM documents
 
 @query("token_count", _TOKENS_SQL)
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
@@ -73,7 +73,7 @@ FROM t
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / diversity / stopword-ratio quality features — the usual
     first-pass filters of a pretraining corpus pipeline."""
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     tokens = F.split(F.col("text"), " ")
     t = d.select("doc_id", F.length("text").alias("n_chars"), tokens.alias("tokens"))
     return t.select(
@@ -120,7 +120,7 @@ FROM scores
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-lexicon language ID with a fixed tiebreak order — the
     classic cheap n-gram heuristic, vectorized."""
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     tokens = F.split(F.col("text"), " ")
     t = d.select("doc_id", "lang", tokens.alias("tokens"))
     scores = t.select(
@@ -161,7 +161,7 @@ FROM documents
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastetl_spark.operators.dedup import normalize_text
 
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.md5("text").alias("fp_exact"),
@@ -183,7 +183,7 @@ GROUP BY lang, source
 
 @query("corpus_stats", _LANG_STATS_SQL)
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
