@@ -27,8 +27,14 @@ def fix_decimal_comma(c: Column) -> Column:
 
 def fix_coordinate_scale(c: Column, lo: float, hi: float, factor: float = 1e5) -> Column:
     """F2 (patchwork.py:490-544): coordinates that lost their decimal
-    separator are off by `factor`; if dividing lands in [lo, hi], divide."""
-    return F.when(~c.between(lo, hi) & (c / factor).between(lo, hi), c / factor).otherwise(c)
+    separator are off by `factor`. Repair only values that are both far
+    outside the range (|c| > 10*hi — the reference's magnitude windows
+    generalized) AND land inside [lo, hi] after dividing; merely-invalid
+    values fall through to bounds-nulling (F3) instead of being
+    'rescued' into the range."""
+    return F.when(
+        ~c.between(lo, hi) & (F.abs(c) > 10 * hi) & (c / factor).between(lo, hi), c / factor
+    ).otherwise(c)
 
 
 def null_out_of_bounds(c: Column, lo: float, hi: float) -> Column:

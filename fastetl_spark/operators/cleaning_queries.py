@@ -72,6 +72,7 @@ SELECT event_id,
 FROM (
   SELECT event_id, lon,
          CASE WHEN NOT (lat BETWEEN -90.0 AND 90.0)
+                   AND abs(lat) > 900.0
                    AND (lat / 100000.0) BETWEEN -90.0 AND 90.0
               THEN lat / 100000.0 ELSE lat END AS fixed_lat
   FROM dirty

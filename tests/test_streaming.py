@@ -1,0 +1,101 @@
+"""Streaming operators: batch-equivalence via trigger(availableNow).
+
+The events fixture is re-landed as multiple parquet files in a tmp dir
+(simulating stream arrival); each streaming aggregate must equal its
+batch twin over the same data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.streaming.stream_ops import (
+    dedup_stream,
+    foreach_batch_merge,
+    read_events_stream,
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    path = tmp_path_factory.mktemp("stream") / "events"
+    read_table(spark, sf_dir, "events").repartition(4).write.parquet(str(path))
+    return str(path)
+
+
+def run_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    got = run_to_memory(spark, windowed_event_counts(stream), "win_counts")
+    batch = spark.read.parquet(events_dir)
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    g = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    e = {(r.window_start, r.event_type): r.n_events for r in expected.collect()}
+    assert g == e
+
+
+def test_sessionized_counts_match_batch_totals(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_memory(spark, sessionized_counts(stream), "sess_counts")
+    total_events = got.agg(F.sum("n_events")).first()[0]
+    assert total_events == spark.read.parquet(events_dir).count()
+    # session windows never overlap per user
+    rows = got.orderBy("user_id", "session_start").collect()
+    by_user: dict = {}
+    for r in rows:
+        if r.user_id in by_user:
+            assert r.session_start >= by_user[r.user_id]
+        by_user[r.user_id] = r.session_end
+
+
+def test_dedup_stream(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir)
+    deduped = dedup_stream(stream, ["user_id", "event_type"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    batch_distinct = (
+        spark.read.parquet(events_dir).select("user_id", "event_type").distinct().count()
+    )
+    assert out.count() == batch_distinct
+    assert out.select("user_id", "event_type").distinct().count() == batch_distinct
+
+
+def test_foreach_batch_merge_upserts(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = foreach_batch_merge(
+        stream,
+        dest_path=str(tmp_path / "dest"),
+        keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    dest = spark.read.parquet(str(tmp_path / "dest"))
+    src = spark.read.parquet(events_dir)
+    assert dest.count() == src.count()  # every key exactly once
+    assert dest.select("event_id").distinct().count() == src.count()
