@@ -1,0 +1,56 @@
+"""Physical-plan shape assertions: the scale properties the engine
+promises must be visible in the plan, not just claimed — filters reach
+the parquet scan, projections prune the read schema, dimension joins
+broadcast, and aggregations have a partial (map-side) phase.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "watermark_filter")
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(o_orderdate)" in plan or "GreaterThan(o_orderdate" in plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "projection_scan")
+    # only the 4 needed columns are read, not all 11 lineitem columns
+    assert "l_extendedprice" not in plan
+    assert "l_shipdate" not in plan
+    assert "l_quantity" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    plan3 = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan3
+
+
+def test_aggregation_is_partial(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_anti_join_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "customers_without_orders")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_key_range_filter_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "key_range_scan")
+    assert "GreaterThanOrEqual(l_orderkey,1000)" in plan
+    assert "LessThanOrEqual(l_orderkey,2000)" in plan
