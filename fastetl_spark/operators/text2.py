@@ -1,0 +1,132 @@
+"""Text tier 2: BPE-ish tokenization, winnowing fingerprints, embedding
+near-dup pairs, SQL passthrough — rounding out the LLM-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table, register_views
+from fastetl_spark.registry import query
+
+# --- BPE-ish token counting ---------------------------------------------
+
+_BPEISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "token_count_bpeish",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPEISH}')) AS n_subword_tokens,
+           len(string_split(text, ' ')) AS n_whitespace_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct_tokens
+    FROM documents
+    """,
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-approximation counts: alpha runs + digit runs + single
+    punctuation marks (the pre-merge alphabet of a BPE tokenizer) — the
+    cheap compute-budget estimator of a corpus pipeline."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPEISH), 0)).alias("n_subword_tokens"),
+        F.size(F.split("text", " ")).alias("n_whitespace_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_number_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).alias("n_punct_tokens"),
+    )
+
+
+# --- winnowing (rolling-hash minima) fingerprints -----------------------
+
+_WINNOW_K = 4  # k-gram size (words)
+_WINNOW_W = 5  # window of consecutive k-gram hashes to take minima over
+
+
+@query("doc_winnowing_fingerprints")  # xxhash-based — rows-only check
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al.): k-gram rolling hashes, keep the
+    minimum per sliding window — a compact, position-robust fingerprint
+    set for plagiarism-style matching. Pure array expressions."""
+    from fastetl_spark.operators.dedup import shingle_hashes, word_tokens
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
+    # ordered (non-distinct) k-gram hashes
+    gen = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("tokens")) - (_WINNOW_K - 1), F.lit(0))),
+        lambda i: F.xxhash64(*[F.element_at(F.col("tokens"), i + k) for k in range(_WINNOW_K)]),
+    )
+    hashed = tok.filter(F.size("tokens") >= _WINNOW_K).select(
+        "doc_id", gen.alias("hs")
+    ).localCheckpoint()
+    windows_min = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(F.col("hs")) - (_WINNOW_W - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        )
+    )
+    fps = hashed.select("doc_id", windows_min.alias("fingerprints"))
+    return fps.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("min_fp"),
+    )
+
+
+# --- embedding cosine near-dup pairs ------------------------------------
+
+_NEARDUP_COS = 0.95
+
+
+@query(
+    "embedding_neardup_pairs",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= {_NEARDUP_COS}
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force at test scale;
+    the LSH-bucketed variant is the 100 TB path). Only integer id pairs
+    leave the operator."""
+    from fastetl_spark.operators.similarity import as_double, dot, l2_norm
+
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("e")).withColumn(
+        "n", l2_norm(F.col("e"))
+    ).localCheckpoint()
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return pairs.filter(sim >= _NEARDUP_COS).select("id_a", "id_b")
+
+
+# --- SQL passthrough (S2 query-as-source as a first-class surface) -------
+
+_PASSTHROUGH_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_passthrough", _PASSTHROUGH_SQL)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's query-as-source (S2, fast_etl.py:162-187): an
+    arbitrary SQL string runs against registered table views — identical
+    text executes on Spark SQL and on the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PASSTHROUGH_SQL)
