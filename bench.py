@@ -33,6 +33,12 @@ HEADLINE = [
     "text_quality",
     "sessionize_events",
     "tumbling_window_agg",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "asof_join_prior_click",
+    "scd2_user_event_history",
+    "token_count_bpeish",
+    "embedding_neardup_pairs",
 ]
 
 
@@ -55,12 +61,17 @@ def main() -> None:
     spark.range(1000).count()
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: the second run amortizes codegen/JIT and GC
+    # noise so the reported figure reflects steady-state throughput
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

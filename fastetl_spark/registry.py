@@ -46,6 +46,7 @@ def load_all() -> None:
     import fastetl_spark.operators.relational2  # noqa: F401
     import fastetl_spark.operators.relational3  # noqa: F401
     import fastetl_spark.operators.relational4  # noqa: F401
+    import fastetl_spark.operators.relational5  # noqa: F401
     import fastetl_spark.operators.sync  # noqa: F401
     import fastetl_spark.operators.cleaning_queries  # noqa: F401
     import fastetl_spark.operators.dedup  # noqa: F401

@@ -133,3 +133,17 @@ def test_data_dictionary_markdown(spark):
     assert "## clientes" in md
     assert "| id | bigint | identificador |" in md
     assert "| name | string |  |" in md
+
+
+def test_dialect_quoting():
+    from fastetl_spark.io.dialects import build_insert_sql, build_select_sql
+
+    assert (
+        build_select_sql("public", "t", ["a", "B"], "postgresql")
+        == 'SELECT "a", "B" FROM public.t'
+    )
+    assert build_select_sql("db", "t", ["a"], "mysql") == "SELECT `a` FROM db.t"
+    assert (
+        build_insert_sql("s", "t", ["x", "y"], "mssql")
+        == 'INSERT INTO s.t ("x", "y") VALUES (?, ?)'
+    )
