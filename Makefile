@@ -1,0 +1,13 @@
+.PHONY: test test-sf01 bench smoke
+
+test:
+	python -m pytest tests/ -q
+
+test-sf01:
+	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_queries_vs_duckdb.py -q
+
+bench:
+	python bench.py
+
+smoke:
+	python -c "from pyspark.sql import SparkSession; import __spark_entry__ as m; s = SparkSession.builder.master('local[8]').getOrCreate(); print(m.entry(s).count())"

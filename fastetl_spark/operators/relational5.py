@@ -100,3 +100,20 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100.0) * promo.cast("double") / F.sum("rev").cast("double")).alias("promo_pct"),
         F.count("*").alias("n_items"),
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("grouping_sets_stats", _GROUPING_SETS_SQL)
+def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — same SQL text runs on Spark SQL and the
+    oracle (rollup/cube's general form)."""
+    from fastetl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

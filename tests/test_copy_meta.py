@@ -147,3 +147,42 @@ def test_dialect_quoting():
         build_insert_sql("s", "t", ["x", "y"], "mssql")
         == 'INSERT INTO s.t ("x", "y") VALUES (?, ?)'
     )
+
+
+def test_watermark_store_roundtrip(spark, tmp_path):
+    from fastetl_spark.operators.sync import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    assert store.get("orders") is None  # missing state
+    store.set("orders", "2024-01-15 00:00:00")
+    assert store.get("orders") == "2024-01-15 00:00:00"
+    store.set("orders", "2024-02-01 00:00:00")  # append-only; max wins
+    assert store.get("orders") == "2024-02-01 00:00:00"
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.io.writers import write_csv
+
+    src = read_table(spark, sf_dir, "nation")
+    write_csv(src, str(tmp_path / "csv"), sep=";", compression="gzip")
+    back = (
+        spark.read.option("header", "true")
+        .option("sep", ";")
+        .option("inferSchema", "true")
+        .csv(str(tmp_path / "csv"))
+    )
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+
+
+def test_incremental_sync_guard_empty_dest(spark, sf_dir):
+    import pytest as _pytest
+
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.sync import incremental_sync
+
+    o = read_table(spark, sf_dir, "orders")
+    empty = o.filter("1 = 0")
+    with _pytest.raises(ValueError, match="empty"):
+        incremental_sync(empty, o, ["o_orderkey"], "o_orderdate")
