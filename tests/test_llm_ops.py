@@ -104,3 +104,37 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_http_enrich_idempotent_and_rate_limited(spark):
+    import pandas as pd
+
+    from fastetl_spark.operators.enrich import fake_route_distance, http_enrich
+
+    calls = []
+
+    def counting_fetch(inputs: pd.DataFrame) -> pd.Series:
+        calls.append(len(inputs))
+        return fake_route_distance(inputs)
+
+    df = spark.createDataFrame(
+        [
+            (1, -15.79, -47.88, -15.80, -47.90, None),
+            (2, -23.55, -46.63, -22.90, -43.20, None),
+            (3, None, -46.63, -22.90, -43.20, None),   # missing input -> skipped
+            (4, -1.0, -1.0, -2.0, -2.0, 99.9),          # already enriched -> skipped
+        ],
+        "id long, lat1 double, lon1 double, lat2 double, lon2 double, dist_km double",
+    ).coalesce(1)
+    out = http_enrich(
+        df,
+        ["lat1", "lon1", "lat2", "lon2"],
+        "dist_km",
+        counting_fetch,
+        batch_size=10,
+    )
+    rows = {r.id: r.dist_km for r in out.collect()}
+    assert rows[1] is not None and rows[1] > 0
+    assert rows[2] is not None and rows[2] > rows[1]  # SP-Rio >> Brasilia block
+    assert rows[3] is None       # left un-enriched
+    assert rows[4] == 99.9       # untouched
