@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from fastetl_spark.functions.stable import dec
 from fastetl_spark.io.readers import read_table
 from fastetl_spark.registry import query
 
@@ -117,3 +118,119 @@ def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, order_year,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS order_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+  FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+  WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, order_year
+"""
+
+
+@query("q7_volume_shipping", _Q7_SQL)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .join(broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select("supp_nation", "cust_nation", F.year("l_shipdate").alias("order_year"), rev.alias("rev"))
+        .groupBy("supp_nation", "cust_nation", "order_year")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-over-aggregate subquery: supplier(s) hitting the maximum
+    period revenue; exact decimal equality makes the tie-compare safe."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-07-01").cast("timestamp"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("total_rev")
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(broadcast(max_rev), F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_revenue"))
+    )
+
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg_bal FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@query("q22_global_sales_opportunity", _Q22_SQL)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + anti-join: rich customers who never ordered,
+    by segment (q22 adapted to the fixture schema)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal"))
+    )
+    rich = c.join(broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal")).drop("avg_bal")
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(dec("c_acctbal")), 2).cast("double").alias("total_bal"),
+    )
