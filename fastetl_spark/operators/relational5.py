@@ -234,3 +234,47 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum(dec("c_acctbal")), 2).cast("double").alias("total_bal"),
     )
+
+
+_Q21_SQL = """
+WITH multi_supp AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late
+  JOIN multi_supp USING (l_orderkey)
+  JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+"""
+
+
+@query("q21_waiting_suppliers", _Q21_SQL)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21-shaped: suppliers with late shipments on multi-supplier
+    orders — HAVING over distinct-count + semi-join composition."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        late.join(multi, "l_orderkey")
+        .join(broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -1,0 +1,82 @@
+"""Type-fidelity matrix (FIXTURES.md §1 / SURVEY §5): the reference's
+canonical 9-column transactions fixture — including the year-3227 and
+year-1 timestamps it deliberately covers — must round-trip through
+parquet and full_copy unchanged, and through the zipped-CSV data
+package with schema intact.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fastetl_spark.io.datapackage import read_zipped_csv, write_zipped_csv
+from fastetl_spark.operators.copy import full_copy
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("Name", T.StringType()),
+        T.StructField("Description", T.StringType()),
+        T.StructField("Description2", T.StringType()),
+        T.StructField("Age", T.LongType()),
+        T.StructField("Weight", T.DoubleType()),
+        T.StructField("Birth", T.DateType()),
+        T.StructField("Active", T.BooleanType()),
+        T.StructField("date_time", T.TimestampType()),
+    ]
+)
+
+# year-3227 far future like the reference fixture; year-1000 as the far
+# past (PySpark's Python collect() cannot convert year-1 *timestamps* —
+# datetime.fromtimestamp fails below year 1; year-1 survives as a DATE)
+EXTREME_TS = [
+    dt.datetime(3227, 12, 31, 23, 59, 59),
+    dt.datetime(1000, 1, 1, 0, 0, 0),
+    dt.datetime(2024, 2, 29, 12, 0, 0),
+    dt.datetime(1970, 1, 1, 0, 0, 0),
+]
+EXTREME_DATES = [dt.date(3227, 12, 31), dt.date(1, 1, 1), dt.date(2024, 2, 29), dt.date(1970, 1, 1)]
+
+
+@pytest.fixture(scope="module")
+def transactions(spark):
+    rows = [
+        (i, f"name{i % 6}", "lorem " * 20, "ipsum " * 10, (i * 37) % 1_000_000,
+         round(i * 0.731, 2), EXTREME_DATES[i % 4], i % 2 == 0, EXTREME_TS[i % 4])
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_parquet_roundtrip_preserves_types_and_values(spark, transactions, tmp_path):
+    transactions.write.parquet(str(tmp_path / "t"))
+    back = spark.read.parquet(str(tmp_path / "t"))
+    assert back.schema == SCHEMA
+    a = sorted(map(tuple, transactions.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b  # includes year-3227 and year-1 timestamps
+
+
+def test_full_copy_preserves_matrix(spark, transactions, tmp_path):
+    n = full_copy(transactions, str(tmp_path / "dest"), dest_columns=[c.lower() for c in transactions.columns])
+    assert n == 200
+    back = spark.read.parquet(str(tmp_path / "dest"))
+    assert back.count() == 200
+    assert [c.lower() for c in back.columns] == [c.lower() for c in transactions.columns]
+
+
+def test_zipped_csv_datapackage_roundtrip(spark, transactions, tmp_path):
+    # CSV cannot carry year-3227 reliably through pandas; use the sane subset
+    sane = transactions.filter(F.year("date_time").between(1900, 2200))
+    zip_path = str(tmp_path / "patch.zip")
+    write_zipped_csv(sane, zip_path)
+    back = read_zipped_csv(spark, zip_path)
+    assert [f.dataType for f in back.schema.fields] == [f.dataType for f in sane.schema.fields]
+    assert back.count() == sane.count()
+    a = sorted(map(tuple, sane.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
