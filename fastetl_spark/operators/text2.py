@@ -146,3 +146,108 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     text executes on Spark SQL and on the oracle."""
     register_views(spark, sf_dir)
     return spark.sql(_PASSTHROUGH_SQL)
+
+
+# --- global vocabulary statistics ---------------------------------------
+
+_VOCAB_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS freq
+FROM tok GROUP BY token
+HAVING COUNT(*) >= 5
+"""
+
+
+@query("vocab_stats", _VOCAB_SQL)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (freq >= 5): the fan-out/agg shape of
+    vocabulary building; partial aggregation keeps the explode local."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode_outer(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+
+
+# --- benchmark decontamination ------------------------------------------
+
+_DECON_N = 5
+
+_DECON_SQL = f"""
+WITH bench AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents WHERE source = 'src0'
+), train AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents WHERE source <> 'src0'
+), bench_grams AS (
+  SELECT DISTINCT unnest(CASE WHEN len(tokens) >= {_DECON_N}
+    THEN list_transform(generate_series(1, len(tokens) - {_DECON_N - 1}),
+         i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4]))
+    ELSE [] END) AS gram
+  FROM bench
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(CASE WHEN len(tokens) >= {_DECON_N}
+          THEN list_transform(generate_series(1, len(tokens) - {_DECON_N - 1}),
+               i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4]))
+          ELSE [] END) AS gram
+        FROM train) t
+  JOIN bench_grams b ON t.gram = b.gram
+)
+SELECT tr.doc_id, tr.doc_id IN (SELECT doc_id FROM contaminated) AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') tr
+"""
+
+
+@query("decontaminate_against_benchmark", _DECON_SQL)
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    {_DECON_N}-gram with the held-out set (source='src0' stands in for
+    the benchmark). Bench grams are distinct + broadcast; training
+    grams stream through the join — the standard eval-leakage sweep."""
+    from pyspark.sql.functions import broadcast
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", "source", F.split("text", " ").alias("tokens"))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("tokens")) - (_DECON_N - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("tokens"), i + k) for k in range(_DECON_N)]
+        ),
+    )
+    grams = tok.filter(F.size("tokens") >= _DECON_N).select(
+        "doc_id", "source", F.explode_outer(F.array_distinct(gram)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    bench_grams = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    train_grams = grams.filter(F.col("source") != "src0")
+    contaminated = (
+        train_grams.join(broadcast(bench_grams), "gram").select("doc_id").distinct()
+    )
+    train_docs = d.filter(F.col("source") != "src0").select("doc_id")
+    return train_docs.join(
+        contaminated.withColumn("is_contaminated", F.lit(True)), "doc_id", "left"
+    ).select("doc_id", F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"))
+
+
+# --- character entropy (rows-only: libm log differs across engines) ------
+
+
+@query("char_entropy")  # rows-only: Math.log last-ulp varies across libms
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution per doc — a cheap
+    gibberish detector. Computed fully with array expressions: histogram
+    via aggregate over distinct chars."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    chars = F.split(F.col("text"), "")
+    t = d.select("doc_id", chars.alias("cs")).withColumn("n", F.size("cs"))
+    uniq = F.array_distinct(F.col("cs"))
+    counts = F.transform(uniq, lambda u: F.size(F.filter(F.col("cs"), lambda c: c == u)))
+    probs = F.transform(counts, lambda k: k.cast("double") / F.col("n").cast("double"))
+    entropy = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log(2.0, p)
+    )
+    return t.select("doc_id", entropy.alias("char_entropy_bits"))

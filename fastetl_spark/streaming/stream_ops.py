@@ -107,3 +107,37 @@ def foreach_batch_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_purchase_attribution(
+    events: DataFrame, attribution_window: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins clicks of the
+    same user within the preceding attribution window. Both sides carry
+    watermarks so the join state is bounded — the streaming twin of the
+    batch as-of join (operators/asof.py)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

@@ -99,3 +99,35 @@ def test_foreach_batch_merge_upserts(spark, events_dir, tmp_path):
     src = spark.read.parquet(events_dir)
     assert dest.count() == src.count()  # every key exactly once
     assert dest.select("event_id").distinct().count() == src.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    from fastetl_spark.streaming.stream_ops import stream_stream_purchase_attribution
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    joined = stream_stream_purchase_attribution(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT purchase_id, click_id FROM attribution")
+    batch = spark.read.parquet(events_dir)
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    expected = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (clicks.click_ts >= purchases.purchase_ts - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id")
+    g = {(r.purchase_id, r.click_id) for r in got.collect()}
+    e = {(r.purchase_id, r.click_id) for r in expected.collect()}
+    assert g == e and len(g) > 0
