@@ -118,3 +118,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = fake_image_features(media)
     return feats.select("doc_id", "width", "height", F.size("feature").alias("feat_dim"))
+
+
+# --- grouped-map applyInPandas (§2.11 plugin surface) --------------------
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("value_zscore", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    std = pdf["value"].std(ddof=1)
+    mean = pdf["value"].mean()
+    pdf = pdf[["event_id", "user_id", "value"]].copy()
+    pdf["value_zscore"] = 0.0 if (std == 0 or pd.isna(std)) else (pdf["value"] - mean) / std
+    return pdf
+
+
+@query("group_zscore_pandas")  # pandas float summation — rows-only check
+def group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-user z-score of event values — the
+    reference's BaseDataCleaner-style plugin written as an Arrow-batched
+    group transform (pandas' pairwise float summation differs from SQL
+    engines at the last ulp, hence rows-only; numeric agreement with the
+    native expression is asserted in tests)."""
+    from fastetl_spark.io.readers import read_table as _rt
+
+    e = _rt(spark, sf_dir, "events")
+    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        _zscore_group, ZSCORE_SCHEMA
+    )

@@ -278,3 +278,34 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+_ROLLING_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
+       ), 2) AS DOUBLE) AS rolling_7d_total
+FROM orders
+"""
+
+
+@query("rolling_7day_revenue", _ROLLING_SQL)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer rolling 7-day (6*86400s back +
+    today) order total over event time — range frames need a numeric
+    ordering key, so the timestamp becomes epoch seconds."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("rolling_7d_total"),
+    )

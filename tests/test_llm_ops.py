@@ -138,3 +138,23 @@ def test_http_enrich_idempotent_and_rate_limited(spark):
     assert rows[2] is not None and rows[2] > rows[1]  # SP-Rio >> Brasilia block
     assert rows[3] is None       # left un-enriched
     assert rows[4] == 99.9       # untouched
+
+
+def test_group_zscore_pandas_agrees_with_native(spark, sf_dir):
+    from fastetl_spark.operators.multimodal import group_zscore_pandas
+
+    got = {r.event_id: r.value_zscore for r in group_zscore_pandas(spark, sf_dir).collect()}
+    from pyspark.sql.window import Window
+
+    e = __import__("fastetl_spark.io.readers", fromlist=["read_table"]).read_table(
+        spark, sf_dir, "events"
+    )
+    w = Window.partitionBy("user_id")
+    native = e.select(
+        "event_id",
+        ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)).alias("z"),
+    )
+    exp = {r.event_id: r.z for r in native.collect()}
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - (exp[k] or 0.0)) < 1e-9
