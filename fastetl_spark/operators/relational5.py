@@ -309,3 +309,94 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("rolling_7d_total"),
     )
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+@query("q13_customer_distribution", _Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13: distribution of customers by order count (left join keeps
+    zero-order customers; COUNT(col) skips the null side)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 5, 10, 15)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_type
+"""
+
+
+@query("q16_supplier_part_counts", _Q16_SQL)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16-shaped: distinct supplier counts per brand/type, excluding a
+    NOT IN supplier subset (anti-join; no nulls in s_suppkey so NOT IN
+    has no three-valued-logic trap here)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 10, 15))
+    bad = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_SQL = """
+WITH part_qty AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+  GROUP BY l_partkey, l_suppkey
+), heavy AS (
+  SELECT DISTINCT l_suppkey FROM part_qty WHERE total_qty > 50
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+"""
+
+
+@query("q20_heavy_suppliers", _Q20_SQL)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20-shaped: suppliers that moved > 50 units of some part in the
+    period (nested IN over a grouped subquery -> semi-join)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    heavy = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )

@@ -54,3 +54,28 @@ def test_key_range_filter_pushdown(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "key_range_scan")
     assert "GreaterThanOrEqual(l_orderkey,1000)" in plan
     assert "LessThanOrEqual(l_orderkey,2000)" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.io.writers import write_parquet
+
+    e = read_table(spark, sf_dir, "events")
+    write_parquet(e, str(tmp_path / "part_events"), partition_by=["event_type"])
+    back = spark.read.parquet(str(tmp_path / "part_events")).filter(
+        "event_type = 'purchase'"
+    )
+    plan = back._sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "event_type" in plan
+    # only the purchase partition directory is read
+    assert back.count() == e.filter("event_type = 'purchase'").count()
+
+
+def test_parquet_compression_roundtrip(spark, sf_dir, tmp_path):
+    from fastetl_spark.io.readers import read_table
+
+    n = read_table(spark, sf_dir, "nation")
+    for codec in ("snappy", "zstd", "gzip"):
+        path = str(tmp_path / codec)
+        n.write.option("compression", codec).parquet(path)
+        assert spark.read.parquet(path).count() == 25
