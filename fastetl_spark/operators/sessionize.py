@@ -118,3 +118,37 @@ def events_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_new"), F.max("ts").alias("new_watermark"))
     )
+
+
+# --- sliding window (hop = 30 min, length = 1 hour) ----------------------
+
+_SLIDING_SQL = """
+WITH contrib AS (
+  SELECT event_type, value,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP)
+           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+           - offs * INTERVAL 30 MINUTE AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS offs) o
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM contrib
+GROUP BY window_start, event_type
+"""
+
+
+@query("sliding_window_agg", _SLIDING_SQL)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event lands in two
+    windows) — Spark's window(ts, '1 hour', '30 minutes'); the oracle
+    replays the same assignment by exploding two offsets."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
