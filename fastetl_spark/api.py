@@ -1,0 +1,187 @@
+"""User-facing API: the Engine facade and operator-shaped wrappers.
+
+A reference user drives fastETL through Airflow operators
+(DbToDbOperator, DbToCSVOperator — reference
+fastetl/operators/db_to_db_operator.py:157-181, db_to_csv_operator.py:74-109)
+that are thin shells over `custom_functions`. The same shape here:
+operator classes carry configuration and delegate to the engine;
+no Airflow dependency (hook them into any orchestrator — an Airflow
+PythonOperator calls `.execute(spark)`).
+
+Sources/destinations are dicts:
+    {"path": "/data/x.parquet"}                      parquet
+    {"path": "...", "format": "csv", "options": {}}  csv
+    {"jdbc": {...jdbc_scan_options kwargs...}}       database table/query
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fastetl_spark.io.readers import read_jdbc
+from fastetl_spark.io.writers import select_intersection, write_csv
+from fastetl_spark.meta.load_info import LoadInfo
+from fastetl_spark.operators.sync import incremental_sync, merge_upsert
+from fastetl_spark.plans.qa import CleaningPipeline
+
+
+class Engine:
+    """SparkSession-backed engine: read anything, write anything, sync,
+    clean, passthrough SQL (the reference's whole operator surface)."""
+
+    def __init__(self, spark: SparkSession, load_log_path: str | None = None):
+        self.spark = spark
+        self.load_info = LoadInfo(spark, load_log_path) if load_log_path else None
+
+    # --- io ---------------------------------------------------------------
+
+    def read(self, source: dict) -> DataFrame:
+        if "jdbc" in source:
+            return read_jdbc(self.spark, **source["jdbc"])
+        fmt = source.get("format", "parquet")
+        reader = self.spark.read.format(fmt).options(**source.get("options", {}))
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        return reader.load(source["path"])
+
+    def write(self, df: DataFrame, dest: dict, mode: str = "overwrite") -> None:
+        fmt = dest.get("format", "parquet")
+        if fmt == "csv":
+            write_csv(df, dest["path"], mode=mode, **dest.get("options", {}))
+        else:
+            df.write.mode(mode).format(fmt).options(**dest.get("options", {})).save(dest["path"])
+
+    def sql(self, query: str) -> DataFrame:
+        """S2 query-as-source."""
+        return self.spark.sql(query)
+
+    # --- replication ------------------------------------------------------
+
+    def full_copy(
+        self,
+        source: dict,
+        dest: dict,
+        dest_columns: list[str] | None = None,
+        columns_to_ignore: list[str] | None = None,
+        truncate: bool = True,
+        table_name: str = "",
+    ) -> int:
+        df = self.read(source)
+        if dest_columns:
+            df = select_intersection(df, dest_columns)
+        if columns_to_ignore:
+            df = df.drop(*columns_to_ignore)
+        self.write(df, dest, mode="overwrite" if truncate else "append")
+        n = df.count()
+        if self.load_info:
+            self.load_info.save(table_name or dest.get("path", ""), "full" if truncate else "append", n)
+        return n
+
+    def sync(
+        self,
+        source: dict,
+        dest: dict,
+        keys: list[str],
+        watermark_col: str,
+        deleted_keys: DataFrame | None = None,
+        table_name: str = "",
+    ) -> int:
+        """Incremental sync (§2.9): read both sides, merge, rewrite dest."""
+        src_df = self.read(source)
+        dest_df = self.read(dest)
+        merged = incremental_sync(dest_df, src_df, keys, watermark_col, deleted_keys)
+        staged = merged.localCheckpoint()  # parquet rewrite needs a materialized source
+        self.write(staged, dest, mode="overwrite")
+        n = staged.count()
+        if self.load_info:
+            self.load_info.save(table_name or dest.get("path", ""), "incremental", n)
+        return n
+
+    # --- cleaning ---------------------------------------------------------
+
+    def clean(self, df: DataFrame, cleaners: list) -> tuple[DataFrame, DataFrame]:
+        return CleaningPipeline(cleaners).run(df)
+
+
+# --- operator-shaped wrappers (reference operator parity) ----------------
+
+
+@dataclass
+class DbToDbOperator:
+    """Reference DbToDbOperator (db_to_db_operator.py): full or
+    incremental replication between two locations."""
+
+    source: dict
+    destination: dict
+    destination_truncate: bool = True
+    is_incremental: bool = False
+    key_column: str | None = None
+    date_column: str | None = None
+    load_log_path: str | None = None
+
+    def execute(self, spark: SparkSession) -> int:
+        engine = Engine(spark, self.load_log_path)
+        if self.is_incremental:
+            return engine.sync(
+                self.source,
+                self.destination,
+                keys=[self.key_column],
+                watermark_col=self.date_column or self.key_column,
+            )
+        return engine.full_copy(
+            self.source, self.destination, truncate=self.destination_truncate
+        )
+
+
+@dataclass
+class DbToCSVOperator:
+    """Reference DbToCSVOperator (db_to_csv_operator.py:74-109): query ->
+    CSV extract with column drops and char stripping."""
+
+    source: dict
+    csv_path: str
+    columns_to_ignore: list[str] = field(default_factory=list)
+    chars_to_strip: str | None = None
+    sep: str = ","
+    compression: str | None = None
+
+    def execute(self, spark: SparkSession) -> int:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from fastetl_spark.functions.cleaning import strip_chars
+
+        engine = Engine(spark)
+        df = engine.read(self.source)
+        if self.columns_to_ignore:
+            df = df.drop(*self.columns_to_ignore)
+        if self.chars_to_strip:
+            for c, dtype in df.dtypes:
+                if dtype == "string":
+                    df = df.withColumn(c, strip_chars(F.col(c), self.chars_to_strip))
+        write_csv(df, self.csv_path, sep=self.sep, compression=self.compression)
+        return df.count()
+
+
+@dataclass
+class PatchworkOperator:
+    """Reference patchwork pipeline (patchwork.py docstring): chain
+    cleaners over a source, land consolidated parquet + QA parquet."""
+
+    source: dict
+    consolidated_path: str
+    qa_path: str
+    cleaners: list = field(default_factory=list)
+
+    def execute(self, spark: SparkSession) -> tuple[int, int]:
+        engine = Engine(spark)
+        df = engine.read(self.source)
+        cleaned, qa = engine.clean(df, self.cleaners)
+        cleaned.write.mode("overwrite").parquet(self.consolidated_path)
+        qa.write.mode("overwrite").parquet(self.qa_path)
+        return (
+            spark.read.parquet(self.consolidated_path).count(),
+            spark.read.parquet(self.qa_path).count(),
+        )

@@ -1,0 +1,97 @@
+"""Engine facade + operator-shaped wrappers: the migration surface a
+reference user lands on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fastetl_spark.api import DbToCSVOperator, DbToDbOperator, Engine, PatchworkOperator
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.plans.cleaners import DuplicatedRowCleaner, UFCleaner
+
+
+def test_engine_full_copy_and_log(spark, sf_dir, tmp_path):
+    engine = Engine(spark, load_log_path=str(tmp_path / "log"))
+    n = engine.full_copy(
+        {"path": f"{sf_dir}/nation.parquet"},
+        {"path": str(tmp_path / "nation_copy")},
+        table_name="nation",
+    )
+    assert n == 25
+    assert engine.load_info.read().first().tp_carga == "full"
+
+
+def test_db_to_db_operator_full(spark, sf_dir, tmp_path):
+    op = DbToDbOperator(
+        source={"path": f"{sf_dir}/region.parquet"},
+        destination={"path": str(tmp_path / "region_copy")},
+    )
+    assert op.execute(spark) == 5
+    assert spark.read.parquet(str(tmp_path / "region_copy")).count() == 5
+
+
+def test_db_to_db_operator_incremental(spark, sf_dir, tmp_path):
+    orders = read_table(spark, sf_dir, "orders")
+    # seed destination with the old half
+    old = orders.filter(F.col("o_orderdate") <= F.lit("2000-01-01").cast("timestamp"))
+    old.write.parquet(str(tmp_path / "dest"))
+    src_path = str(tmp_path / "src")
+    orders.write.parquet(src_path)
+    op = DbToDbOperator(
+        source={"path": src_path},
+        destination={"path": str(tmp_path / "dest")},
+        is_incremental=True,
+        key_column="o_orderkey",
+        date_column="o_orderdate",
+    )
+    n = op.execute(spark)
+    assert n == orders.count()  # dest now holds everything exactly once
+    dest = spark.read.parquet(str(tmp_path / "dest"))
+    assert dest.count() == orders.count()
+    assert dest.select("o_orderkey").distinct().count() == orders.count()
+
+
+def test_db_to_csv_operator(spark, sf_dir, tmp_path):
+    op = DbToCSVOperator(
+        source={"path": f"{sf_dir}/orders.parquet"},
+        csv_path=str(tmp_path / "orders_csv"),
+        columns_to_ignore=["o_totalprice"],
+        chars_to_strip="-",
+        sep=";",
+    )
+    n = op.execute(spark)
+    back = spark.read.option("header", "true").option("sep", ";").csv(str(tmp_path / "orders_csv"))
+    assert back.count() == n
+    assert "o_totalprice" not in back.columns
+    assert back.filter(F.col("o_orderpriority").contains("-")).count() == 0
+
+
+def test_patchwork_operator(spark, sf_dir, tmp_path):
+    dirty = spark.createDataFrame(
+        [(1, "DF"), (1, "df "), (2, "XX"), (3, "rj")],
+        "id long, uf string",
+    )
+    dirty.write.parquet(str(tmp_path / "dirty"))
+    op = PatchworkOperator(
+        source={"path": str(tmp_path / "dirty")},
+        consolidated_path=str(tmp_path / "consolidated"),
+        qa_path=str(tmp_path / "qa"),
+        cleaners=[
+            DuplicatedRowCleaner(["id"], order_by=["uf"], tabela="dirty"),
+            UFCleaner(["id"], "uf", tabela="dirty"),
+        ],
+    )
+    n_rows, n_qa = op.execute(spark)
+    assert n_rows == 3
+    assert n_qa >= 2  # one DROP_LINE + at least one CAST_NULL
+    out = {r.id: r.uf for r in spark.read.parquet(str(tmp_path / "consolidated")).collect()}
+    assert out[2] is None and out[3] == "RJ"
+
+
+def test_engine_sql_passthrough(spark, sf_dir):
+    from fastetl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    engine = Engine(spark)
+    assert engine.sql("SELECT COUNT(*) AS n FROM region").first().n == 5
