@@ -400,3 +400,46 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+_Q8_SQL = """
+WITH allnations AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+         n_name AS nation
+  FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END)
+            AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM allnations
+GROUP BY o_year
+"""
+
+
+@query("q8_market_share", _Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8-shaped: one nation's share of yearly supply revenue — ratio of
+    two exact decimal sums, divided in double (deterministic)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+    an = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), F.col("n_name").alias("nation"))
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return an.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
