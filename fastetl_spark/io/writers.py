@@ -67,3 +67,27 @@ def write_jdbc_options(
 
 def write_jdbc(df: DataFrame, mode: str = "append", **options) -> None:
     df.write.format("jdbc").options(**write_jdbc_options(**options)).mode(mode).save()
+
+
+def atomic_overwrite(df: DataFrame, dest_path: str) -> int:
+    """Overwrite `dest_path` without a window where readers see partial
+    data: write to a staging dir, then swap directories. Plain parquet
+    has no transaction log (Delta would make this a commit); the swap
+    keeps the non-transactional window to a single rename."""
+    import os
+    import shutil
+
+    staging = dest_path.rstrip("/") + ".__staging__"
+    backup = dest_path.rstrip("/") + ".__old__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").parquet(staging)
+    n = df.sparkSession.read.parquet(staging).count()
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(dest_path):
+        os.rename(dest_path, backup)
+    os.rename(staging, dest_path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    return n

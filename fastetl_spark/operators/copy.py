@@ -80,3 +80,38 @@ def full_copy(
     if load_info is not None:
         load_info.save(table_name or dest_path, "full" if truncate else "append", n)
     return n
+
+
+def copy_by_key_ranges(
+    source: DataFrame,
+    dest_dir: str,
+    key_column: str,
+    key_interval: int = 10_000,
+    key_start: int = 0,
+    key_end: int | None = None,
+) -> dict[str, int]:
+    """Resumable key-interval copy (reference copy_by_key_interval +
+    copy_by_key_with_retry, copy_db_extensions.py:21-294): each key range
+    lands as its own parquet subdir; ranges already present are skipped,
+    so a failed run resumes from the next missing range — the Spark
+    analog of the reference's `next_key` bookkeeping. Ranges run as
+    ordinary parallel jobs (the reference ran them serially)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if key_end is None:
+        key_end = source.agg(F.max(key_column)).first()[0] or key_start
+    written: dict[str, int] = {}
+    lo = key_start
+    while lo <= key_end:
+        hi = lo + key_interval - 1
+        part_path = os.path.join(dest_dir, f"{key_column}_{lo}_{hi}")
+        if os.path.exists(os.path.join(part_path, "_SUCCESS")):
+            written[part_path] = -1  # already present: skipped (resume)
+        else:
+            chunk = source.filter(F.col(key_column).between(lo, hi))
+            chunk.write.mode("overwrite").parquet(part_path)
+            written[part_path] = chunk.count()
+        lo = hi + 1
+    return written

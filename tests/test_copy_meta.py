@@ -186,3 +186,41 @@ def test_incremental_sync_guard_empty_dest(spark, sf_dir):
     empty = o.filter("1 = 0")
     with _pytest.raises(ValueError, match="empty"):
         incremental_sync(empty, o, ["o_orderkey"], "o_orderdate")
+
+
+def test_atomic_overwrite_swaps(spark, sf_dir, tmp_path):
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.io.writers import atomic_overwrite
+
+    dest = str(tmp_path / "dest")
+    n1 = atomic_overwrite(read_table(spark, sf_dir, "nation"), dest)
+    assert n1 == 25
+    n2 = atomic_overwrite(read_table(spark, sf_dir, "region"), dest)
+    assert n2 == 5
+    assert spark.read.parquet(dest).count() == 5
+    import os
+
+    assert not os.path.exists(dest + ".__staging__")
+    assert not os.path.exists(dest + ".__old__")
+
+
+def test_copy_by_key_ranges_resumes(spark, sf_dir, tmp_path):
+    import shutil
+
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.copy import copy_by_key_ranges
+
+    orders = read_table(spark, sf_dir, "orders")
+    dest = str(tmp_path / "ranges")
+    first = copy_by_key_ranges(orders, dest, "o_orderkey", key_interval=500)
+    assert all(v >= 0 for v in first.values())  # everything written
+    total = sum(v for v in first.values())
+    assert total == orders.count()
+    # simulate a lost range, then resume: only that range is rewritten
+    victim = sorted(first)[1]
+    shutil.rmtree(victim)
+    second = copy_by_key_ranges(orders, dest, "o_orderkey", key_interval=500)
+    assert second[victim] >= 0  # rewritten
+    assert sum(1 for v in second.values() if v == -1) == len(second) - 1  # rest skipped
+    back = spark.read.option("recursiveFileLookup", "true").parquet(dest)
+    assert back.count() == orders.count()
