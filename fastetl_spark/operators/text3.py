@@ -1,0 +1,137 @@
+"""Text tier 3: document chunking, PII scrubbing, repetition detection —
+the remaining preprocessing stages of a pretraining-corpus pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.registry import query
+
+# --- document chunking ---------------------------------------------------
+
+_CHUNK_SIZE = 100  # chars
+_CHUNK_OVERLAP = 20
+
+_CHUNK_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(LENGTH(text) - {_CHUNK_OVERLAP}, 1),
+                                {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS chunk_start,
+         text
+  FROM documents
+)
+SELECT doc_id, chunk_start,
+       SUBSTR(text, chunk_start, {_CHUNK_SIZE}) AS chunk_text,
+       LENGTH(SUBSTR(text, chunk_start, {_CHUNK_SIZE})) AS chunk_len
+FROM chunks
+"""
+
+
+@query("doc_chunking", _CHUNK_SQL)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunks with absolute char offsets (stride =
+    size - overlap) — the context-window slicing step before tokenizing;
+    offsets survive so chunks can be traced back to source spans."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    stride = _CHUNK_SIZE - _CHUNK_OVERLAP
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - _CHUNK_OVERLAP, F.lit(1)), F.lit(stride)
+    )
+    t = d.select("doc_id", "text", F.explode_outer(starts).alias("chunk_start")).filter(
+        F.col("chunk_start").isNotNull()
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_start"), _CHUNK_SIZE)
+    return t.select(
+        "doc_id", "chunk_start", chunk.alias("chunk_text"), F.length(chunk).alias("chunk_len")
+    )
+
+
+# --- PII scrubbing -------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+_PHONE_RE = "\\+?[0-9]{2} ?\\([0-9]{2}\\) ?[0-9]{4,5}-[0-9]{4}"
+
+_PII_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CONCAT(text, ' contato: user', CAST(doc_id AS VARCHAR),
+                '@example.com tel +55 (61) 9999-', LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+           AS text_with_pii
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text_with_pii, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed,
+       len(regexp_extract_all(text_with_pii, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text_with_pii, '{_PHONE_RE}')) AS n_phones
+FROM seeded
+"""
+
+
+@query("pii_scrub", _PII_SQL)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails/phone numbers replaced with placeholder
+    tokens + per-doc hit counts (PII is seeded deterministically since
+    the fixture corpus is synthetic; the scrub expressions are the real
+    operator)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contato: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel +55 (61) 9999-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", seeded.alias("text_with_pii"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text_with_pii"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        scrub.alias("text_scrubbed"),
+        F.size(F.regexp_extract_all("text_with_pii", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text_with_pii", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+    )
+
+
+# --- repetition detection ------------------------------------------------
+
+_REP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+)
+SELECT doc_id,
+       len(list_filter(generate_series(1, len(tokens) - 1),
+                       i -> tokens[i] = tokens[i+1])) AS n_immediate_repeats,
+       len(tokens) - len(list_distinct(tokens)) AS n_duplicate_tokens,
+       len(list_filter(generate_series(1, len(tokens) - 1),
+                       i -> tokens[i] = tokens[i+1])) * 1.0
+         / greatest(len(tokens) - 1, 1) AS repeat_ratio
+FROM t
+"""
+
+
+@query("repetition_stats", _REP_SQL)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-text detector: immediate token repeats and duplicate
+    mass — cheap filters against looping generations / boilerplate."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    toks = F.col("tokens")
+    rep = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.element_at(toks, i) == F.element_at(toks, i + 1),
+        )
+    )
+    return t.select(
+        "doc_id",
+        rep.alias("n_immediate_repeats"),
+        (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_duplicate_tokens"),
+        (rep * 1.0 / F.greatest(F.size(toks) - 1, F.lit(1))).alias("repeat_ratio"),
+    )
