@@ -443,3 +443,149 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("volume").cast("double")
         ).alias("mkt_share")
     )
+
+
+_Q2_SQL = """
+WITH costs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), supplier_cost AS (
+  SELECT l_partkey, l_suppkey, s_acctbal, s_name, n_name
+  FROM costs
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT sc.l_partkey, sc.l_suppkey, sc.s_acctbal, sc.s_name, sc.n_name
+FROM supplier_cost sc
+WHERE sc.s_acctbal = (
+  SELECT MAX(s_acctbal) FROM supplier_cost i WHERE i.l_partkey = sc.l_partkey
+)
+"""
+
+
+@query("q2_best_supplier_in_region", _Q2_SQL)
+def q2_best_supplier_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2-shaped: per part, the EUROPE supplier(s) with the best account
+    balance — correlated max subquery decorrelated to a window max
+    (exact double equality: both sides compare the same stored value)."""
+    from pyspark.sql.window import Window
+
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    costs = l.select("l_partkey", "l_suppkey").distinct()
+    sc = (
+        costs.join(broadcast(s), costs.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        sc.withColumn("__max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__max_bal"))
+        .drop("__max_bal")
+    )
+
+
+_Q11_SQL = """
+WITH stock AS (
+  SELECT s_nationkey, CAST(l_quantity * l_extendedprice AS DECIMAL(24,6)) AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+), total AS (
+  SELECT SUM(value) AS tv FROM stock
+)
+SELECT n_name,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS nation_value,
+       CAST(SUM(value) AS DOUBLE) / CAST((SELECT tv FROM total) AS DOUBLE) AS share
+FROM stock JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+HAVING CAST(SUM(value) AS DOUBLE) / CAST((SELECT tv FROM total) AS DOUBLE) > 0.01
+"""
+
+
+@query("q11_important_stock", _Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11-shaped: nations holding > 1% of total supplied value — a
+    grand-total scalar subquery broadcast against the grouped frame."""
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    value = (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(24,6)")
+    stock = l.join(broadcast(s), l.l_suppkey == s.s_suppkey).select(
+        "s_nationkey", value.alias("value")
+    )
+    total = stock.agg(F.sum("value").alias("tv"))
+    by_nation = (
+        stock.join(broadcast(n), stock.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("value").alias("nv"))
+    )
+    return (
+        by_nation.crossJoin(broadcast(total))
+        .withColumn("share", F.col("nv").cast("double") / F.col("tv").cast("double"))
+        .filter(F.col("share") > 0.01)
+        .select("n_name", F.round("nv", 2).cast("double").alias("nation_value"), "share")
+    )
+
+
+_NULLSAFE_SQL = """
+WITH a AS (
+  SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS t
+  FROM events WHERE event_id % 2 = 0
+), b AS (
+  SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS t,
+         COUNT(*) AS n
+  FROM events WHERE event_id % 2 = 1
+  GROUP BY 1
+)
+SELECT a.event_id, a.t, b.n
+FROM a JOIN b ON a.t IS NOT DISTINCT FROM b.t
+"""
+
+
+@query("null_safe_join", _NULLSAFE_SQL)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics plain equi-joins silently drop."""
+    e = read_table(spark, sf_dir, "events")
+    t = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("event_type"))
+    a = e.filter(F.col("event_id") % 2 == 0).select("event_id", t.alias("t"))
+    b = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .select(t.alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    return a.join(broadcast(b), a.t.eqNullSafe(b.t)).select(a.event_id, a.t, b.n)
+
+
+_RANKS_SQL = """
+SELECT o_orderkey, o_custkey,
+       RANK()         OVER w AS price_rank,
+       DENSE_RANK()   OVER w AS price_dense_rank,
+       PERCENT_RANK() OVER w AS price_pct_rank,
+       CUME_DIST()    OVER w AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("window_rank_cluster", _RANKS_SQL)
+def window_rank_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist — the rational-valued
+    rank family (exact int ratios -> deterministic doubles)."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )

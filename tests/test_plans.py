@@ -79,3 +79,15 @@ def test_parquet_compression_roundtrip(spark, sf_dir, tmp_path):
         path = str(tmp_path / codec)
         n.write.option("compression", codec).parquet(path)
         assert spark.read.parquet(path).count() == 25
+
+
+def test_sort_merge_join_when_broadcast_disabled(spark, sf_dir):
+    """Big-big joins must fall to SortMergeJoin (never nested-loop) when
+    neither side fits a broadcast."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+        assert "SortMergeJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
