@@ -589,3 +589,33 @@ def window_rank_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("price_pct_rank"),
         F.cume_dist().over(w).alias("price_cume_dist"),
     )
+
+
+_STRPRED_SQL = """
+SELECT c_custkey,
+       LEFT(c_name, 5) AS name_left,
+       RIGHT(c_name, 3) AS name_right,
+       REPEAT(c_mktsegment, 2) AS seg_twice,
+       CONTAINS(c_name, '1') AS has_one,
+       STARTS_WITH(c_mktsegment, 'A') AS seg_starts_a,
+       ENDS_WITH(c_mktsegment, 'G') AS seg_ends_g,
+       POSITION('#' IN c_name) AS hash_pos,
+       SPLIT_PART(c_name, '#', 2) AS name_num
+FROM customer
+"""
+
+
+@query("string_predicate_cluster", _STRPRED_SQL)
+def string_predicate_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("LEFT(c_name, 5)").alias("name_left"),
+        F.expr("RIGHT(c_name, 3)").alias("name_right"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg_twice"),
+        F.contains(F.col("c_name"), F.lit("1")).alias("has_one"),
+        F.startswith(F.col("c_mktsegment"), F.lit("A")).alias("seg_starts_a"),
+        F.endswith(F.col("c_mktsegment"), F.lit("G")).alias("seg_ends_g"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+    )

@@ -158,3 +158,41 @@ def test_group_zscore_pandas_agrees_with_native(spark, sf_dir):
     assert set(got) == set(exp)
     for k in got:
         assert abs(got[k] - (exp[k] or 0.0)) < 1e-9
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Plant genuinely near-duplicate docs (90% token overlap) and check
+    the LSH pipeline surfaces them as verified pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _M31,
+        _SHINGLE_N,
+        lsh_candidate_pairs,
+        minhash_signature_from_hashes,
+        shingle_hashes,
+        word_tokens,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [rng.choice(vocab) for _ in range(120)]
+    near = list(base)
+    for idx in rng.sample(range(120), 8):  # ~7% token edits
+        near[idx] = rng.choice(vocab)
+    rows = [(1, " ".join(base)), (2, " ".join(near))]
+    rows += [(i, " ".join(rng.choice(vocab) for _ in range(120))) for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = df.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
+    sh = tok.select("doc_id", shingle_hashes(F.col("tokens"), _SHINGLE_N).alias("shingles"))
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda s: F.pmod(s, F.lit(_M31))).alias("hs"),
+    )
+    sigs = hashed.select("doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id", "sig").collect()}
+    assert (1, 2) in cands  # the planted near-dup pair must be a candidate
