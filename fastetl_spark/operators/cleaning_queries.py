@@ -277,16 +277,25 @@ def iso_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- F11: last day of month ---------------------------------------------
 
 _LASTDAY_SQL = """
-SELECT last_day(CAST(o_orderdate AS DATE)) AS month_end, COUNT(*) AS n_orders
+SELECT CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       COUNT(*) AS n_orders
 FROM orders GROUP BY 1
 """
 
 
 @query("last_day_of_month", _LASTDAY_SQL)
 def last_day_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # month_end is projected as TIMESTAMP on both sides: a bare DATE column
+    # round-trips to pandas as `object` datetime.date cells on the Spark
+    # side but datetime64 on the DuckDB side, which hash-mismatches in the
+    # driver's pandas canonicalizer.
     o = read_table(spark, sf_dir, "orders")
     return (
-        o.select(C.last_day_of_month(F.col("o_orderdate").cast("date")).alias("month_end"))
+        o.select(
+            C.last_day_of_month(F.col("o_orderdate").cast("date"))
+            .cast("timestamp")
+            .alias("month_end")
+        )
         .groupBy("month_end")
         .agg(F.count("*").alias("n_orders"))
     )

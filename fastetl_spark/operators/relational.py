@@ -382,7 +382,7 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row_count_guard",
     """
     SELECT 'orders' AS tabela, COUNT(*) AS qt_linhas,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS qt_abertas
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS qt_abertas
     FROM orders
     """,
 )

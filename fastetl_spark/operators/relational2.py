@@ -156,11 +156,11 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_type_counts",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events GROUP BY user_id
     """,
 )

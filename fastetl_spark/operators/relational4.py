@@ -25,7 +25,7 @@ from fastetl_spark.registry import query
     "array_agg_cluster",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types_seen,
+           CAST(to_json(list_sort(list(DISTINCT event_type))) AS VARCHAR) AS types_seen,
            len(list(DISTINCT event_type)) AS n_types,
            list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
     FROM events
@@ -33,10 +33,13 @@ from fastetl_spark.registry import query
     """,
 )
 def array_agg_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array outputs are projected through to_json: list-valued cells crash
+    # the driver's pandas sort_values canonicalizer (unhashable), and both
+    # engines emit the same compact JSON for sorted string arrays.
     e = read_table(spark, sf_dir, "events")
     types = F.array_sort(F.collect_set("event_type"))
     return e.groupBy("user_id").agg(
-        types.alias("types_seen"),
+        F.to_json(types).alias("types_seen"),
         F.size(F.collect_set("event_type")).alias("n_types"),
         F.array_contains(F.collect_set("event_type"), "purchase").alias("has_purchase"),
     )
@@ -48,7 +51,7 @@ def array_agg_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            tokens[1] AS first_token,
            tokens[len(tokens)] AS last_token,
-           list_sort(tokens[1:5]) AS first5_sorted,
+           CAST(to_json(list_sort(tokens[1:5])) AS VARCHAR) AS first5_sorted,
            array_to_string(tokens[1:3], '|') AS first3_joined
     FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
     """,
@@ -60,7 +63,7 @@ def array_manipulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at("tokens", 1).alias("first_token"),
         F.element_at("tokens", -1).alias("last_token"),
-        F.array_sort(F.slice("tokens", 1, 5)).alias("first5_sorted"),
+        F.to_json(F.array_sort(F.slice("tokens", 1, 5))).alias("first5_sorted"),
         F.array_join(F.slice("tokens", 1, 3), "|").alias("first3_joined"),
     )
 

@@ -47,8 +47,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping_classes",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
-           SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS open_count
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count,
+           CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS open_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1999-01-01'
       AND l_shipdate <  TIMESTAMP '2000-01-01'

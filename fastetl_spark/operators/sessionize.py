@@ -61,8 +61,8 @@ WITH ordered AS (
   FROM ordered
 ), numbered AS (
   SELECT user_id, event_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

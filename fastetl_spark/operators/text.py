@@ -174,7 +174,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LANG_STATS_SQL = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents
 GROUP BY lang, source
