@@ -18,10 +18,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from fastetl_spark.io.readers import read_jdbc
-from fastetl_spark.io.writers import select_intersection, write_csv
+from fastetl_spark.io.writers import atomic_overwrite, select_intersection, write_csv
 from fastetl_spark.meta.load_info import LoadInfo
 from fastetl_spark.operators.sync import incremental_sync, merge_upsert
 from fastetl_spark.plans.qa import CleaningPipeline
@@ -73,8 +74,12 @@ class Engine:
             df = select_intersection(df, dest_columns)
         if columns_to_ignore:
             df = df.drop(*columns_to_ignore)
+        # The load-log row count rides on the write itself via observe():
+        # a second df.count() would be a second full source scan.
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         self.write(df, dest, mode="overwrite" if truncate else "append")
-        n = df.count()
+        n = int(obs.get["n_rows"])
         if self.load_info:
             self.load_info.save(table_name or dest.get("path", ""), "full" if truncate else "append", n)
         return n
@@ -92,9 +97,15 @@ class Engine:
         src_df = self.read(source)
         dest_df = self.read(dest)
         merged = incremental_sync(dest_df, src_df, keys, watermark_col, deleted_keys)
-        staged = merged.localCheckpoint()  # parquet rewrite needs a materialized source
-        self.write(staged, dest, mode="overwrite")
-        n = staged.count()
+        if "jdbc" not in dest and dest.get("format", "parquet") == "parquet":
+            # Rewriting the path being read is not crash-safe with plain
+            # parquet: stage + directory-swap so a mid-write failure never
+            # leaves the destination deleted or partial.
+            n = atomic_overwrite(merged, dest["path"])
+        else:
+            staged = merged.localCheckpoint()  # materialize before the dest rewrite
+            self.write(staged, dest, mode="overwrite")
+            n = staged.count()
         if self.load_info:
             self.load_info.save(table_name or dest.get("path", ""), "incremental", n)
         return n

@@ -45,15 +45,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff the plan has fewer partitions than the
+    """Round-robin repartition iff the scan has fewer input files than the
     cluster has slots. The driver fixtures are single-row-group parquet
     files (unsplittable -> 1 scan task); expression-heavy operators call
     this so per-row work fans out. On real multi-file/multi-row-group
     data the scan is already parallel and this is a no-op — no shuffle
-    is added at scale."""
+    is added at scale.
+
+    The probe uses the file index (``inputFiles``), not
+    ``df.rdd.getNumPartitions()`` — the RDD probe forces a full
+    plan->RDD conversion per wrapped query and bypasses AQE planning.
+    Non-file-backed plans are returned untouched."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -96,6 +105,10 @@ def jdbc_scan_options(
     opts: dict[str, str] = {"url": url, "fetchsize": str(fetchsize)}
     if table:
         opts["dbtable"] = table
+    elif key_column is not None:
+        # Spark's JDBC source rejects `query` together with
+        # partitionColumn; a dbtable subquery alias expresses the same scan.
+        opts["dbtable"] = f"({query}) spark_part_subq"
     else:
         opts["query"] = query  # type: ignore[assignment]
     if key_column is not None:

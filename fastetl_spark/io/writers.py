@@ -69,6 +69,22 @@ def write_jdbc(df: DataFrame, mode: str = "append", **options) -> None:
     df.write.format("jdbc").options(**write_jdbc_options(**options)).mode(mode).save()
 
 
+def read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+    """Read a parquet destination, returning None ONLY when the path is
+    absent. Any other failure (corrupt files, permission, transient IO)
+    propagates — callers that treated every read error as "first run"
+    would silently overwrite previously merged data."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def atomic_overwrite(df: DataFrame, dest_path: str) -> int:
     """Overwrite `dest_path` without a window where readers see partial
     data: write to a staging dir, then swap directories. Plain parquet

@@ -56,7 +56,13 @@ def http_enrich(
             for start in range(0, len(todo), batch_size):
                 chunk = todo.iloc[start : start + batch_size]
                 t0 = time.monotonic()
-                pdf.loc[chunk.index, target_col] = fetch(chunk[input_cols])
+                fetched = fetch(chunk[input_cols])
+                # Re-index positionally: .loc assignment aligns a returned
+                # Series by index label, so a fetch that builds its result
+                # with a fresh RangeIndex would silently write NaN.
+                pdf.loc[chunk.index, target_col] = pd.Series(
+                    list(fetched), index=chunk.index
+                )
                 if max_per_second:
                     min_elapsed = len(chunk) / max_per_second
                     sleep = min_elapsed - (time.monotonic() - t0)

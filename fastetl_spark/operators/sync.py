@@ -72,22 +72,69 @@ class WatermarkStore:
         self.path = path
 
     def get(self, table: str):
-        try:
-            rows = (
-                self.spark.read.parquet(self.path)
-                .filter(F.col("table_name") == table)
-                .agg(F.max("watermark_value"))
-                .first()
-            )
-            return rows[0] if rows else None
-        except Exception:
+        """Latest watermark for `table`, parsed back to its native type.
+
+        The latest row wins by (updated_at, seq) — NOT a max over the
+        stringified value column, which regresses numeric watermarks
+        lexicographically (max('9','10') = '9'). Only a missing state
+        path reads as "no watermark"; corruption/permission errors
+        propagate instead of silently triggering a full re-sync.
+        """
+        from fastetl_spark.io.writers import read_parquet_if_exists
+
+        state = read_parquet_if_exists(self.spark, self.path)
+        if state is None:
             return None
+        row = (
+            state.filter(F.col("table_name") == table)
+            .orderBy(F.desc("updated_at"), F.desc("seq"))
+            .select("watermark_value", "value_type")
+            .first()
+        )
+        if row is None:
+            return None
+        return _parse_watermark(row[0], row[1])
 
     def set(self, table: str, value) -> None:
+        import time
+
         row = self.spark.createDataFrame(
-            [(table, str(value))], "table_name string, watermark_value string"
+            [(table, str(value), _watermark_type(value), time.time_ns())],
+            "table_name string, watermark_value string, value_type string, seq long",
         ).withColumn("updated_at", F.current_timestamp())
         row.write.mode("append").parquet(self.path)
+
+
+def _watermark_type(value) -> str:
+    import datetime as _dt
+
+    if isinstance(value, bool):
+        return "str"
+    if isinstance(value, int):
+        return "int"
+    if isinstance(value, float):
+        return "float"
+    if isinstance(value, _dt.datetime):
+        return "datetime"
+    if isinstance(value, _dt.date):
+        return "date"
+    return "str"
+
+
+def _parse_watermark(text: str, value_type: str):
+    import datetime as _dt
+
+    if text is None:
+        return None
+    if value_type == "int":
+        return int(text)
+    if value_type == "float":
+        return float(text)
+    if value_type == "datetime":
+        return _dt.datetime.fromisoformat(text)
+    if value_type == "date":
+        return _dt.date.fromisoformat(text)
+    return text
 
 
 # --- registered demonstration queries -------------------------------------

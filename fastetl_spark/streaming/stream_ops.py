@@ -86,20 +86,22 @@ def foreach_batch_merge(
     """Streaming upsert: each micro-batch merges into the parquet
     destination (update-join + anti-join insert, §2.9 steps 4-7).
     Returns the StreamingQuery."""
+    from fastetl_spark.io.writers import atomic_overwrite, read_parquet_if_exists
     from fastetl_spark.operators.sync import merge_upsert
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(keys)
-        try:
-            dest = spark.read.parquet(dest_path)
-            merged = merge_upsert(dest, batch.select(*dest.columns), keys)
-        except Exception:  # first batch: destination does not exist yet
-            merged = batch
-        # rewrite via a staging dir: parquet is not transactional (with
-        # Delta this whole function is one MERGE INTO)
-        staged = merged.localCheckpoint()
-        staged.write.mode("overwrite").parquet(dest_path)
+        # Absence is detected explicitly; a read/merge *error* propagates
+        # and fails the batch instead of silently overwriting the
+        # destination with only the current micro-batch.
+        dest = read_parquet_if_exists(spark, dest_path)
+        merged = batch if dest is None else merge_upsert(dest, batch.select(*dest.columns), keys)
+        # staging-dir + directory swap: parquet is not transactional
+        # (with Delta this whole function is one MERGE INTO), so the
+        # swap keeps readers and crash-recovery from ever seeing a
+        # truncated destination.
+        atomic_overwrite(merged, dest_path)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

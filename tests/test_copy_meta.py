@@ -94,6 +94,22 @@ def test_jdbc_scan_options_partitioned():
         jdbc_scan_options(url="u")  # neither table nor query
 
 
+def test_jdbc_scan_options_query_with_partitioning_wraps_as_dbtable():
+    """Spark's JDBC source rejects query+partitionColumn together; the
+    query must be wrapped as a dbtable subquery alias instead."""
+    opts = jdbc_scan_options(
+        url="jdbc:postgresql://h/db",
+        query="SELECT id, v FROM t WHERE v > 0",
+        key_column="id",
+        key_start=0,
+        estimated_max_id=1000,
+        key_interval=100,
+    )
+    assert "query" not in opts
+    assert opts["dbtable"] == "(SELECT id, v FROM t WHERE v > 0) spark_part_subq"
+    assert opts["partitionColumn"] == "id"
+
+
 def test_write_jdbc_options_truncate():
     opts = write_jdbc_options(url="jdbc:x", table="s.t", truncate=True, batchsize=5000)
     assert opts["truncate"] == "true" and opts["batchsize"] == "5000"
@@ -156,8 +172,67 @@ def test_watermark_store_roundtrip(spark, tmp_path):
     assert store.get("orders") is None  # missing state
     store.set("orders", "2024-01-15 00:00:00")
     assert store.get("orders") == "2024-01-15 00:00:00"
-    store.set("orders", "2024-02-01 00:00:00")  # append-only; max wins
+    store.set("orders", "2024-02-01 00:00:00")  # append-only; latest wins
     assert store.get("orders") == "2024-02-01 00:00:00"
+
+
+def test_watermark_store_numeric_not_lexicographic(spark, tmp_path):
+    """max('9','10')='9' lexicographically — latest-row + typed parse must
+    return the int 10."""
+    from fastetl_spark.operators.sync import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    store.set("t", 9)
+    store.set("t", 10)
+    got = store.get("t")
+    assert got == 10 and isinstance(got, int)
+
+
+def test_watermark_store_typed_datetime(spark, tmp_path):
+    import datetime as dt
+
+    from fastetl_spark.operators.sync import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    wm = dt.datetime(2024, 3, 1, 12, 30, 0)
+    store.set("t", wm)
+    got = store.get("t")
+    assert got == wm and isinstance(got, dt.datetime)
+
+
+def test_read_parquet_if_exists(spark, sf_dir, tmp_path):
+    """None ONLY for a missing path; any other read failure propagates
+    (callers treating every error as 'first run' would silently drop
+    previously merged data)."""
+    import pytest
+
+    from fastetl_spark.io.writers import read_parquet_if_exists
+
+    assert read_parquet_if_exists(spark, str(tmp_path / "nope")) is None
+    ok = read_parquet_if_exists(spark, f"{sf_dir}/region.parquet")
+    assert ok is not None and ok.count() == 5
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"garbage bytes")
+    with pytest.raises(Exception):
+        df = read_parquet_if_exists(spark, str(bad))
+        if df is not None:  # schema inference may be lazy — force the read
+            df.count()
+
+
+def test_watermark_store_corruption_raises(spark, tmp_path):
+    """Storage corruption must NOT read as 'no watermark' (which would
+    silently trigger a full re-sync)."""
+    import pytest
+
+    from fastetl_spark.operators.sync import WatermarkStore
+
+    bad = tmp_path / "wm"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    store = WatermarkStore(spark, str(bad))
+    with pytest.raises(Exception):
+        store.get("t")
 
 
 def test_csv_roundtrip(spark, sf_dir, tmp_path):

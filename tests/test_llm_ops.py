@@ -140,6 +140,28 @@ def test_http_enrich_idempotent_and_rate_limited(spark):
     assert rows[4] == 99.9       # untouched
 
 
+def test_http_enrich_rangeindex_fetch_assigns_positionally(spark):
+    """A fetch that builds its result with a fresh RangeIndex (typical
+    when wrapping HTTP response lists in pd.Series) must still land on
+    the right rows — label-aligned .loc assignment would write NaN."""
+    import pandas as pd
+
+    from fastetl_spark.operators.enrich import http_enrich
+
+    def rangeindex_fetch(inputs: pd.DataFrame) -> pd.Series:
+        return pd.Series([float(v) * 2 for v in inputs["x"]])  # RangeIndex 0..n-1
+
+    df = spark.createDataFrame(
+        [(1, 10.0, None), (2, None, None), (3, 30.0, None), (4, 40.0, 5.0)],
+        "id long, x double, y double",
+    ).coalesce(1)
+    out = http_enrich(df, ["x"], "y", rangeindex_fetch, batch_size=10)
+    rows = {r.id: r.y for r in out.collect()}
+    assert rows[1] == 20.0 and rows[3] == 60.0
+    assert rows[2] is None  # missing input -> skipped
+    assert rows[4] == 5.0   # already enriched -> untouched
+
+
 def test_group_zscore_pandas_agrees_with_native(spark, sf_dir):
     from fastetl_spark.operators.multimodal import group_zscore_pandas
 
