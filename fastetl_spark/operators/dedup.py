@@ -109,6 +109,11 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.35
 _SHINGLE_N = 3
+# Document-frequency cap: shingles appearing in more than this many
+# documents are stopword-like (they produce O(df^2) pair combos — a skew
+# bomb on real text — and almost exclusively false pairs). The cap is
+# mirrored in the oracle SQL so both engines drop the same buckets.
+_JACCARD_DF_CAP = 64
 
 _JACCARD_SQL = f"""
 WITH shingled AS (
@@ -121,11 +126,15 @@ WITH shingled AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
 ), exploded AS (
   SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM shingled
+), kept AS (
+  SELECT shingle FROM exploded GROUP BY shingle
+  HAVING COUNT(*) BETWEEN 2 AND {_JACCARD_DF_CAP}
 ), pair_counts AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b, COUNT(*) AS shared
   FROM exploded a JOIN exploded b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM kept)
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, shared,
@@ -138,22 +147,39 @@ WHERE shared * 1.0 / (n_a + n_b - shared) >= {_JACCARD_THRESHOLD}
 @query("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by {_SHINGLE_N}-word shingle Jaccard >= threshold.
-    Shingle-explode + self-equi-join on the shingle; jaccard computed
+    Shingle-explode + group-by-shingle pair combos; jaccard computed
     from exact integer counts (deterministic division)."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(d)
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    shingle_n: int = _SHINGLE_N,
+    threshold: float = _JACCARD_THRESHOLD,
+    df_cap: int | None = _JACCARD_DF_CAP,
+    observation=None,
+) -> DataFrame:
+    """Shingle-Jaccard near-dup pairs over a (doc_id, text) DataFrame.
+
+    `df_cap` drops shingle buckets with document frequency above the cap
+    before the pair combos — pair work scales with sum(df^2) per shingle,
+    so one stopword-like shingle otherwise produces a quadratic bucket
+    (the 100 TB skew bomb). Pass `observation` (pyspark Observation) to
+    record `dropped_buckets`/`max_df` on the same job — the drop is
+    logged, not silent.
+    """
     # tokens materialized as a column: inside higher-order lambdas Spark
     # re-evaluates expression subtrees per element, so passing split()
     # inline costs O(shingles * n) re-splits per row
     tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
     # shingles as 64-bit hashes (shingle_hashes): long keys shuffle and
     # compare ~5x cheaper than shingle strings, same jaccard counts
-    sh = tok.select("doc_id", shingle_hashes(F.col("tokens"), _SHINGLE_N).alias("shingles"))
+    sh = tok.select("doc_id", shingle_hashes(F.col("tokens"), shingle_n).alias("shingles"))
     # group-by-shingle + in-bucket pair combos instead of a self-join:
     # the expensive shingle construction is evaluated once (a self-join
     # recomputes its whole input on both sides), and pair work scales
-    # with sum(df^2) per shingle. At 100 TB add a document-frequency cap
-    # on the bucket size (ultra-common shingles are stopword-like and
-    # only produce false pairs).
+    # with sum(df^2) per shingle, bounded by df_cap.
     # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate
     # would add a size(shingles)>0 filter and push it below the
     # repartition, re-evaluating the whole shingle expression on the
@@ -174,6 +200,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
+    if df_cap is not None:
+        if observation is not None:
+            groups = groups.observe(
+                observation,
+                F.sum((F.size("docs") > df_cap).cast("long")).alias("dropped_buckets"),
+                F.max(F.size("docs")).alias("max_df"),
+            )
+        groups = groups.filter(F.size("docs") <= df_cap)
     docs = F.col("docs")
     combos = F.flatten(
         F.transform(
@@ -196,7 +230,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return pairs.select(
         "doc_a", "doc_b", "shared", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # --- MinHash + LSH (banded) ---------------------------------------------

@@ -91,14 +91,38 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+BRUTE_FORCE_MAX_ROWS = 100_000
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = TOP_K,
+    max_bruteforce_rows: int = BRUTE_FORCE_MAX_ROWS,
+) -> DataFrame:
+    """Size-gated top-k: exact brute force under the gate, hyperplane-LSH
+    bucketed search above it. The brute-force cross join is |Q|x|N|x d
+    work — correct as the small-corpus oracle, a scale-killer as the
+    default — so corpora past `max_bruteforce_rows` take the bucketed
+    path whose pairwise work is proportional to bucket collisions (no
+    crossJoin in the plan). The corpus count is a metadata-cheap action
+    for parquet sources."""
+    if corpus.count() <= max_bruteforce_rows:
+        return cosine_topk(corpus, queries, id_col, vec_col, k)
+    return lsh_topk(corpus, queries, id_col, vec_col, k)
+
+
 @query("embedding_cosine_topk", _TOPK_SQL)
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_K} cosine neighbors for every {QUERY_STRIDE}th vector.
     Only integer (query, neighbor, rank) triples are emitted — the float
-    scores stay internal so the result is hash-stable."""
+    scores stay internal so the result is hash-stable. Routed through the
+    size gate: exact at oracle scale, LSH-bucketed on a large corpus."""
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-    return cosine_topk(e, queries, "vec_id", "embedding").select(
+    return ann_topk(e, queries, "vec_id", "embedding").select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -127,36 +151,53 @@ def hyperplane_signature(vec: Column, n_planes: int = N_PLANES) -> Column:
     return sig
 
 
-@query("similarity_lsh_bucketed")  # approximate — rows-only check
-def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = TOP_K,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
     """ANN: random-hyperplane signatures bucket the corpus; each query
-    only scores its own bucket's members. Returns (query_id, neighbor_id,
-    rank) within-bucket — recall vs brute force is asserted in tests."""
-    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
-    vecs = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    sig = vecs.select(
-        "vec_id",
-        "v",
-        l2_norm(F.col("v")).alias("vn"),
-        hyperplane_signature(F.col("v")).alias("bucket"),
+    only scores its own bucket's members, so pairwise work scales with
+    bucket collisions instead of |Q|x|N|. The bucket equi-join replaces
+    the brute-force crossJoin. Approximate: recall vs brute force is
+    asserted in tests."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    q = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("vn").alias("qn"),
-        F.col("bucket").alias("qb"),
+    c = c.select(
+        "neighbor_id",
+        "cv",
+        l2_norm(F.col("cv")).alias("cn"),
+        hyperplane_signature(F.col("cv"), n_planes).alias("bucket"),
     )
-    scored = (
-        sig.join(broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("sim"),
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "query_id",
+        "qv",
+        l2_norm(F.col("qv")).alias("qn"),
+        hyperplane_signature(F.col("qv"), n_planes).alias("qb"),
+    )
+    scored = c.join(
+        broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+@query("similarity_lsh_bucketed")  # approximate — rows-only check
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return lsh_topk(e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding")

@@ -41,6 +41,33 @@ def test_lsh_bucketed_recall_vs_bruteforce(spark, sf_dir):
     assert all(q != n for q, n in approx)
 
 
+def test_ann_topk_size_gate(spark, sf_dir):
+    """Under the gate ann_topk IS brute force (exact); above it the plan
+    must contain no cross join — the LSH bucket equi-join replaces it."""
+    from fastetl_spark.operators.similarity import ann_topk, cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk(e, q, "vec_id", "embedding").collect()
+    }
+    gated = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_topk(e, q, "vec_id", "embedding").select(
+            "query_id", "neighbor_id", "rank"
+        ).collect()
+    }
+    assert gated == exact  # corpus under the gate -> identical to brute force
+
+    big = ann_topk(e, q, "vec_id", "embedding", max_bruteforce_rows=0)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert big.count() > 0  # bucketed path produces neighbors
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     out = cosine_topk(e, e.limit(3), "vec_id", "embedding", k=4).collect()
@@ -180,6 +207,44 @@ def test_group_zscore_pandas_agrees_with_native(spark, sf_dir):
     assert set(got) == set(exp)
     for k in got:
         assert abs(got[k] - (exp[k] or 0.0)) < 1e-9
+
+
+def test_ngram_jaccard_df_cap_defuses_hot_shingle(spark):
+    """One stopword-like shingle shared by hundreds of otherwise-distinct
+    docs must NOT produce a quadratic pair bucket: the df-cap drops the
+    hot bucket (observably — dropped_buckets metric) and the true
+    near-dup pair still survives via its uncommon shingles."""
+    import random
+
+    from pyspark.sql import Observation
+
+    from fastetl_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    hot = "the quick fox"  # one shared 3-shingle across every doc
+    rows = []
+    for i in range(1, 301):
+        body = " ".join(rng.choice(vocab) for _ in range(30))
+        rows.append((i, f"{hot} {body}"))
+    # a genuinely near-duplicate pair (same body, one token changed)
+    body = [rng.choice(vocab) for _ in range(40)]
+    near = list(body)
+    near[5] = "changed"
+    rows.append((1001, " ".join(body)))
+    rows.append((1002, " ".join(near)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    obs = Observation()
+    pairs = ngram_jaccard_pairs(df, df_cap=64, observation=obs).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1001, 1002) in got
+    # without the cap the hot shingle alone contributes C(302,2) ≈ 45k
+    # candidate pairs; with it, output stays near the planted pair count
+    assert len(got) < 100
+    metrics = obs.get
+    assert metrics["dropped_buckets"] >= 1
+    assert metrics["max_df"] >= 300
 
 
 def test_minhash_lsh_finds_planted_near_dups(spark):
