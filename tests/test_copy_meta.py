@@ -141,6 +141,75 @@ def test_comments_copy_and_ddl(spark):
     assert any("COMMENT ON COLUMN public.t.ID" in s for s in ddl)
 
 
+def test_apply_comments_roundtrip_duckdb(spark):
+    """M1-M3 executed against a live in-process destination: comments
+    land in the catalog and read back (reference round-trip semantics,
+    table_comments.py:377-417)."""
+    import duckdb
+
+    from fastetl_spark.meta.comments import apply_df_comments
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE clientes (id BIGINT, name TEXT)")
+
+    class DuckRunner:
+        def run(self, sql):
+            con.execute(sql)
+
+        def get_first(self, sql):
+            return con.execute(sql).fetchone()
+
+    df = with_column_comments(
+        spark.createDataFrame([(1, "x")], ["id", "name"]),
+        {"id": "chave primária", "name": "nome d'o cliente"},
+    )
+    n = apply_df_comments(
+        DuckRunner(), df, "clientes", table_comment="tabela de clientes", dialect="duckdb"
+    )
+    assert n == 3
+    assert con.execute(
+        "SELECT comment FROM duckdb_tables() WHERE table_name='clientes'"
+    ).fetchone()[0] == "tabela de clientes"
+    cols = dict(
+        con.execute(
+            "SELECT column_name, comment FROM duckdb_columns() WHERE table_name='clientes'"
+        ).fetchall()
+    )
+    assert cols == {"id": "chave primária", "name": "nome d'o cliente"}
+
+
+def test_apply_comments_mssql_add_vs_update():
+    """The mssql path must probe fn_listextendedproperty per object and
+    choose sp_add vs sp_update per existing value (reference
+    table_comments.py:204-269)."""
+    from fastetl_spark.meta.comments import apply_comments
+
+    class ScriptedRunner:
+        def __init__(self, existing: set[str]):
+            self.existing = existing  # object names that already have comments
+            self.ran: list[str] = []
+
+        def get_first(self, sql):
+            if "'column', '" in sql:
+                name = sql.split("'column', '")[1].split("'")[0]
+            else:
+                name = "__table__"
+            return ("old",) if name in self.existing else None
+
+        def run(self, sql):
+            self.ran.append(" ".join(sql.split()))
+
+    r = ScriptedRunner(existing={"__table__", "b"})
+    n = apply_comments(
+        r, "t", {"a": "novo", "b": "atualiza"}, table_comment="tabela", dialect="mssql",
+        schema="dbo",
+    )
+    assert n == 3
+    assert "sp_updateextendedproperty" in r.ran[0]  # table comment existed
+    assert "sp_addextendedproperty" in r.ran[1] and "@level2name='a'" in r.ran[1]
+    assert "sp_updateextendedproperty" in r.ran[2] and "@level2name='b'" in r.ran[2]
+
+
 def test_data_dictionary_markdown(spark):
     df = with_column_comments(
         spark.createDataFrame([(1, "x")], ["id", "name"]), {"id": "identificador"}
