@@ -41,3 +41,42 @@ def to_markdown(resources: dict[str, DataFrame]) -> str:
 def write_markdown(resources: dict[str, DataFrame], path: str) -> None:
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(to_markdown(resources))
+
+
+def dictionary_resource(
+    df: DataFrame, title: str | None = None, description: str | None = None
+) -> dict:
+    """Bridge a DataFrame into the resource dict the ODT renderer
+    consumes (name/type/description per field, like a Frictionless
+    resource schema)."""
+    return {
+        "title": title,
+        "description": description,
+        "fields": dictionary_entries(df),
+    }
+
+
+def write_odt(
+    resources: dict[str, DataFrame],
+    path: str,
+    lang: str = "pt",
+    titles: dict[str, str] | None = None,
+    descriptions: dict[str, str] | None = None,
+) -> None:
+    """K9 in the reference's native format: one named table per
+    resource in an OpenDocument text file (odf_tables.py:384-430).
+    Markdown (`write_markdown`) stays the default rendering."""
+    from fastetl_spark.meta.odt import create_data_dictionary
+
+    create_data_dictionary(
+        {
+            name: dictionary_resource(
+                df,
+                title=(titles or {}).get(name),
+                description=(descriptions or {}).get(name),
+            )
+            for name, df in resources.items()
+        },
+        path,
+        lang=lang,
+    )
