@@ -419,3 +419,112 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
     return fp.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+
+
+# --- connected components (pair list -> dedup clusters) ------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: (doc_id, component) where
+    component is the smallest doc_id reachable through the pair graph —
+    the step a real dedup pipeline runs between candidate generation
+    (minhash/simhash/jaccard) and canonical selection.
+
+    Iterative min-label propagation on DataFrames: each round every node
+    takes the min of its own label and its neighbors' labels; rounds
+    needed = graph diameter (near-dup clusters are shallow, typically
+    <= 3-4). Each round is one shuffle on the node id; lineage is cut
+    with localCheckpoint per round (use a reliable checkpoint dir on a
+    cluster). Convergence is detected by an aggregate changed-count —
+    one cheap action per round, unavoidable for an iterative fixpoint.
+    No GraphFrames/RDD dependency.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes is None:
+        labels = (
+            edges.select(F.col("src").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+        )
+    else:
+        labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).cast("long").alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+_CC_SQL = f"""
+WITH RECURSIVE jacc AS ({_JACCARD_SQL.strip()}),
+norm_fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+fp_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM norm_fp a JOIN norm_fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jacc
+  UNION SELECT doc_b, doc_a FROM jacc
+  UNION SELECT doc_a, doc_b FROM fp_pairs
+  UNION SELECT doc_b, doc_a FROM fp_pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+)
+SELECT node AS doc_id,
+       MIN(label) AS component,
+       MIN(label) = node AS is_canonical
+FROM walk GROUP BY node
+"""
+
+
+@query("dedup_connected_components", _CC_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cluster resolution over the union of two pair sources
+    (normalized-fingerprint exact dups + shingle-Jaccard near dups):
+    every document gets a component id (min reachable doc_id) and an
+    is_canonical flag. Oracle: DuckDB recursive-CTE transitive closure —
+    the Spark side is iterative label propagation, the SQL side is the
+    same fixpoint declaratively."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    jacc = ngram_jaccard_pairs(d).select("doc_a", "doc_b")
+    fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    fp_pairs = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    comp = connected_components(jacc.union(fp_pairs), nodes=d.select("doc_id"))
+    return comp.withColumn("is_canonical", F.col("component") == F.col("doc_id"))

@@ -201,3 +201,131 @@ def lsh_topk(
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     return lsh_topk(e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding")
+
+
+# --- IVF ANN (k-means coarse quantizer, scale path #2) -------------------
+
+IVF_K = 16  # coarse cells
+IVF_NPROBE = 3  # cells searched per query
+IVF_ITERATIONS = 3  # Lloyd refinement rounds
+
+
+def _nearest_centroid(vec_col: str, centroids: list[tuple[int, list[float]]]):
+    """Argmin-distance centroid id as a native expression: centroids are
+    a handful of literal arrays, so the comparison unrolls into the plan
+    (no join, no UDF)."""
+    best_id = F.lit(centroids[0][0])
+    best_d = dot(F.col(vec_col), F.array(*[F.lit(x) for x in centroids[0][1]]))
+    # cosine-ish assignment on normalized vectors: maximize dot product
+    for cid, cv in centroids[1:]:
+        d = dot(F.col(vec_col), F.array(*[F.lit(x) for x in cv]))
+        best_id = F.when(d > best_d, F.lit(cid)).otherwise(best_id)
+        best_d = F.greatest(best_d, d)
+    return best_id
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    k: int = IVF_K,
+    iterations: int = IVF_ITERATIONS,
+    id_col: str | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means coarse quantizer: seeds are an id-ordered
+    sample (no RNG — reproducible across runs/cluster sizes/partition
+    layouts; a bare limit() would not be), refined with a few Lloyd
+    rounds. Each round is one scan + one groupBy shuffle; per-dimension
+    means use d avg() aggregates (d is small and fixed for an embedding
+    column). Centroids live on the driver (k*d floats) and are broadcast
+    into the plan as literals."""
+    base = corpus
+    order = [F.col(id_col)] if id_col else []
+    vecs = base.select(
+        *( [F.col(id_col)] if id_col else [] ),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("vn", l2_norm(F.col("v"))).filter(F.col("vn") > 0).select(
+        *( [F.col(id_col)] if id_col else [] ),
+        F.transform("v", lambda x: x / F.col("vn")).alias("v"),
+    )
+    d = len(vecs.first()["v"])
+    seed_src = vecs.orderBy(*order) if order else vecs
+    seeds = [r["v"] for r in seed_src.limit(k).collect()]
+    centroids = list(enumerate(seeds))
+    for _ in range(iterations):
+        assigned = vecs.withColumn("cell", _nearest_centroid("v", centroids))
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(d)])
+            .collect()
+        )
+        centroids = [
+            (int(r["cell"]), [float(r[f"m{i}"]) for i in range(d)]) for r in means
+        ]
+        centroids.sort(key=lambda c: c[0])
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = TOP_K,
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into coarse cells by nearest centroid;
+    each query exactly reranks only its `nprobe` closest cells. Pairwise
+    work is |Q| x (nprobe/k) x |N| — tune k ~ sqrt(N) and nprobe for the
+    recall/cost point. The cell assignment is a native expression over
+    literal centroids: scan + one groupBy-free equi-join on cell id, no
+    crossJoin. At 100 TB the assigned corpus would be written once,
+    partitioned by cell (partition pruning turns a query into nprobe
+    partition reads)."""
+    centroids = ivf_train_centroids(corpus, vec_col, k=n_cells, id_col=id_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    c = c.withColumn("cell", _nearest_centroid("cv", centroids)).localCheckpoint()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+
+    # nprobe nearest cells per query, as an unrolled sort over k literal dots
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(*[
+                    F.struct(
+                        (-dot(F.col("qv"), F.array(*[F.lit(x) for x in cv])) / F.col("qn")).alias("negd"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in centroids
+                ])
+            ),
+            lambda s: s["cid"],
+        ),
+        1,
+        nprobe,
+    )
+    q = q.withColumn("probe", F.explode(probe_cells))
+    scored = c.join(
+        broadcast(q),
+        (F.col("cell") == F.col("probe")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@query("similarity_ivf")  # approximate — rows-only check
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return ivf_topk(e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding")

@@ -68,6 +68,29 @@ def test_ann_topk_size_gate(spark, sf_dir):
     assert big.count() > 0  # bucketed path produces neighbors
 
 
+def test_ivf_topk_recall_and_no_crossjoin(spark, sf_dir):
+    """IVF (k-means cells + nprobe search) must hit a recall floor vs
+    brute force and keep the cross join out of the plan — cell equi-join
+    only. Pipeline is deterministic (id-ordered seeds, no RNG) so the
+    floor is stable."""
+    from fastetl_spark.operators.similarity import (
+        embedding_cosine_topk,
+        similarity_ivf,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf_df = similarity_ivf(spark, sf_dir)
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_df.collect()}
+    assert all(q != n for q, n in approx)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # nprobe/k = 3/16 of the corpus scanned
+    plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     out = cosine_topk(e, e.limit(3), "vec_id", "embedding", k=4).collect()
@@ -245,6 +268,21 @@ def test_ngram_jaccard_df_cap_defuses_hot_shingle(spark):
     metrics = obs.get
     assert metrics["dropped_buckets"] >= 1
     assert metrics["max_df"] >= 300
+
+
+def test_connected_components_resolves_chains_and_singletons(spark):
+    """A 6-node chain (diameter 5 — forces multiple propagation rounds),
+    a separate 2-clique, and an isolated node must resolve to min-label
+    components."""
+    from fastetl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (5, 6), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 99]], "doc_id long")
+    got = {r.doc_id: r.component for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 99: 99}
 
 
 def test_minhash_lsh_finds_planted_near_dups(spark):
