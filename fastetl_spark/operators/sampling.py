@@ -1,0 +1,128 @@
+"""Reproducible sampling, splitting, and context packing — the
+corpus-assembly stages of a training-data pipeline (LLM-data extension;
+no counterpart in the reference, which replicates tables 1:1).
+
+Everything here is DETERMINISTIC BY CONSTRUCTION: assignment is a pure
+function of the row's key (a Knuth multiplicative hash over doc_id),
+never of partitioning, sample(), or RNG state — the same doc lands in
+the same split on any cluster, any run, any data layout. That property
+is what makes ablations and dataset versioning reproducible at 100 TB,
+and it is exactly what Spark's sample()/randomSplit() do NOT give you
+across repartitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.registry import query
+
+# Knuth multiplicative constant; doc_id * A mod 2^32 scrambles ids into
+# a uniform 0..99 bucket with exact integer arithmetic in both engines.
+_HASH_A = 2654435761
+_HASH_M = 4294967296
+
+
+def hash_bucket(key, buckets: int = 100):
+    """Deterministic bucket 0..buckets-1 from an integer key column."""
+    return (F.col(key) * F.lit(_HASH_A)) % F.lit(_HASH_M) % F.lit(buckets)
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang, (doc_id * {_HASH_A}) % {_HASH_M} % 100 AS bucket
+  FROM documents
+) t
+"""
+
+
+@query("deterministic_split", _SPLIT_SQL)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment as a pure function of doc_id —
+    stable under repartitioning, appends, and cluster size (unlike
+    randomSplit). A narrow map over the scan: no shuffle at any scale."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    b = hash_bucket("doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+_STRAT_SQL = f"""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source, (doc_id * {_HASH_A}) % {_HASH_M} % 100 AS bucket
+  FROM documents
+) t
+WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 25 END
+"""
+
+
+@query("stratified_sample", _STRAT_SQL)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates (here: 50% en, 25% otherwise — the
+    up/down-weighting step of corpus mixing) via the same deterministic
+    bucket. Filter is pushed into the scan; no shuffle."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    b = hash_bucket("doc_id")
+    rate = F.when(F.col("lang") == "en", 50).otherwise(25)
+    return d.select("doc_id", "lang", "source").filter(b < rate)
+
+
+def sample_by_rates(df: DataFrame, key: str, rate_col) -> DataFrame:
+    """General form: keep rows where hash_bucket(key) < rate_col (a
+    Column of 0..100 percentages, e.g. joined from a mixing-weights
+    table)."""
+    return df.filter(hash_bucket(key) < rate_col)
+
+
+_PACK_BUDGET_CHARS = 2048  # ~512 tokens at 4 chars/token
+
+_PACK_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       CAST(FLOOR((cum - n_chars) * 1.0 / {_PACK_BUDGET_CHARS}) AS BIGINT) AS pack_id,
+       CAST(cum - n_chars
+            - FLOOR((cum - n_chars) * 1.0 / {_PACK_BUDGET_CHARS}) * {_PACK_BUDGET_CHARS}
+            AS BIGINT) AS pack_offset
+FROM (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+) t
+"""
+
+
+@query("pack_context_windows", _PACK_SQL)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: within each language, docs in stable
+    doc_id order fill fixed-size context windows by cumulative length;
+    pack_id = floor(prefix_sum / budget) and pack_offset locate every
+    doc inside its window. One window shuffle on the stratum key — the
+    distributed analog of the example-packing pass before tokenization.
+    (Greedy first-fit in a fixed global order; deterministic, unlike
+    partition-local packing.)"""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_chars").over(w) - F.col("n_chars")
+    pack_id = F.floor(start * 1.0 / _PACK_BUDGET_CHARS).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        pack_id.alias("pack_id"),
+        (start - pack_id * _PACK_BUDGET_CHARS).cast("long").alias("pack_offset"),
+    )

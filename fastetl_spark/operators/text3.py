@@ -135,3 +135,89 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_duplicate_tokens"),
         (rep * 1.0 / F.greatest(F.size(toks) - 1, F.lit(1))).alias("repeat_ratio"),
     )
+
+
+# --- Gopher-style quality filter (rule composite) ------------------------
+
+# Published heuristic bounds (Gopher / MassiveText, Rae et al. 2021):
+# word-count window, mean-word-length window, alphabetic-word fraction,
+# symbol-to-word ratio, minimum stopword evidence. Thresholds are module
+# constants so a pipeline can tune them; the flag columns expose each
+# rule's verdict so rejected docs are explainable.
+_G_MIN_WORDS, _G_MAX_WORDS = 50, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MIN_ALPHA_FRAC = 0.80
+_G_MAX_HASH_RATIO = 0.10
+_G_MIN_STOP_HITS = 2
+_G_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
+
+_GOPHER_SQL = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(tokens) AS n_words,
+         list_aggregate(list_transform(tokens, t -> len(t)), 'sum')
+           * 1.0 / NULLIF(len(tokens), 0) AS mean_word_len,
+         len(list_filter(tokens, t -> regexp_matches(t, '[A-Za-z]')))
+           * 1.0 / NULLIF(len(tokens), 0) AS alpha_word_frac,
+         (LENGTH(text) - LENGTH(replace(text, '#', '')))
+           * 1.0 / NULLIF(len(tokens), 0) AS hash_word_ratio,
+         len(list_filter(tokens, t -> t IN {_G_STOPWORDS})) AS stop_hits
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents) t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, hash_word_ratio, stop_hits,
+       (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}) AS ok_words,
+       (mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}) AS ok_mwl,
+       (alpha_word_frac >= {_G_MIN_ALPHA_FRAC}) AS ok_alpha,
+       (hash_word_ratio <= {_G_MAX_HASH_RATIO}) AS ok_symbols,
+       (stop_hits >= {_G_MIN_STOP_HITS}) AS ok_stopwords,
+       ((n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+        AND (mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL})
+        AND (alpha_word_frac >= {_G_MIN_ALPHA_FRAC})
+        AND (hash_word_ratio <= {_G_MAX_HASH_RATIO})
+        AND (stop_hits >= {_G_MIN_STOP_HITS})) AS keep
+FROM feat
+"""
+
+
+@query("gopher_quality_filter", _GOPHER_SQL)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-composite document filter in the Gopher/MassiveText style:
+    per-rule flags + final keep, all native expressions (token features
+    are materialized columns — higher-order lambdas re-evaluate inline
+    subtrees per element)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "text", F.split("text", " ").alias("tokens"))
+    n_words = F.size("tokens")
+    feat = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (
+            F.aggregate(F.transform("tokens", F.length), F.lit(0), lambda a, x: a + x)
+            * 1.0 / F.nullif(n_words, F.lit(0))
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter("tokens", lambda x: x.rlike("[A-Za-z]")))
+            * 1.0 / F.nullif(n_words, F.lit(0))
+        ).alias("alpha_word_frac"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+            * 1.0 / F.nullif(n_words, F.lit(0))
+        ).alias("hash_word_ratio"),
+        F.size(
+            F.filter("tokens", lambda x: x.isin(*_G_STOPWORDS))
+        ).alias("stop_hits"),
+    )
+    ok_words = F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+    ok_mwl = F.col("mean_word_len").between(_G_MIN_MWL, _G_MAX_MWL)
+    ok_alpha = F.col("alpha_word_frac") >= _G_MIN_ALPHA_FRAC
+    ok_symbols = F.col("hash_word_ratio") <= _G_MAX_HASH_RATIO
+    ok_stop = F.col("stop_hits") >= _G_MIN_STOP_HITS
+    return feat.select(
+        "*",
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbols.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mwl & ok_alpha & ok_symbols & ok_stop).alias("keep"),
+    )

@@ -54,6 +54,7 @@ def load_all() -> None:
     import fastetl_spark.operators.text  # noqa: F401
     import fastetl_spark.operators.text2  # noqa: F401
     import fastetl_spark.operators.text3  # noqa: F401
+    import fastetl_spark.operators.sampling  # noqa: F401
     import fastetl_spark.operators.sessionize  # noqa: F401
     import fastetl_spark.operators.multimodal  # noqa: F401
     import fastetl_spark.plans.patch  # noqa: F401
