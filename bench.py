@@ -39,6 +39,10 @@ HEADLINE = [
     "scd2_user_event_history",
     "token_count_bpeish",
     "embedding_neardup_pairs",
+    "dedup_connected_components",
+    "gopher_quality_filter",
+    "deterministic_split",
+    "similarity_ivf",
 ]
 
 
