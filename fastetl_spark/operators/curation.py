@@ -1,0 +1,293 @@
+"""Corpus curation operators — the selection/cleanup stages that sit
+between dedup and training-set export in an LLM data pipeline:
+
+- cluster-canonical selection: after near-dup clustering, keep the BEST
+  document per cluster (quality argmax), not the min-id one;
+- token-budget head: quality-ordered prefix of the corpus under a global
+  token budget, computed with a two-phase distributed cumulative sum
+  (no single-partition global window — the usual scale trap);
+- boilerplate flagging: documents dominated by corpus-frequent shingles;
+- corpus-level bigram stats (top-k collocations).
+
+No counterpart in the reference (its dedup is PK-only,
+patchwork.py:380-412); these extend SURVEY §2's LLM-data north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.operators.dedup import (
+    _JACCARD_SQL,
+    connected_components,
+    ngram_jaccard_pairs,
+    normalize_text,
+    word_shingles,
+)
+from fastetl_spark.registry import query
+
+_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
+
+# --- cluster-canonical selection by quality ------------------------------
+
+_BEST_SQL = f"""
+WITH RECURSIVE jacc AS ({_JACCARD_SQL.strip()}),
+norm_fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+fp_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM norm_fp a JOIN norm_fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jacc
+  UNION SELECT doc_b, doc_a FROM jacc
+  UNION SELECT doc_a, doc_b FROM fp_pairs
+  UNION SELECT doc_b, doc_a FROM fp_pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+),
+feat AS (
+  SELECT doc_id, len(tokens) AS n_words,
+         len(list_filter(tokens, t -> t IN {_STOPWORDS})) AS stop_hits
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+)
+SELECT c.doc_id, c.component, f.n_words, f.stop_hits,
+       ROW_NUMBER() OVER (
+         PARTITION BY c.component
+         ORDER BY f.stop_hits DESC, f.n_words DESC, c.doc_id
+       ) = 1 AS is_canonical
+FROM comp c JOIN feat f ON f.doc_id = c.doc_id
+"""
+
+
+@query("cluster_canonical_best_quality", _BEST_SQL)
+def cluster_canonical_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection AFTER clustering: each near-dup component keeps
+    its highest-quality member (stopword evidence, then length, doc_id as
+    the total-order tie-break) — what a real pipeline does instead of
+    "keep lowest id". The rank window partitions by component, so no
+    global sort; quality features are integers end-to-end
+    (deterministic across engines)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    jacc = ngram_jaccard_pairs(d).select("doc_a", "doc_b")
+    fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    fp_pairs = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    comp = connected_components(jacc.union(fp_pairs), nodes=d.select("doc_id"))
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    feat = toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_words"),
+        F.size(F.filter("tokens", lambda x: x.isin(*_STOPWORDS))).alias("stop_hits"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("stop_hits"), F.desc("n_words"), F.asc("doc_id")
+    )
+    return (
+        comp.join(feat, "doc_id")
+        .select(
+            "doc_id", "component", "n_words", "stop_hits",
+            (F.row_number().over(w) == 1).alias("is_canonical"),
+        )
+    )
+
+
+# --- token-budget head selection -----------------------------------------
+
+_TOKEN_BUDGET = 20_000  # words
+_BUDGET_PARTITIONS = 8
+
+_BUDGET_SQL = f"""
+WITH feat AS (
+  SELECT doc_id, len(tokens) AS n_words,
+         len(list_filter(tokens, t -> t IN {_STOPWORDS})) AS stop_hits
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+), ranked AS (
+  SELECT doc_id, stop_hits, n_words,
+         CAST(SUM(n_words) OVER (ORDER BY stop_hits DESC, doc_id) AS BIGINT)
+           AS cum_words
+  FROM feat
+)
+SELECT doc_id, stop_hits, n_words, cum_words
+FROM ranked WHERE cum_words <= {_TOKEN_BUDGET}
+"""
+
+
+@query("token_budget_head", _BUDGET_SQL)
+def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered corpus prefix under a global token budget ("take
+    the best documents until N tokens") — the subset-selection step of a
+    data-mixing pipeline.
+
+    The running sum is a TWO-PHASE distributed cumulative sum, not a
+    global-order window (which Catalyst executes on a single partition —
+    the classic scale trap): range-repartition on the priority key, local
+    cumsum per partition, then per-partition totals (one tiny row per
+    partition) prefix-summed on the driver and joined back as offsets.
+    Shuffle volume is one range exchange of (id, two ints); the global
+    window would funnel the whole corpus through one task."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    feat = toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_words"),
+        F.size(F.filter("tokens", lambda x: x.isin(*_STOPWORDS))).alias("stop_hits"),
+    )
+    ranged = feat.repartitionByRange(
+        _BUDGET_PARTITIONS, F.desc("stop_hits"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("stop_hits"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("local_cum", F.sum("n_words").over(local_w)).localCheckpoint()
+    totals = {
+        r["pid"]: r["t"]
+        for r in local.groupBy("pid").agg(F.sum("n_words").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id", "stop_hits", "n_words",
+            (F.col("local_cum") + F.col("offset")).alias("cum_words"),
+        )
+        .filter(F.col("cum_words") <= _TOKEN_BUDGET)
+    )
+
+
+# --- boilerplate shingle flagging ----------------------------------------
+
+_BP_DF_MIN = 20  # shingle is "boilerplate" if it appears in >= this many docs
+_BP_FRAC = 0.5  # doc is flagged if more than this fraction of its shingles are
+
+_BOILERPLATE_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tokens) - 2),
+                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), freq AS (
+  SELECT shingle FROM exploded GROUP BY shingle
+  HAVING COUNT(*) >= {_BP_DF_MIN}
+), per_doc AS (
+  SELECT e.doc_id, COUNT(*) AS n_frequent
+  FROM exploded e JOIN freq f ON e.shingle = f.shingle
+  GROUP BY e.doc_id
+)
+SELECT s.doc_id, len(s.shingles) AS n_shingles,
+       COALESCE(p.n_frequent, 0) AS n_frequent,
+       COALESCE(p.n_frequent, 0) * 1.0 / NULLIF(len(s.shingles), 0)
+         AS boilerplate_frac,
+       COALESCE(p.n_frequent, 0) * 1.0 / NULLIF(len(s.shingles), 0)
+         > {_BP_FRAC} AS flagged
+FROM shingled s LEFT JOIN per_doc p ON p.doc_id = s.doc_id
+"""
+
+
+@query("boilerplate_ngram_flags", _BOILERPLATE_SQL)
+def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: fraction of a document's shingles that are
+    corpus-frequent (document frequency >= {_BP_DF_MIN}); high-fraction
+    docs are template/boilerplate pages. Shares the shingle-explode shape
+    with ngram-Jaccard dedup — one explode feeds a groupBy(shingle)
+    document-frequency count; only (shingle, doc_id) pairs shuffle, never
+    text bodies. At 100 TB the df table is Zipf-shaped and tiny after the
+    HAVING cut, so the flag join broadcasts."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
+    ).localCheckpoint()
+    ex = sh.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    freq = (
+        ex.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _BP_DF_MIN)
+        .select("shingle")
+    )
+    per_doc = (
+        ex.join(F.broadcast(freq), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_frequent"))
+    )
+    n_freq = F.coalesce(F.col("n_frequent"), F.lit(0))
+    frac = n_freq * 1.0 / F.nullif(F.size("shingles"), F.lit(0))
+    return (
+        sh.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            n_freq.alias("n_frequent"),
+            frac.alias("boilerplate_frac"),
+            (frac > _BP_FRAC).alias("flagged"),
+        )
+    )
+
+
+# --- corpus bigram top-k -------------------------------------------------
+
+_BIGRAM_K = 50
+
+_BIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), bigrams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(tokens) - 1),
+           i -> concat_ws(' ', tokens[i], tokens[i+1]))) AS bigram
+  FROM t WHERE len(tokens) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM bigrams GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {_BIGRAM_K}
+"""
+
+
+@query("bigram_topk", _BIGRAM_SQL)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-{_BIGRAM_K} bigram collocations — the vocabulary/
+    collocation profiling step of corpus analysis. One explode + one
+    groupBy(bigram) with map-side partial aggregation; the top-k is a
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    not a global sort. Tie-break on the bigram string makes the cutoff
+    deterministic."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = d.select(F.split("text", " ").alias("tokens")).filter(F.size("tokens") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("tokens"), i), F.element_at(F.col("tokens"), i + 1)
+        ),
+    )
+    return (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(_BIGRAM_K)
+    )

@@ -445,6 +445,12 @@ def connected_components(
     cluster). Convergence is detected by an aggregate changed-count —
     one cheap action per round, unavoidable for an iterative fixpoint.
     No GraphFrames/RDD dependency.
+
+    Only the EDGE-INDUCED subgraph iterates: a node with no pair edge
+    can never change label, so isolated nodes (the overwhelming majority
+    of a corpus) are attached once at the end as their own component.
+    At 100 TB this is the difference between shuffling the whole corpus
+    every round and shuffling only the near-dup subgraph every round.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -452,16 +458,11 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if nodes is None:
-        labels = (
-            edges.select(F.col("src").alias("node")).distinct()
-            .withColumn("label", F.col("node"))
-        )
-    else:
-        labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
-            "label", F.col("node")
-        )
-    labels = labels.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -480,7 +481,14 @@ def connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    resolved = labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    if nodes is None:
+        return resolved
+    return (
+        nodes.select(F.col(id_col)).distinct()
+        .join(resolved, id_col, "left")
+        .select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
+    )
 
 
 _CC_SQL = f"""

@@ -619,3 +619,49 @@ def string_predicate_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("c_name"), "#").alias("hash_pos"),
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
     )
+
+
+_Q9_SQL = """
+WITH profit AS (
+  SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+           - CAST(p_retailprice * l_quantity * 0.01 AS DECIMAL(18,6)) AS amount
+  FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+)
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+FROM profit GROUP BY nation, o_year
+"""
+
+
+@query("q9_product_type_profit", _Q9_SQL)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9-shaped (TPC-H 2.4.9 adapted: the fixture has no partsupp, so
+    supply cost is a retail-price fraction): profit per nation per order
+    year through a four-way join. Part/supplier/nation broadcast; the
+    only shuffle joins lineitem to orders on the order key. Amounts go
+    through exact per-row DECIMAL casts of the double products, so the
+    sum is order-independent and engine-identical."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
+    cost = (F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01)).cast("decimal(18,6)")
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (rev - cost).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    )

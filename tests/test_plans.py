@@ -91,3 +91,24 @@ def test_sort_merge_join_when_broadcast_disabled(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_token_budget_cumsum_not_single_partition(spark, sf_dir):
+    # the two-phase cumulative sum must not funnel the corpus through a
+    # global-order window (Exchange SinglePartition)
+    df = QUERIES["token_budget_head"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_bigram_topk_is_take_ordered(spark, sf_dir):
+    # corpus top-k must be per-partition heaps + driver merge, not a
+    # global sort of every bigram count
+    df = QUERIES["bigram_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_dimensions_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
