@@ -153,3 +153,47 @@ def group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
         _zscore_group, ZSCORE_SCHEMA
     )
+
+
+# --- video frame sampling -------------------------------------------------
+
+_FRAME_FPS = 24
+_FRAME_STRIDE_MS = 500
+
+_FRAME_SQL = f"""
+WITH media AS (
+  SELECT doc_id,
+         (octet_length(encode(text)) % 10000) + 1000 AS duration_ms
+  FROM documents
+)
+SELECT doc_id, duration_ms,
+       unnest(generate_series(0, duration_ms - 1, {_FRAME_STRIDE_MS})) AS ts_ms,
+       CAST(FLOOR(unnest(generate_series(0, duration_ms - 1, {_FRAME_STRIDE_MS}))
+                  * {_FRAME_FPS} / 1000.0) AS BIGINT) AS frame_idx
+FROM media
+"""
+
+
+@query("video_frame_sample", _FRAME_SQL)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video columns: each media row expands
+    to its sampled frame timeline (one row per stride tick, with the
+    source frame index at the container fps). The expansion is pure
+    JVM-side arithmetic — sequence + explode, no Python; only the
+    per-frame DECODE belongs in mapInPandas (see fake_image_features for
+    that stage's shape). Duration is derived deterministically from the
+    payload since the fixture has no real containers; the timeline math
+    is the real operator."""
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        ((F.length(F.encode("text", "UTF-8")) % 10000) + 1000).cast("long").alias("duration_ms"),
+    )
+    ts = F.explode(
+        F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(_FRAME_STRIDE_MS))
+    )
+    t = media.select("doc_id", "duration_ms", ts.alias("ts_ms"))
+    return t.select(
+        "doc_id", "duration_ms", "ts_ms",
+        F.floor(F.col("ts_ms") * _FRAME_FPS / 1000.0).cast("long").alias("frame_idx"),
+    )

@@ -126,3 +126,66 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_id.alias("pack_id"),
         (start - pack_id * _PACK_BUDGET_CHARS).cast("long").alias("pack_offset"),
     )
+
+
+# --- mixture rebalance (computed per-domain rates) -----------------------
+
+# Target mixture weight per source, derived deterministically from the
+# source id (suffix % 4 + 1 => weights 1..4). In a real pipeline this is
+# a config table; deriving it keeps the oracle self-contained.
+_MIX_SQL = f"""
+WITH w AS (
+  SELECT source, COUNT(*) AS cnt,
+         (CAST(SUBSTR(source, 4) AS INT) % 4) + 1 AS weight
+  FROM documents GROUP BY source
+), rates AS (
+  SELECT source,
+         LEAST(100, CAST(FLOOR(
+           100.0 * (SELECT SUM(cnt) FROM w) * weight
+           / ((SELECT SUM(weight) FROM w) * cnt)) AS BIGINT)) AS keep_pct
+  FROM w
+)
+SELECT d.doc_id, d.source, r.keep_pct
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE (d.doc_id * {_HASH_A}) % {_HASH_M} % 100 < r.keep_pct
+"""
+
+
+@query("mixture_rebalance", _MIX_SQL)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source keep-rates COMPUTED from the
+    observed distribution so the surviving corpus approaches target
+    domain weights (rate = target_count / actual_count, capped at 100%).
+    The rates table is one tiny aggregate (|sources| rows) broadcast back
+    onto the scan; row selection is the same deterministic id-hash bucket
+    as the other samplers — reproducible on any layout, and the only
+    shuffle is the |sources|-row aggregate. Upsampling (weight > supply)
+    is intentionally capped, not duplicated — repetition policy belongs
+    to the epoch sampler, not the filter."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    w = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("weight", (F.substring("source", 4, 10).cast("int") % 4) + 1)
+    )
+    tot = w.agg(
+        F.sum("cnt").alias("total"), F.sum("weight").alias("sum_w")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(100),
+                F.floor(
+                    F.lit(100.0) * F.col("total") * F.col("weight")
+                    / (F.col("sum_w") * F.col("cnt"))
+                ).cast("long"),
+            ).alias("keep_pct"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", "keep_pct")
+        .filter(hash_bucket("doc_id") < F.col("keep_pct"))
+    )
