@@ -221,3 +221,46 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mwl & ok_alpha & ok_symbols & ok_stop).alias("keep"),
     )
+
+
+# --- token rarity (IDF-style) scoring ------------------------------------
+
+_RARITY_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY token
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / d.df AS DECIMAL(18,12)))
+            AS DOUBLE) AS rarity_score
+FROM ex e JOIN dfreq d ON d.token = e.token
+GROUP BY e.doc_id
+"""
+
+
+@query("token_rarity_score", _RARITY_SQL)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-style document scoring: each token occurrence contributes the
+    inverse of its document frequency, so rare-vocabulary documents score
+    high — the TF-IDF signal without the transcendental (log), which
+    keeps the score bit-identical across engines AND partitionings: the
+    per-token double 1/df is cast to exact DECIMAL before the sum (no
+    float accumulation order). Two shuffles: token df (partial-agg
+    count-distinct) and the per-doc sum; the df table joins on the
+    exploded tokens — Zipf-skewed, handled by AQE skew-join at scale."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    ex = d.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+    ).filter(F.col("token").isNotNull())
+    dfreq = ex.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    contrib = (F.lit(1.0) / F.col("df")).cast("decimal(18,12)")
+    return (
+        ex.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(contrib).cast("double").alias("rarity_score"),
+        )
+    )
