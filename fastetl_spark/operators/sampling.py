@@ -27,8 +27,20 @@ _HASH_M = 4294967296
 
 
 def hash_bucket(key, buckets: int = 100):
-    """Deterministic bucket 0..buckets-1 from an integer key column."""
-    return (F.col(key) * F.lit(_HASH_A)) % F.lit(_HASH_M) % F.lit(buckets)
+    """Deterministic bucket 0..buckets-1 from an integer key column.
+
+    Computes (key * A) mod 2^32 WITHOUT the 64-bit product: a naive
+    ``key * A`` overflows Long for keys >= ~3.5e9 (ANSI mode throws —
+    any snowflake-style id would), so the multiply is split at 16 bits
+    and reduced mod 2^32 between steps (every intermediate < 2^49).
+    Bit-identical to the naive formula wherever it doesn't overflow,
+    which keeps the DuckDB oracles (running the naive formula in
+    INT128) unchanged; pmod keeps negative keys in range."""
+    k = F.pmod(F.col(key), F.lit(_HASH_M))
+    kh = (k / F.lit(65536)).cast("long")  # exact: k < 2^32 < 2^53
+    kl = k % F.lit(65536)
+    mixed = F.pmod(kh * F.lit(_HASH_A), F.lit(_HASH_M)) * F.lit(65536) + kl * F.lit(_HASH_A)
+    return F.pmod(mixed, F.lit(_HASH_M)) % F.lit(buckets)
 
 
 _SPLIT_SQL = f"""

@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis) for the scalar cleaning functions —
+the invariants that must hold for ANY input, not just the fixture rows.
+
+Each property draws a BATCH of values per example and evaluates the
+column expression once over a single small DataFrame (Spark session
+round-trips dominate, so examples are batched and max_examples kept
+low; the value count per example is what gives coverage).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fastetl_spark.functions.cpf import cpf_clean, cpf_is_valid
+from fastetl_spark.operators.copy import slugify_column
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _python_cpf_digits(base9: str) -> str:
+    """Independent reference implementation of the public mod-11 rule."""
+    s1 = sum(int(d) * (10 - i) for i, d in enumerate(base9))
+    dv1 = (s1 * 10) % 11 % 10
+    s2 = sum(int(d) * (11 - i) for i, d in enumerate(base9)) + dv1 * 2
+    dv2 = (s2 * 10) % 11 % 10
+    return f"{dv1}{dv2}"
+
+
+@given(st.lists(st.text(st.characters(codec="utf-8"), max_size=30), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_slugify_idempotent_and_charset(spark, names):
+    slugs = [slugify_column(n) for n in names]
+    for s in slugs:
+        assert re.fullmatch(r"[a-z0-9_]*", s), s
+        assert not s.startswith("_") and not s.endswith("_")
+        assert slugify_column(s) == s  # idempotent
+
+
+@given(st.lists(st.integers(min_value=0, max_value=999_999_999), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_cpf_valid_constructions_accepted(spark, bases):
+    rows = []
+    for b in bases:
+        base9 = f"{b:09d}"
+        if base9 == base9[0] * 9:
+            continue  # all-same-digit is rejected by design
+        rows.append((base9 + _python_cpf_digits(base9),))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "cpf string")
+    out = df.select(cpf_is_valid("cpf").alias("ok"), cpf_clean("cpf").alias("c")).collect()
+    for (inp,), r in zip(rows, out):
+        # every correctly-constructed CPF must validate, except the
+        # all-same-digit degenerate (filtered above)
+        assert r["ok"] is True, inp
+        assert r["c"] == inp
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=999_999_999), min_size=1, max_size=30),
+    st.integers(min_value=0, max_value=10),
+)
+@settings(**SETTINGS)
+def test_cpf_corrupted_check_digit_rejected(spark, bases, bump):
+    rows = []
+    for b in bases:
+        base9 = f"{b:09d}"
+        if base9 == base9[0] * 9:
+            continue
+        good = _python_cpf_digits(base9)
+        bad = f"{(int(good) + bump) % 100:02d}"
+        if bad == good:
+            continue
+        rows.append((base9 + bad,))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "cpf string")
+    out = df.select(cpf_is_valid("cpf").alias("ok"), cpf_clean("cpf").alias("c")).collect()
+    for (inp,), r in zip(rows, out):
+        assert r["ok"] is False, inp
+        assert r["c"] is None
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-10_000_000, max_value=10_000_000, places=6, allow_nan=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_decimal_comma_roundtrip(spark, values):
+    from fastetl_spark.functions.cleaning import fix_decimal_comma
+
+    rows = [(str(v).replace(".", ","),) for v in values]
+    df = spark.createDataFrame(rows, "raw string")
+    out = df.select(fix_decimal_comma("raw").alias("v")).collect()
+    for v, r in zip(values, out):
+        assert r["v"] == float(v), (v, r["v"])
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_decimal_comma_garbage_is_null_not_error(spark, raws):
+    from fastetl_spark.functions.cleaning import fix_decimal_comma
+
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    out = df.select(fix_decimal_comma("raw").alias("v")).collect()
+    for raw, r in zip(raws, out):
+        # ANSI mode must never throw; unparseable input maps to NULL
+        try:
+            expected = float(raw.replace(",", "."))
+        except ValueError:
+            expected = None
+        if expected is not None and expected != expected:  # NaN literals
+            return
+        assert r["v"] == expected or (r["v"] is None and expected is None)
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=100))
+@settings(**SETTINGS)
+def test_hash_bucket_range_and_layout_stability(spark, keys):
+    from fastetl_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+    a = {r["k"]: r["b"] for r in df.select("k", hash_bucket("k").alias("b")).collect()}
+    b = {
+        r["k"]: r["b"]
+        for r in df.repartition(7).select("k", hash_bucket("k").alias("b")).collect()
+    }
+    assert a == b  # layout-independent
+    assert all(0 <= v < 100 for v in a.values())
+
+
+@given(st.lists(st.text(alphabet=" abc\t\n", max_size=30), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_normalize_text_idempotent(spark, texts):
+    from fastetl_spark.operators.dedup import normalize_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        normalize_text(F.col("t")).alias("once"),
+        normalize_text(normalize_text(F.col("t"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"]
+        assert "  " not in r["once"]
