@@ -463,6 +463,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -481,6 +482,15 @@ def connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    if changed != 0:
+        # exhausting the round budget mid-propagation would silently
+        # return WRONG components (split clusters -> kept duplicates);
+        # fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing); raise max_iterations — rounds "
+            "needed equal the pair-graph diameter"
+        )
     resolved = labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
     if nodes is None:
         return resolved

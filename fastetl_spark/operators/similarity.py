@@ -229,6 +229,8 @@ def _probe_cells_udf(centroid_rows: list[list[float]], nprobe: int):
 
     @pandas_udf("array<int>")
     def probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype=object)
         M = np.stack(vecs.to_numpy()).astype(np.float64)  # n x d
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
@@ -265,9 +267,13 @@ def ivf_train_centroids(
     vecs = corpus.select(*sel, as_double(F.col(vec_col)).alias("v"))
     sample_src = vecs.orderBy(F.col(id_col)) if id_col else vecs
     rows = sample_src.limit(train_sample).collect()
+    if not rows:
+        raise ValueError("ivf_train_centroids: corpus is empty")
     M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     M = M[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    if len(M) == 0:
+        raise ValueError("ivf_train_centroids: no nonzero vectors in training sample")
     C = M[:k].copy()  # id-ordered seeds
     for _ in range(iterations):
         cells = np.argmax(M @ C.T, axis=1)

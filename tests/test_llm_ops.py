@@ -321,3 +321,22 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     sigs = hashed.select("doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
     cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id", "sig").collect()}
     assert (1, 2) in cands  # the planted near-dup pair must be a candidate
+
+
+def test_connected_components_chain_and_nonconvergence(spark):
+    from fastetl_spark.operators.dedup import connected_components
+    import pytest
+
+    # a 6-node path graph: diameter 5, all one component
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    out = connected_components(pairs, nodes=nodes)
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert all(got[i] == 1 for i in range(1, 7))  # chain collapses to min id
+    assert got[7] == 7 and got[8] == 8  # isolated nodes are their own component
+
+    # an insufficient round budget must raise, not return split clusters
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes=nodes, max_iterations=1)
