@@ -12,6 +12,7 @@ Replaces the reference's insert paths:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def select_intersection(df: DataFrame, dest_columns: list[str]) -> DataFrame:
@@ -107,3 +108,31 @@ def atomic_overwrite(df: DataFrame, dest_path: str) -> int:
     if os.path.exists(backup):
         shutil.rmtree(backup)
     return n
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    order_by: list[str],
+    shards_per_partition: int = 4,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Publish a training dataset as partitioned, internally-ordered
+    parquet shards — the final export step of a data pipeline.
+
+    Layout contract: one directory per `partition_by` value (so a
+    trainer reading split=train prunes everything else at planning
+    time), `shards_per_partition` files inside each via a range
+    repartition on (partition cols, order cols), and rows sorted by
+    `order_by` WITHIN each shard (sortWithinPartitions — a local sort,
+    never a global one). `maxRecordsPerFile` bounds file size so a
+    100 TB export cannot produce unsplittable multi-GB row groups.
+    """
+    out = df.repartitionByRange(
+        shards_per_partition, *[F.col(c) for c in partition_by + order_by]
+    ).sortWithinPartitions(*partition_by, *order_by)
+    writer = out.write.mode("overwrite").partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -291,3 +291,68 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(_BIGRAM_K)
     )
+
+
+# --- cross-document exact substring spans --------------------------------
+
+_SUB_WIN = 64  # chars per window
+_SUB_STRIDE = 32  # window stride
+
+_SUBSTR_SQL = f"""
+WITH wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, LENGTH(text) - {_SUB_WIN} + 1, {_SUB_STRIDE}))
+           AS pos,
+         text
+  FROM documents
+  WHERE LENGTH(text) >= {_SUB_WIN}
+), hashed AS (
+  SELECT doc_id, pos, md5(SUBSTR(text, pos, {_SUB_WIN})) AS h FROM wins
+)
+SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+FROM hashed a JOIN hashed b
+  ON a.h = b.h AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos))
+"""
+
+
+@query("substring_dup_spans", _SUBSTR_SQL)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication (the Lee-et-al "Deduplicating Training
+    Data" signal, char-window variant): strided fixed-length windows are
+    fingerprinted and matched across (and within) documents, yielding
+    copied-span evidence with positions — the operator behind
+    "remove verbatim-copied passages". Only (hash, doc_id, pos) tuples
+    shuffle — never text. The equi-join on the window hash is the
+    candidate generator; at 100 TB add the same document-frequency cap
+    as ngram_jaccard_pairs for stopword-like boilerplate windows."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    wins = (
+        d.filter(F.length("text") >= _SUB_WIN)
+        .select(
+            "doc_id",
+            "text",
+            F.explode_outer(
+                F.sequence(
+                    F.lit(1), F.length("text") - _SUB_WIN + 1, F.lit(_SUB_STRIDE)
+                )
+            ).alias("pos"),
+        )
+        .filter(F.col("pos").isNotNull())
+    )
+    hashed = wins.select(
+        "doc_id", "pos", F.md5(F.substring(F.col("text"), F.col("pos"), _SUB_WIN)).alias("h")
+    ).localCheckpoint()
+    a, b = hashed.alias("a"), hashed.alias("b")
+    return a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            | ((F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.pos") < F.col("b.pos")))
+        ),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.pos").alias("pos_b"),
+    )

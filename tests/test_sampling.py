@@ -61,3 +61,38 @@ def test_pack_context_windows_invariants(spark, sf_dir):
     for packs in by_lang.values():
         ids = sorted(set(packs))
         assert ids == list(range(ids[-1] + 1))  # contiguous pack ids
+
+
+def test_export_training_shards_layout(spark, sf_dir, tmp_path):
+    """Partition dirs per split, bounded file sizes, rows ordered within
+    each shard — the layout contract a trainer relies on."""
+    import os
+
+    from fastetl_spark.io.writers import export_training_shards
+    from fastetl_spark.operators.sampling import deterministic_split
+    from fastetl_spark.io.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    split = deterministic_split(spark, sf_dir).select("doc_id", "split")
+    df = d.join(split, "doc_id")
+    out = str(tmp_path / "shards")
+    export_training_shards(
+        df, out, partition_by=["split"], order_by=["doc_id"],
+        shards_per_partition=4, max_records_per_file=100,
+    )
+    dirs = sorted(p for p in os.listdir(out) if p.startswith("split="))
+    assert dirs == ["split=test", "split=train", "split=val"]
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # partition pruning: reading one split scans only that directory
+    one = spark.read.parquet(out).filter(F.col("split") == "train")
+    assert one.count() == df.filter(split.split == "train").count()
+    # within-file ordering: each parquet file's doc_ids are sorted
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                ids = pq.read_table(os.path.join(root, f), columns=["doc_id"])["doc_id"].to_pylist()
+                assert ids == sorted(ids)
+                assert len(ids) <= 100
