@@ -26,20 +26,26 @@ _HASH_A = 2654435761
 _HASH_M = 4294967296
 
 
-def hash_bucket(key, buckets: int = 100):
+def hash_bucket(key, buckets: int = 100, salt: int = 0):
     """Deterministic bucket 0..buckets-1 from an integer key column.
 
-    Computes (key * A) mod 2^32 WITHOUT the 64-bit product: a naive
-    ``key * A`` overflows Long for keys >= ~3.5e9 (ANSI mode throws —
-    any snowflake-style id would), so the multiply is split at 16 bits
-    and reduced mod 2^32 between steps (every intermediate < 2^49).
-    Bit-identical to the naive formula wherever it doesn't overflow,
-    which keeps the DuckDB oracles (running the naive formula in
-    INT128) unchanged; pmod keeps negative keys in range."""
+    Computes (key * A + salt) mod 2^32 WITHOUT the 64-bit product: a
+    naive ``key * A`` overflows Long for keys >= ~3.5e9 (ANSI mode
+    throws — any snowflake-style id would), so the multiply is split at
+    16 bits and reduced mod 2^32 between steps (every intermediate
+    < 2^49). Bit-identical to the naive formula wherever it doesn't
+    overflow, which keeps the DuckDB oracles (running the naive formula
+    in INT128) unchanged; pmod keeps negative keys in range. `salt`
+    (< 2^32) decorrelates independent decisions on the same key (split
+    vs upsample vs shard)."""
     k = F.pmod(F.col(key), F.lit(_HASH_M))
     kh = (k / F.lit(65536)).cast("long")  # exact: k < 2^32 < 2^53
     kl = k % F.lit(65536)
-    mixed = F.pmod(kh * F.lit(_HASH_A), F.lit(_HASH_M)) * F.lit(65536) + kl * F.lit(_HASH_A)
+    mixed = (
+        F.pmod(kh * F.lit(_HASH_A), F.lit(_HASH_M)) * F.lit(65536)
+        + kl * F.lit(_HASH_A)
+        + F.lit(salt)
+    )
     return F.pmod(mixed, F.lit(_HASH_M)) % F.lit(buckets)
 
 
@@ -200,4 +206,59 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(rates), "source")
         .select("doc_id", "source", "keep_pct")
         .filter(hash_bucket("doc_id") < F.col("keep_pct"))
+    )
+
+
+# --- epoch upsampling (fractional repetition) ----------------------------
+
+# Per-source epoch weight in HALVES (weight/2 epochs): suffix % 4 + 1
+# halves => 0.5x..2x. Integer halves keep every decision exact.
+_EPOCH_SALT = 1_013_904_223  # decorrelates the fractional-copy decision
+
+_EPOCH_SQL = f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+         (CAST(SUBSTR(source, 4) AS INT) % 4) + 1 AS halves
+  FROM documents
+), expanded AS (
+  SELECT doc_id, source, halves,
+         halves // 2 AS full_copies,
+         (halves % 2) * 50 AS frac_pct
+  FROM weighted
+)
+SELECT doc_id, source, copy_idx
+FROM expanded,
+     LATERAL unnest(generate_series(1, full_copies
+       + CASE WHEN (doc_id * {_HASH_A} + {_EPOCH_SALT}) % {_HASH_M} % 100
+                   < frac_pct
+              THEN 1 ELSE 0 END)) AS t(copy_idx)
+"""
+
+
+@query("epoch_upsample", _EPOCH_SQL)
+def epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware upsampling: each source gets a fractional epoch
+    weight (here 0.5x-2x in halves); documents are REPEATED floor(w)
+    times and the fractional remainder is a salted deterministic hash
+    draw — how a mixing pipeline realizes "2.5 epochs of source X"
+    reproducibly. The dual of mixture_rebalance (which only downsamples).
+    Expansion is explode(sequence(...)) — a narrow generate, no shuffle,
+    and copy_idx survives so downstream shuffles can spread replicas."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    w = d.select(
+        "doc_id", "source",
+        ((F.substring("source", 4, 10).cast("int") % 4) + 1).alias("halves"),
+    )
+    frac_hit = (
+        hash_bucket("doc_id", salt=_EPOCH_SALT) < (F.col("halves") % 2) * 50
+    ).cast("long")
+    n_copies = F.floor(F.col("halves") / 2).cast("long") + frac_hit
+    # sequence(1, 0) generates DESCENDING [1, 0] in Spark — guard the
+    # zero-copy case to an empty array instead
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)).otherwise(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    )
+    return (
+        w.select("doc_id", "source", F.explode_outer(copies).alias("copy_idx"))
+        .filter(F.col("copy_idx").isNotNull())
     )
