@@ -58,3 +58,57 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas (Spark 4 arbitrary-state API) ------------
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Same running per-user totals on the Spark 4
+    ``transformWithStateInPandas`` API (the successor to
+    applyInPandasWithState: named state variables, TTL support, timers).
+    Kept alongside the older twin so pipelines can migrate per-operator;
+    the batch-equivalence test pins both to the same totals.
+
+    Runtime requirements beyond applyInPandasWithState: the protobuf
+    package (state ser/de) and the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ...RocksDBStateStoreProvider). Raises ImportError up front when
+    protobuf is absent instead of crashing the Python worker mid-query.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "use running_user_totals (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _Totals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
