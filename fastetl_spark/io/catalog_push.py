@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from typing import Protocol
-from urllib.parse import urljoin
-
 from fastetl_spark.io.http_client import HttpTransport
 
 
@@ -133,17 +131,28 @@ class DadosGovBrClient:
     def _headers(self) -> dict:
         return {"accept": "application/json", "chave-api-dados-abertos": self.token}
 
+    def _base(self) -> str:
+        """Every endpoint lives under <portal>/dados/api; normalize once
+        so get/update/save cannot drift apart (the portal root, with or
+        without a trailing slash or an explicit /dados/api suffix, all
+        resolve to the same base)."""
+        base = self.api_url.rstrip("/")
+        if not base.endswith("/dados/api"):
+            base = base + "/dados/api"
+        return base
+
     def get_dataset(self, dataset_id: str) -> dict:
         """GET /dados/api/publico/conjuntos-dados/{id}
         (dadosgovbr_hook.py:52-87)."""
-        url = urljoin(self.api_url, f"/dados/api/publico/conjuntos-dados/{dataset_id}")
+        url = f"{self._base()}/publico/conjuntos-dados/{dataset_id}"
         resp = self.transport.request("GET", url, headers=self._headers(), timeout=self.timeout)
         resp.raise_for_status()
         return resp.json()
 
     def update_dataset(self, dataset_id: str, **properties) -> None:
-        """PATCH publico/conjuntos-dados/{id} (dadosgovbr_hook.py:106-139)."""
-        url = urljoin(self.api_url, f"publico/conjuntos-dados/{dataset_id}")
+        """PATCH /dados/api/publico/conjuntos-dados/{id}
+        (dadosgovbr_hook.py:106-139)."""
+        url = f"{self._base()}/publico/conjuntos-dados/{dataset_id}"
         resp = self.transport.request(
             "PATCH", url, headers=self._headers(), json=properties, timeout=self.timeout
         )
@@ -188,7 +197,7 @@ class DadosGovBrClient:
                 "formato": formato,
             }
             outcome = "created"
-        url = urljoin(self.api_url, "recurso/salvar")
+        url = f"{self._base()}/recurso/salvar"
         resp = self.transport.request(
             "POST", url, headers=self._headers(), json=resource, timeout=self.timeout
         )

@@ -174,7 +174,7 @@ def create_folder(client: SmbClient, new_folderpath: str) -> bool:
     """Idempotent mkdir (reference samba_services.py:164-188): returns
     False if the folder already existed, True if created."""
     clean = new_folderpath.rstrip("/")
-    folder_path, folder_name = clean.rsplit("/", 1)
+    folder_path, _, folder_name = clean.rpartition("/")  # share-root names have no '/'
     existing = {name for name, is_dir in client.list_path(folder_path or "/") if is_dir}
     if folder_name in existing:
         return False

@@ -90,23 +90,39 @@ def atomic_overwrite(df: DataFrame, dest_path: str) -> int:
     """Overwrite `dest_path` without a window where readers see partial
     data: write to a staging dir, then swap directories. Plain parquet
     has no transaction log (Delta would make this a commit); the swap
-    keeps the non-transactional window to a single rename."""
-    import os
-    import shutil
+    keeps the non-transactional window to a single rename.
 
-    staging = dest_path.rstrip("/") + ".__staging__"
-    backup = dest_path.rstrip("/") + ".__old__"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    df.write.mode("overwrite").parquet(staging)
-    n = df.sparkSession.read.parquet(staging).count()
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    if os.path.exists(dest_path):
-        os.rename(dest_path, backup)
-    os.rename(staging, dest_path)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
+    The swap runs through the Hadoop FileSystem API resolved from the
+    destination URI, so it works on any Spark-supported filesystem
+    (file://, hdfs://, s3a://, ...), not just the driver's local POSIX
+    tree. On object stores without atomic rename (S3) the rename is
+    copy+delete — still a far smaller window than a full in-place
+    overwrite, but prefer a table format with a commit log there."""
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    dest = path_cls(dest_path.rstrip("/"))
+    staging = path_cls(dest_path.rstrip("/") + ".__staging__")
+    backup = path_cls(dest_path.rstrip("/") + ".__old__")
+    fs = dest.getFileSystem(conf)
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    df.write.mode("overwrite").parquet(staging.toString())
+    n = spark.read.parquet(staging.toString()).count()
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if fs.exists(dest):
+        if not fs.rename(dest, backup):
+            raise IOError(f"atomic_overwrite: could not move {dest} aside")
+    if not fs.rename(staging, dest):
+        # restore the previous data before failing
+        if fs.exists(backup):
+            fs.rename(backup, dest)
+        raise IOError(f"atomic_overwrite: could not publish {staging} to {dest}")
+    if fs.exists(backup):
+        fs.delete(backup, True)
     return n
 
 

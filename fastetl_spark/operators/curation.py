@@ -20,10 +20,8 @@ from pyspark.sql import functions as F
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.operators.dedup import (
-    _JACCARD_SQL,
-    connected_components,
-    ngram_jaccard_pairs,
-    normalize_text,
+    _COMPONENTS_CTES_SQL,
+    resolve_doc_components,
     word_shingles,
 )
 from fastetl_spark.registry import query
@@ -33,29 +31,7 @@ _STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
 # --- cluster-canonical selection by quality ------------------------------
 
 _BEST_SQL = f"""
-WITH RECURSIVE jacc AS ({_JACCARD_SQL.strip()}),
-norm_fp AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents
-),
-fp_pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM norm_fp a JOIN norm_fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM jacc
-  UNION SELECT doc_b, doc_a FROM jacc
-  UNION SELECT doc_a, doc_b FROM fp_pairs
-  UNION SELECT doc_b, doc_a FROM fp_pairs
-),
-walk(node, label) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
-),
-comp AS (
-  SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
-),
+WITH RECURSIVE {_COMPONENTS_CTES_SQL},
 feat AS (
   SELECT doc_id, len(tokens) AS n_words,
          len(list_filter(tokens, t -> t IN {_STOPWORDS})) AS stop_hits
@@ -79,13 +55,7 @@ def cluster_canonical_best_quality(spark: SparkSession, sf_dir: str) -> DataFram
     global sort; quality features are integers end-to-end
     (deterministic across engines)."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    jacc = ngram_jaccard_pairs(d).select("doc_a", "doc_b")
-    fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    fp_pairs = a.join(
-        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    comp = connected_components(jacc.union(fp_pairs), nodes=d.select("doc_id"))
+    comp = resolve_doc_components(d)
     toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
     feat = toks.select(
         "doc_id",

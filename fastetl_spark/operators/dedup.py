@@ -501,8 +501,11 @@ def connected_components(
     )
 
 
-_CC_SQL = f"""
-WITH RECURSIVE jacc AS ({_JACCARD_SQL.strip()}),
+# Shared CTE chain ending in `comp(doc_id, component)` — the SQL twin of
+# doc_dup_pairs + connected_components. curation.py builds on the same
+# fragment so "component" can never mean different things in different
+# operators.
+_COMPONENTS_CTES_SQL = f"""jacc AS ({_JACCARD_SQL.strip()}),
 norm_fp AS (
   SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM documents
@@ -521,12 +524,35 @@ walk(node, label) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
-)
-SELECT node AS doc_id,
-       MIN(label) AS component,
-       MIN(label) = node AS is_canonical
-FROM walk GROUP BY node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+)"""
+
+_CC_SQL = f"""
+WITH RECURSIVE {_COMPONENTS_CTES_SQL}
+SELECT doc_id, component, component = doc_id AS is_canonical FROM comp
 """
+
+
+def doc_dup_pairs(d: DataFrame) -> DataFrame:
+    """Union of the two standard duplicate-pair sources over a
+    (doc_id, text) frame: normalized-fingerprint exact dups + shingle
+    Jaccard near dups. The single definition both cluster operators
+    (dedup_connected_components, cluster_canonical_best_quality) share."""
+    jacc = ngram_jaccard_pairs(d).select("doc_a", "doc_b")
+    fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    fp_pairs = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return jacc.union(fp_pairs)
+
+
+def resolve_doc_components(d: DataFrame) -> DataFrame:
+    """(doc_id, component) for every document via label propagation over
+    doc_dup_pairs — the Spark twin of the `comp` CTE."""
+    return connected_components(doc_dup_pairs(d), nodes=d.select("doc_id"))
 
 
 @query("dedup_connected_components", _CC_SQL)
@@ -538,11 +564,5 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark side is iterative label propagation, the SQL side is the
     same fixpoint declaratively."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    jacc = ngram_jaccard_pairs(d).select("doc_a", "doc_b")
-    fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    fp_pairs = a.join(
-        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    comp = connected_components(jacc.union(fp_pairs), nodes=d.select("doc_id"))
+    comp = resolve_doc_components(d)
     return comp.withColumn("is_canonical", F.col("component") == F.col("doc_id"))

@@ -103,16 +103,26 @@ def ann_topk(
     vec_col: str,
     k: int = TOP_K,
     max_bruteforce_rows: int = BRUTE_FORCE_MAX_ROWS,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Size-gated top-k: exact brute force under the gate, hyperplane-LSH
     bucketed search above it. The brute-force cross join is |Q|x|N|x d
     work — correct as the small-corpus oracle, a scale-killer as the
     default — so corpora past `max_bruteforce_rows` take the bucketed
     path whose pairwise work is proportional to bucket collisions (no
-    crossJoin in the plan). The corpus count is a metadata-cheap action
-    for parquet sources."""
-    if corpus.count() <= max_bruteforce_rows:
-        return cosine_topk(corpus, queries, id_col, vec_col, k)
+    crossJoin in the plan).
+
+    Pass `corpus_count` when the caller already knows it: the fallback
+    ``corpus.count()`` executes the corpus plan (for a bare parquet scan
+    that collapses to footer row counts, but anything non-trivial —
+    a repartition, a filter — pays a real pass). Both branches return
+    the same (query_id, neighbor_id, rank) schema, so crossing the gate
+    as data grows can never change the output contract."""
+    n = corpus.count() if corpus_count is None else corpus_count
+    if n <= max_bruteforce_rows:
+        return cosine_topk(corpus, queries, id_col, vec_col, k).select(
+            "query_id", "neighbor_id", "rank"
+        )
     return lsh_topk(corpus, queries, id_col, vec_col, k)
 
 
@@ -121,12 +131,14 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_K} cosine neighbors for every {QUERY_STRIDE}th vector.
     Only integer (query, neighbor, rank) triples are emitted — the float
     scores stay internal so the result is hash-stable. Routed through the
-    size gate: exact at oracle scale, LSH-bucketed on a large corpus."""
-    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    size gate: exact at oracle scale, LSH-bucketed on a large corpus.
+    The gate count runs on the raw scan (footer row counts) BEFORE the
+    fix-up repartition, which would otherwise force a full pass."""
+    raw = read_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    e = ensure_parallelism(raw)
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-    return ann_topk(e, queries, "vec_id", "embedding").select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return ann_topk(e, queries, "vec_id", "embedding", corpus_count=n)
 
 
 # --- LSH-bucketed ANN (scale path) --------------------------------------
@@ -263,10 +275,16 @@ def ivf_train_centroids(
     unit-normalized centroid rows, index = cell id."""
     import numpy as np
 
-    sel = [F.col(id_col)] if id_col else []
-    vecs = corpus.select(*sel, as_double(F.col(vec_col)).alias("v"))
-    sample_src = vecs.orderBy(F.col(id_col)) if id_col else vecs
-    rows = sample_src.limit(train_sample).collect()
+    if id_col is None:
+        # an unordered limit() is partition-layout-dependent — the
+        # documented reproducibility guarantee needs a total order
+        raise ValueError(
+            "ivf_train_centroids requires id_col: the training sample is the "
+            "id-ordered prefix; without an ordering key the quantizer (and "
+            "every cell assignment) would change with the data layout"
+        )
+    vecs = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    rows = vecs.orderBy(F.col(id_col)).limit(train_sample).collect()
     if not rows:
         raise ValueError("ivf_train_centroids: corpus is empty")
     M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])

@@ -79,21 +79,35 @@ class WatermarkStore:
         lexicographically (max('9','10') = '9'). Only a missing state
         path reads as "no watermark"; corruption/permission errors
         propagate instead of silently triggering a full re-sync.
-        """
-        from fastetl_spark.io.writers import read_parquet_if_exists
 
-        state = read_parquet_if_exists(self.spark, self.path)
-        if state is None:
-            return None
+        State dirs written by an older schema (without seq/value_type)
+        are read with mergeSchema and the missing columns defaulted, so
+        an upgrade never breaks existing sync state: pre-upgrade rows
+        order by updated_at alone and parse as str (the old behavior).
+        """
+        from pyspark.errors import AnalysisException
+
+        try:
+            state = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+        cols = set(state.columns)
+        if "seq" not in cols:
+            state = state.withColumn("seq", F.lit(0).cast("long"))
+        if "value_type" not in cols:
+            state = state.withColumn("value_type", F.lit("str"))
         row = (
             state.filter(F.col("table_name") == table)
-            .orderBy(F.desc("updated_at"), F.desc("seq"))
+            .orderBy(F.desc("updated_at"), F.desc_nulls_last("seq"))
             .select("watermark_value", "value_type")
             .first()
         )
         if row is None:
             return None
-        return _parse_watermark(row[0], row[1])
+        return _parse_watermark(row[0], row[1] or "str")
 
     def set(self, table: str, value) -> None:
         import time

@@ -70,7 +70,7 @@ def test_ckan_resource_created_when_url_unmatched():
 
 API = "https://dados.gov.br/"
 DS_URL = "https://dados.gov.br/dados/api/publico/conjuntos-dados/abc"
-SAVE_URL = "https://dados.gov.br/recurso/salvar"
+SAVE_URL = "https://dados.gov.br/dados/api/recurso/salvar"
 
 
 def dadosgov_transport(recursos: list[dict]) -> RecordedTransport:
@@ -78,7 +78,7 @@ def dadosgov_transport(recursos: list[dict]) -> RecordedTransport:
         responses={
             ("GET", DS_URL): HttpResponse(200, json.dumps({"id": "abc", "recursos": recursos}).encode()),
             ("POST", SAVE_URL): HttpResponse(200, b"{}"),
-            ("PATCH", "https://dados.gov.br/publico/conjuntos-dados/abc"): HttpResponse(200, b"{}"),
+            ("PATCH", "https://dados.gov.br/dados/api/publico/conjuntos-dados/abc"): HttpResponse(200, b"{}"),
         }
     )
 

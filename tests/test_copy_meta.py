@@ -368,3 +368,25 @@ def test_copy_by_key_ranges_resumes(spark, sf_dir, tmp_path):
     assert sum(1 for v in second.values() if v == -1) == len(second) - 1  # rest skipped
     back = spark.read.option("recursiveFileLookup", "true").parquet(dest)
     assert back.count() == orders.count()
+
+
+def test_watermark_store_reads_pre_upgrade_schema(spark, tmp_path):
+    """State dirs written before seq/value_type existed must stay
+    readable: old rows order by updated_at and parse as str."""
+    from fastetl_spark.operators.sync import WatermarkStore
+
+    path = str(tmp_path / "wm")
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            ("t1", "2024-01-01", dt.datetime(2024, 1, 1)),
+            ("t1", "2024-02-02", dt.datetime(2024, 2, 2)),
+        ],
+        "table_name string, watermark_value string, updated_at timestamp",
+    ).write.mode("append").parquet(path)
+    store = WatermarkStore(spark, path)
+    assert store.get("t1") == "2024-02-02"
+    # new-format rows written on top take over, typed
+    store.set("t1", 42)
+    assert store.get("t1") == 42

@@ -89,28 +89,37 @@ def test_running_user_totals_transform_with_state(spark, sf_dir, tmp_path):
     from fastetl_spark.streaming.stateful import running_user_totals_tws
     from fastetl_spark.streaming.stream_ops import read_events_stream
 
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    events_path = tmp_path / "events"
-    read_table(spark, sf_dir, "events").repartition(3).write.parquet(str(events_path))
-    stream = read_events_stream(spark, str(events_path), max_files_per_trigger=1)
-    q = (
-        running_user_totals_tws(stream)
-        .writeStream.format("memory")
-        .queryName("user_totals_tws")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    got = spark.sql(
-        "SELECT user_id, MAX(n_events) AS n_events FROM user_totals_tws GROUP BY user_id"
-    )
-    expected = (
-        spark.read.parquet(str(events_path)).groupBy("user_id").agg(F.count("*").alias("n"))
-    )
-    g = {r.user_id: r.n_events for r in got.collect()}
-    e = {r.user_id: r.n for r in expected.collect()}
-    assert g == e
+    try:
+        events_path = tmp_path / "events"
+        read_table(spark, sf_dir, "events").repartition(3).write.parquet(str(events_path))
+        stream = read_events_stream(spark, str(events_path), max_files_per_trigger=1)
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("user_totals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events FROM user_totals_tws GROUP BY user_id"
+        )
+        expected = (
+            spark.read.parquet(str(events_path)).groupBy("user_id").agg(F.count("*").alias("n"))
+        )
+        g = {r.user_id: r.n_events for r in got.collect()}
+        e = {r.user_id: r.n for r in expected.collect()}
+        assert g == e
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+

@@ -119,3 +119,9 @@ def test_move_files_error_names_failing_path():
     share = InMemorySmbShare()
     with pytest.raises(RuntimeError, match='reading file "/nope.csv"'):
         move_files(share, [("/nope.csv", "/x.csv")])
+
+
+def test_create_folder_at_share_root():
+    share = InMemorySmbShare()
+    assert create_folder(share, "rootdir") is True
+    assert create_folder(share, "rootdir") is False
