@@ -152,3 +152,25 @@ def export_training_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = None) -> None:
+    """JSON-Lines export — the interchange format most training-data
+    loaders consume. One object per line, written in parallel (one file
+    per partition); pair with export_training_shards-style partitioning
+    for directory layout. `compression='gzip'|'zstd'` trades CPU for the
+    3-5x text shrink."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSONL reader; pass an explicit schema in production — schema
+    inference is an extra full pass over the data."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

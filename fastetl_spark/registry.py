@@ -58,4 +58,5 @@ def load_all() -> None:
     import fastetl_spark.operators.sampling  # noqa: F401
     import fastetl_spark.operators.sessionize  # noqa: F401
     import fastetl_spark.operators.multimodal  # noqa: F401
+    import fastetl_spark.meta.profile  # noqa: F401
     import fastetl_spark.plans.patch  # noqa: F401

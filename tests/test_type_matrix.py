@@ -80,3 +80,17 @@ def test_zipped_csv_datapackage_roundtrip(spark, transactions, tmp_path):
     a = sorted(map(tuple, sane.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_jsonl_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.io.writers import read_jsonl, write_jsonl
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(d, out, compression="gzip")
+    back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
+    assert back.count() == d.count()
+    a = {r.doc_id: (r.text, r.lang) for r in d.collect()}
+    b = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert a == b
