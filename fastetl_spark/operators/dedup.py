@@ -539,9 +539,17 @@ def doc_dup_pairs(d: DataFrame) -> DataFrame:
     """Union of the two standard duplicate-pair sources over a
     (doc_id, text) frame: normalized-fingerprint exact dups + shingle
     Jaccard near dups. The single definition both cluster operators
-    (dedup_connected_components, cluster_canonical_best_quality) share."""
+    (dedup_connected_components, cluster_canonical_best_quality) share.
+
+    The (doc_id, fingerprint) projection is materialized ONCE
+    (localCheckpoint; reliable checkpoint dir on a cluster) before the
+    equi-self-join: a bare self-join would evaluate md5+normalize over
+    the full text corpus twice — at 100 TB, a second complete scan —
+    while the join itself only ever shuffles the 48-byte projection."""
     jacc = ngram_jaccard_pairs(d).select("doc_a", "doc_b")
-    fp = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+    fp = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).localCheckpoint()
     a, b = fp.alias("a"), fp.alias("b")
     fp_pairs = a.join(
         b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
