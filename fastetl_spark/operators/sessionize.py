@@ -152,3 +152,103 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+# --- funnel analysis ------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click_after
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND v.first_view IS NOT NULL AND e.ts > v.first_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase_after
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click_after
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.first_view, c.first_click_after, p.first_purchase_after
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+WHERE v.first_view IS NOT NULL
+"""
+
+
+@query("funnel_conversion", _FUNNEL_SQL)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: per user, the first
+    view, the first click strictly AFTER it, and the first purchase
+    strictly after that — the sequential-conversion semantics a plain
+    per-type MIN gets wrong (a click before any view must not count).
+    Three keyed aggregations; each stage's join key is user_id, so all
+    shuffles share one partitioning and AQE coalesces them."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    ).filter(F.col("first_view").isNotNull())
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_after"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click_after"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_after"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "first_view", "first_click_after", "first_purchase_after")
+    )
+
+
+# --- retention cohorts ----------------------------------------------------
+
+_RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN first_seen f ON f.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("retention_cohorts", _RETENTION_SQL)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    distinct in each subsequent week offset — the activity-retention
+    matrix. The first-seen aggregate shuffles once on user_id; the
+    cohort join reuses that key; the final count-distinct is the only
+    wide aggregation. Week truncation is cast to DATE on both engines
+    (DuckDB's date_trunc returns DATE, Spark's returns TIMESTAMP)."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    j = e.join(first, "user_id")
+    offset = F.floor(F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7).cast("long")
+    return (
+        # DATE cells land as python objects in the driver's pandas
+        # canonicalizer (vs datetime64 from DuckDB) — emit ISO strings
+        j.select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            offset.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
