@@ -326,3 +326,64 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.col("b.pos").alias("pos_b"),
     )
+
+
+# --- within-document repeated-span removal -------------------------------
+
+_SPAN_W = 8  # words per span
+
+_INTRADOC_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), chunked AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, greatest(len(tokens) - 1, 0) // {_SPAN_W}),
+           i -> array_to_string(list_slice(tokens, i * {_SPAN_W} + 1, (i + 1) * {_SPAN_W}), ' ')
+         ) AS chunks
+  FROM t
+), marked AS (
+  SELECT doc_id, chunks,
+         list_filter(generate_series(1, len(chunks)),
+                     i -> list_position(chunks, chunks[i]) = i) AS keep_idx
+  FROM chunked
+)
+SELECT doc_id,
+       len(chunks) AS n_spans,
+       len(chunks) - len(keep_idx) AS n_removed,
+       array_to_string(list_transform(keep_idx, i -> chunks[i]), ' ')
+         AS cleaned_text
+FROM marked
+"""
+
+
+@query("dedup_intra_doc_spans", _INTRADOC_SQL)
+def dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal: the text is cut into
+    fixed-width word spans and only each span's FIRST occurrence
+    survives, reassembled in order — the intra-document half of
+    boilerplate cleanup (substring_dup_spans covers the cross-document
+    half). Entirely per-row array expressions: a narrow map over the
+    scan, no shuffle at any scale."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor(F.greatest(F.size("tokens") - 1, F.lit(0)) / _SPAN_W).cast("int")
+        ),
+        lambda i: F.array_join(F.slice(F.col("tokens"), i * _SPAN_W + 1, _SPAN_W), " "),
+    )
+    c = t.select("doc_id", chunks.alias("chunks"))
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("chunks")),
+        lambda i: F.array_position(F.col("chunks"), F.element_at(F.col("chunks"), i)) == i.cast("long"),
+    )
+    m = c.select("doc_id", "chunks", keep_idx.alias("keep_idx"))
+    return m.select(
+        "doc_id",
+        F.size("chunks").alias("n_spans"),
+        (F.size("chunks") - F.size("keep_idx")).alias("n_removed"),
+        F.array_join(
+            F.transform("keep_idx", lambda i: F.element_at(F.col("chunks"), i)), " "
+        ).alias("cleaned_text"),
+    )
