@@ -252,3 +252,63 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active_users"))
     )
+
+
+# --- daily gap-fill + forward fill ---------------------------------------
+
+_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS day_value
+  FROM events WHERE user_id % 100 = 0 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT b.user_id, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds b
+), joined AS (
+  SELECT s.user_id, s.day, d.day_value,
+         COUNT(d.day_value) OVER (PARTITION BY s.user_id ORDER BY s.day) AS grp
+  FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       day_value IS NOT NULL AS observed,
+       MAX(day_value) OVER (PARTITION BY user_id, grp) AS filled_value
+FROM joined
+"""
+
+
+@query("time_gapfill_forward", _GAPFILL_SQL)
+def time_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill with forward fill: each (sampled) user's daily
+    value series gets a continuous day spine between its first and last
+    observation (sequence + explode — the spine is generated, not
+    scanned) and missing days carry the last observed value
+    (last_value(ignorenulls) over the user-day window; the oracle's
+    equivalent is the count-over grouping trick). Day keys are emitted
+    as ISO strings (DATE cells hash differently between engines);
+    values go through exact DECIMAL so the fill is bit-stable."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    daily = (
+        e.select("user_id", F.to_date("ts").alias("day"), dec("value").alias("v"))
+        .groupBy("user_id", "day")
+        .agg(F.round(F.sum("v"), 2).cast("double").alias("day_value"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.col("day_value").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
