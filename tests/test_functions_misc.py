@@ -83,3 +83,14 @@ def test_uf_clean_and_domain(spark):
     df = spark.createDataFrame([(" df ",), ("XX",), ("sp",)], "uf string")
     rows = [r.u for r in df.select(C.uf_clean(F.col("uf")).alias("u")).collect()]
     assert rows == ["DF", None, "SP"]
+
+
+def test_replace_to_html_encode():
+    from fastetl_spark.functions.htmlenc import replace_to_html_encode
+
+    assert replace_to_html_encode("inflação") == "infla&ccedil;&atilde;o"
+    assert replace_to_html_encode("§ 2º") == "&sect; 2&ordm;"
+    assert replace_to_html_encode("plain ascii & <b>") == "plain ascii & <b>"
+    # idempotent on already-encoded output (no '&' in the table)
+    once = replace_to_html_encode("ção")
+    assert replace_to_html_encode(once) == once
