@@ -65,13 +65,13 @@ def main() -> None:
     spark.range(1000).count()
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: the second run amortizes codegen/JIT and GC
-    # noise so the reported figure reflects steady-state throughput
+    # best-of-3 per query: repeats amortize codegen/JIT, GC pauses, and
+    # ambient machine load so the figure reflects steady-state throughput
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)

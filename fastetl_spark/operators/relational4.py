@@ -234,3 +234,29 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey < 100
+) t
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+"""
+
+
+@query("unpivot_measures", _UNPIVOT_SQL)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of the lineitem measures (the inverse of the
+    pivot cluster): Spark's native unpivot/melt — ids stay, each measure
+    becomes a (name, value) row. A narrow 4x row expansion over the
+    scan, no shuffle; values are passed through (bit-exact), only
+    labeled."""
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
