@@ -1,0 +1,208 @@
+"""Corpus- and event-level analytics operators:
+
+- per-source reputation report: the "which crawl sources are worth
+  keeping" table every corpus curation pass starts from (volume,
+  language spread, exact-dup rate, short-doc share);
+- robust outlier detection: median/MAD per event_type with discrete
+  percentiles (percentile_disc agrees bit-for-bit across engines,
+  unlike interpolating medians);
+- fixed-width value histograms: the distributed histogram shape (bucket
+  by arithmetic, one groupBy — never a driver-side pass).
+
+No counterpart in the reference (its profiling is load-row-counts only,
+load_info.py); these extend SURVEY §2's LLM-data north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.operators.dedup import normalize_text
+from fastetl_spark.registry import query
+
+# --- per-source reputation report ----------------------------------------
+
+_SHORT_DOC_CHARS = 300
+
+_SOURCE_REPORT_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+            AS BIGINT) AS dup_docs,
+       CAST(SUM(CASE WHEN n_chars < {_SHORT_DOC_CHARS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS short_docs
+FROM documents
+GROUP BY source
+"""
+
+
+@query("source_reputation_report", _SOURCE_REPORT_SQL)
+def source_reputation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: volume, language spread, exact-dup
+    count (docs minus distinct normalized fingerprints — dups never
+    leave their source's shuffle partition), short-doc count. One
+    groupBy over (source, 3 small aggregates + 2 distincts); only
+    48-byte fingerprints shuffle, never text bodies. avg_chars is an
+    exact-int division done once in double — deterministic IEEE."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return d.select(
+        "source", "lang", "n_chars", F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_docs"),
+        F.sum((F.col("n_chars") < _SHORT_DOC_CHARS).cast("long")).alias("short_docs"),
+    )
+
+
+# --- robust outlier detection (median / MAD) -----------------------------
+
+_MAD_K = 3.0  # flag |value - median| > 3 * MAD
+
+_OUTLIER_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+), mad AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(d.med) AS med,
+       MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+"""
+
+
+@query("robust_outlier_events", _OUTLIER_SQL)
+def robust_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier flagging per event_type — the robust twin of
+    z-scoring (a single wild value cannot move the threshold). Discrete
+    percentiles (percentile_disc) return an ACTUAL data value, so Spark
+    and DuckDB agree bit-for-bit where interpolating medians would
+    diverge; every downstream float op (abs, diff, 3*mad compare) is
+    exact IEEE on identical inputs.
+
+    Shape at scale: two groupBys on event_type plus two broadcast
+    joins of the tiny per-type stats back onto the events — the events
+    table itself is scanned, never collected, and the per-type frames
+    are a handful of rows."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum((F.col("adev") > F.lit(_MAD_K) * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+# --- fixed-width value histogram -----------------------------------------
+
+_BUCKET_WIDTH = 10.0
+
+_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(FLOOR(value / CAST({_BUCKET_WIDTH} AS DOUBLE)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("event_value_histogram", _HISTOGRAM_SQL)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type — the distributed
+    histogram idiom: bucket ids from arithmetic on the value itself
+    (floor division), then ONE groupBy; no driver-side binning, no
+    second pass for bounds. min/max are pass-through doubles
+    (bit-identical across engines)."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.floor(F.col("value") / F.lit(_BUCKET_WIDTH)).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+
+
+# --- k-means clustering over embeddings (rows-only) ----------------------
+
+_KMEANS_K = 16
+
+
+@query("embedding_kmeans_clusters")  # numpy-trained quantizer — rows-only check
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means clustering of the embedding corpus: the
+    centroids are trained on a bounded id-ordered sample on the driver
+    (deterministic, no RNG — same quantizer on any cluster/layout),
+    then every vector is assigned in ONE distributed Arrow-batched
+    matmul pass; per-cluster stats come from one groupBy on the cell
+    id. Reuses the IVF coarse-quantizer machinery
+    (similarity.ivf_train_centroids) — clustering IS the IVF build
+    minus the probe step. mean_sim is rounded to 6 digits: cluster
+    membership is exact, only the reduction order of the mean is not."""
+    from fastetl_spark.operators.similarity import (
+        _probe_cells_udf,
+        as_double,
+        dot,
+        ivf_train_centroids,
+        l2_norm,
+    )
+
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    centroids = ivf_train_centroids(e, "embedding", k=_KMEANS_K, id_col="vec_id")
+    assign1 = _probe_cells_udf(centroids, 1)
+    cent = F.array(*[F.array(*[F.lit(x) for x in row]) for row in centroids])
+    assigned = (
+        e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("cluster", F.element_at(assign1("v"), 1))
+        .withColumn("cv", F.element_at(cent, F.col("cluster") + 1))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn(
+            "sim",
+            F.when(F.col("nrm") > 0.0, dot(F.col("v"), F.col("cv")) / F.col("nrm"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("sim"), 6).alias("mean_sim"),
+    )
