@@ -163,6 +163,36 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- approximate quantiles (the 100 TB quantile path) --------------------
+
+_APPROX_ACCURACY = 10_000
+
+
+@query("approx_quantiles_events")  # sketch-based — rows-only check
+def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch quantiles per event_type — the scale
+    path: exact percentiles (quantity_percentiles, robust_outlier_events)
+    need a per-group sort; the sketch is one pass, fixed memory, and
+    mergeable across partitions, which is the only shape that survives
+    100 TB. Error is bounded by 1/accuracy. Output exploded to one row
+    per (event_type, quantile) so it stays scalar-typed."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    qs = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), _APPROX_ACCURACY
+        ).alias("vals")
+    )
+    return qs.select(
+        "event_type",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)).alias("q"),
+                F.col("vals").alias("v"),
+            )
+        ).alias("z"),
+    ).select("event_type", F.col("z.q").alias("q"), F.col("z.v").alias("approx_value"))
+
+
 # --- k-means clustering over embeddings (rows-only) ----------------------
 
 _KMEANS_K = 16

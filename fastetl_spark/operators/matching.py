@@ -1,0 +1,61 @@
+"""Fuzzy string matching — the entity-resolution step of a cleaning
+pipeline (the reference's mapping joins, patchwork.py, assume the
+dictionary is already resolved; this operator builds that dictionary).
+
+Design for 100 TB: fuzzy matching NEVER runs over the fact table. The
+distinct value dictionary is extracted first (for a categorical-ish
+column it is orders of magnitude smaller than the data — here 64 names
+from 2 000 rows), pairs are generated dictionary x dictionary with a
+length band, and the resolved mapping is then applied back to the facts
+as a broadcast equi-join (J1/J2 machinery). The pair join is a
+broadcast nested-loop by construction — correct because its inputs are
+dictionaries, not data."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.registry import query
+
+_MAX_DIST = 4
+
+_FUZZY_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= {_MAX_DIST}
+ AND levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
+"""
+
+
+@query("fuzzy_name_pairs", _FUZZY_SQL)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs of near-identical part names: distinct-name
+    dictionary self-joined under an edit-distance threshold. The length
+    band (|len diff| <= max dist, implied by the threshold, so it prunes
+    without changing results) runs BEFORE levenshtein so most pairs are
+    rejected by integer compare, not DP. Both engines implement standard
+    Levenshtein — integer distances, no float drift."""
+    names = (
+        ensure_parallelism(read_table(spark, sf_dir, "part"))
+        .select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.length("p_name").alias("len_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("len_b"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= _MAX_DIST)
+            & (F.levenshtein("name_a", "name_b") <= _MAX_DIST),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+    )

@@ -214,3 +214,76 @@ def incremental_sync_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") > F.lit("2001-01-01").cast("timestamp"))
     ).select("o_orderkey")
     return incremental_sync(dest, o, ["o_orderkey"], "o_orderdate", deleted_keys=excluded)
+
+
+# --- incremental aggregate maintenance -----------------------------------
+
+_AGG_CUTOFF = "1997-01-01"
+
+_INC_AGG_SQL = """
+WITH base AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), delta AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  GROUP BY 1
+)
+SELECT month,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(total) AS DOUBLE) AS total_price
+FROM (SELECT * FROM base UNION ALL SELECT * FROM delta) u
+GROUP BY month
+"""
+
+
+def merge_partial_aggs(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two partial aggregates that share a (keys, n_orders, total)
+    schema: union + re-sum. COUNT and SUM are commutative monoids, so
+    maintaining a materialized aggregate costs one pass over the DELTA
+    plus a shuffle of the (small) aggregate rows — never a rescan of the
+    base data. This is the incremental-materialized-view pattern the
+    reference's full-reload operators (load_info row counts) lack."""
+    return (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("total").alias("total"))
+    )
+
+
+@query("incremental_agg_merge", _INC_AGG_SQL)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order totals maintained incrementally: a base aggregate
+    (orders before the cutoff) merged with a delta aggregate (orders on
+    or after it) via partial-agg union — the oracle recomputes the same
+    numbers; equality proves merge(base, delta) == full recompute.
+    Money sums run in exact DECIMAL per the registry determinism rule
+    (one final cast to double)."""
+    o = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_AGG_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            )
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("price").alias("total"))
+        )
+
+    merged = merge_partial_aggs(
+        partial(o.filter(F.col("o_orderdate") < cutoff)),
+        partial(o.filter(F.col("o_orderdate") >= cutoff)),
+        ["month"],
+    )
+    return merged.select(
+        "month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total").cast("double").alias("total_price"),
+    )

@@ -56,3 +56,51 @@ def test_histogram_partitions_values(spark, sf_dir):
         | (F.col("max_v") >= (F.col("bucket") + 1) * 10.0)
     )
     assert bad.count() == 0
+
+
+def test_approx_quantiles_near_exact(spark, sf_dir):
+    from fastetl_spark.operators.analytics import approx_quantiles_events
+
+    e = read_table(spark, sf_dir, "events")
+    exact = {
+        (r["event_type"], q): r["v"]
+        for q in (0.5, 0.9, 0.99)
+        for r in e.groupBy("event_type")
+        .agg(F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)").alias("v"))
+        .collect()
+    }
+    spread = (
+        e.groupBy("event_type")
+        .agg((F.max("value") - F.min("value")).alias("s"))
+        .collect()
+    )
+    spread = {r["event_type"]: r["s"] for r in spread}
+    rows = approx_quantiles_events(spark, sf_dir).collect()
+    assert len(rows) == 3 * len(spread)
+    for r in rows:
+        # sketch accuracy 1/10000: at test sizes the answer is near-exact
+        assert abs(r.approx_value - exact[(r.event_type, r.q)]) <= 0.01 * spread[r.event_type]
+
+
+def test_fuzzy_pairs_are_bounded_and_ordered(spark, sf_dir):
+    from fastetl_spark.operators.matching import fuzzy_name_pairs
+
+    rows = fuzzy_name_pairs(spark, sf_dir).collect()
+    assert rows, "dictionary should contain near-identical names"
+    assert all(r.name_a < r.name_b and 1 <= r.dist <= 4 for r in rows)
+
+
+def test_merge_partial_aggs_handles_delta_only_keys(spark):
+    from fastetl_spark.operators.sync import merge_partial_aggs
+
+    base = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0)], "k string, n_orders long, total double"
+    )
+    delta = spark.createDataFrame(
+        [("b", 3, 7.0), ("c", 1, 1.0)], "k string, n_orders long, total double"
+    )
+    got = {
+        r.k: (r.n_orders, r.total)
+        for r in merge_partial_aggs(base, delta, ["k"]).collect()
+    }
+    assert got == {"a": (2, 10.0), "b": (4, 12.0), "c": (1, 1.0)}
