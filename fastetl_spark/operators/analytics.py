@@ -236,3 +236,52 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("sim"), 6).alias("mean_sim"),
     )
+
+
+# --- referential-integrity report ----------------------------------------
+
+_FK_RELATIONS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_RI_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{rel}' AS relation,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS BIGINT) AS n_orphans"""
+    for rel, child, fk, parent, pk in _FK_RELATIONS
+)
+
+
+@query("referential_integrity_report", _RI_SQL)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over every FK relation of the star schema — the
+    data-quality gate a warehouse load runs before publishing. Each
+    relation is one LEFT ANTI join on the KEY PROJECTIONS only (two
+    int64 columns shuffle, never rows); parent key sets are dimension
+    tables, so at scale each anti join broadcasts. The report itself is
+    five one-row aggregates unioned — constant output size regardless
+    of data volume."""
+    frames = []
+    for rel, child, fk, parent, pk in _FK_RELATIONS:
+        c = read_table(spark, sf_dir, child).select(F.col(fk))
+        p = read_table(spark, sf_dir, parent).select(F.col(pk))
+        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
+        n_orph = (
+            c.join(F.broadcast(p), F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        frames.append(
+            n_child.crossJoin(n_orph).select(
+                F.lit(rel).alias("relation"), "n_child", "n_orphans"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

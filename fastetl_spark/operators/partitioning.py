@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fastetl_spark.registry import query
+
 
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_col: str, num_buckets: int = 16, sort: bool = True
@@ -40,3 +42,52 @@ def salted_join(
     dim_s = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
     out = fact_s.join(dim_s, [on, "__salt"])
     return out.drop("__salt")
+
+
+_SALT_N = 16
+
+_SALTED_AGG_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def salted_agg(df: DataFrame, key: str, salt_col: str, salt_n: int = _SALT_N) -> DataFrame:
+    """Two-phase skew-proof aggregation: phase 1 groups by
+    (key, deterministic salt) so a hot key's rows spread over salt_n
+    reduce tasks; phase 2 merges the salt_n partials per key — COUNT and
+    SUM are monoids, so the rewrite is exact. The phase-2 shuffle moves
+    only keys x salt_n partial rows, never data rows. This is the manual
+    twin of AQE skew-split for aggregations (AQE only splits joins)."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_n)))
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__val").alias("__total")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__n").alias("n"), F.sum("__total").alias("total")
+    )
+
+
+@query("skewed_agg_salted", _SALTED_AGG_SQL)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event totals per type via salted two-phase aggregation — the
+    events table has exactly 5 event_type values, the canonical
+    low-cardinality skew shape where every row of a type lands on one
+    reducer. The oracle is the plain GROUP BY: equality proves the
+    salt/merge rewrite changes the plan, not the answer. Value sums run
+    in exact DECIMAL (per-row cast) so partial-merge order cannot move
+    the float result."""
+    from fastetl_spark.io.readers import ensure_parallelism, read_table
+
+    e = ensure_parallelism(read_table(spark, sf_dir, "events")).withColumn(
+        "__val", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(e, "event_type", "event_id")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total_value"),
+    )

@@ -58,6 +58,7 @@ def load_all() -> None:
     import fastetl_spark.operators.sampling  # noqa: F401
     import fastetl_spark.operators.analytics  # noqa: F401
     import fastetl_spark.operators.matching  # noqa: F401
+    import fastetl_spark.operators.partitioning  # noqa: F401
     import fastetl_spark.operators.sessionize  # noqa: F401
     import fastetl_spark.operators.multimodal  # noqa: F401
     import fastetl_spark.meta.profile  # noqa: F401

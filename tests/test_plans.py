@@ -112,3 +112,32 @@ def test_bigram_topk_is_take_ordered(spark, sf_dir):
 def test_q9_dimensions_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q9_product_type_profit")
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    # the salt column must appear in the plan (phase-1 grouping key) and
+    # aggregation must still be map-side partial
+    plan = plan_of(spark, sf_dir, "skewed_agg_salted")
+    assert "__salt" in plan
+    assert "partial_" in plan
+
+
+def test_fuzzy_pairs_dictionary_is_broadcast(spark, sf_dir):
+    # dictionary x dictionary under non-equi predicates: broadcast
+    # nested loop over the DISTINCT names, scan pruned to p_name only
+    plan = plan_of(spark, sf_dir, "fuzzy_name_pairs")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "p_partkey" not in plan  # column pruning reached the scan
+
+
+def test_referential_integrity_antijoins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "referential_integrity_report")
+    assert plan.count("LeftAnti, BuildRight") >= 5 or plan.count("BroadcastHashJoin") >= 5
+
+
+def test_robust_outlier_stats_broadcast_back(spark, sf_dir):
+    # tiny per-type med/mad frames must broadcast onto events, and the
+    # events scan must prune to (event_type, value)
+    plan = plan_of(spark, sf_dir, "robust_outlier_events")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "props" not in plan
