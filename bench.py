@@ -43,6 +43,12 @@ HEADLINE = [
     "gopher_quality_filter",
     "deterministic_split",
     "similarity_ivf",
+    "source_reputation_report",
+    "robust_outlier_events",
+    "skewed_agg_salted",
+    "referential_integrity_report",
+    "fuzzy_name_pairs",
+    "incremental_agg_merge",
 ]
 
 

@@ -174,3 +174,18 @@ def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              compression: str = "zlib") -> None:
+    """ORC sink — the columnar interchange format for Hive/Trino
+    ecosystems (S9/S10's parquet path, different container). Splittable,
+    predicate-pushdown-capable, so a downstream Spark/Trino reader keeps
+    the same scan properties as parquet."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC reader; schema comes from the file footer (self-describing,
+    no inference pass)."""
+    return spark.read.orc(path)

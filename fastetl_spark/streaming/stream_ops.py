@@ -143,3 +143,46 @@ def stream_stream_purchase_attribution(
         ),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+def foreach_batch_agg_maintain(
+    stream: DataFrame,
+    dest_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming materialized-aggregate maintenance: each micro-batch is
+    reduced to PARTIAL aggregates (month, n_orders-style monoid columns)
+    and merged into the destination aggregate with
+    sync.merge_partial_aggs — the streaming twin of
+    incremental_agg_merge. Only aggregate rows are ever rewritten; the
+    raw stream is touched once per batch. Complement to
+    windowed_event_counts: that holds state in the engine's state store,
+    this keeps the aggregate as a queryable parquet table with bounded
+    rewrite cost (aggregate cardinality, not stream volume)."""
+    from fastetl_spark.io.writers import atomic_overwrite, read_parquet_if_exists
+    from fastetl_spark.operators.sync import merge_partial_aggs
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.select(
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+                F.col("value").cast("decimal(18,6)").alias("__v"),
+            )
+            .groupBy("hour")
+            .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("__v").alias("total"))
+        )
+        dest = read_parquet_if_exists(spark, dest_path)
+        merged = (
+            partial
+            if dest is None
+            else merge_partial_aggs(dest, partial.select(*dest.columns), ["hour"])
+        )
+        atomic_overwrite(merged, dest_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -131,3 +131,32 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     g = {(r.purchase_id, r.click_id) for r in got.collect()}
     e = {(r.purchase_id, r.click_id) for r in expected.collect()}
     assert g == e and len(g) > 0
+
+
+def test_foreach_batch_agg_maintain_matches_batch(spark, events_dir, tmp_path):
+    from fastetl_spark.streaming.stream_ops import foreach_batch_agg_maintain
+
+    dest = str(tmp_path / "agg_dest")
+    ckpt = str(tmp_path / "agg_ckpt")
+    # force several micro-batches so the merge path (not just the
+    # first-batch bootstrap) is exercised
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = foreach_batch_agg_maintain(stream, dest, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        r["hour"]: (r["n_orders"], r["total"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    expected = {
+        r["hour"]: (r["n_orders"], r["total"])
+        for r in spark.read.parquet(events_dir)
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("value").cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("__v").alias("total"))
+        .collect()
+    }
+    assert got == expected

@@ -94,3 +94,20 @@ def test_jsonl_roundtrip_with_schema(spark, sf_dir, tmp_path):
     a = {r.doc_id: (r.text, r.lang) for r in d.collect()}
     b = {r.doc_id: (r.text, r.lang) for r in back.collect()}
     assert a == b
+
+
+def test_orc_roundtrip_preserves_types_and_pushdown(spark, sf_dir, tmp_path):
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.io.writers import read_orc, write_orc
+
+    src = read_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # filters must reach the ORC scan like they do for parquet
+    plan = back.filter(back.o_orderkey < 100)._sc._jvm.PythonSQLUtils.explainString(
+        back.filter(back.o_orderkey < 100)._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan
