@@ -287,3 +287,57 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("total").cast("double").alias("total_price"),
     )
+
+
+# --- sync verification: range checksums ----------------------------------
+
+_CHECKSUM_BUCKET = 10_000
+
+_CHECKSUM_SQL = f"""
+SELECT o_orderkey // {_CHECKSUM_BUCKET} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR(('0x' || substr(md5(concat_ws('|',
+              CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)), 1, 15))::BIGINT)
+            AS BIGINT) AS checksum
+FROM orders
+GROUP BY 1
+"""
+
+
+def table_checksum(df: DataFrame, key_col: str, cols: list[str],
+                   bucket_width: int = _CHECKSUM_BUCKET) -> DataFrame:
+    """Per-key-range content checksums: rows are canonicalized to a
+    delimited string, hashed (md5 -> 60-bit int), and XOR-folded per
+    bucket. XOR is commutative/associative and cannot overflow, so the
+    checksum is independent of partitioning and row order — two tables
+    synced over ANY engine pair can be compared bucket-by-bucket with
+    one aggregate each, and only mismatching key ranges need a row-level
+    diff (the reference's row-count guard, upgraded to content
+    equality). Canonicalization contract: pass integer/string/date
+    columns (or pre-format floats/timestamps yourself) — float-to-string
+    rendering is engine-specific."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(
+            F.floor(F.col(key_col) / F.lit(bucket_width)).alias("bucket"),
+            row_hash.alias("__h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("__h").alias("checksum"),
+        )
+    )
+
+
+@query("sync_checksum_ranges", _CHECKSUM_SQL)
+def sync_checksum_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-table checksums per 10k-key range over the sync-relevant
+    columns. The oracle computes the same folds in DuckDB — equality
+    across two unrelated engines is exactly the property that makes the
+    checksum usable for cross-system sync verification."""
+    o = read_table(spark, sf_dir, "orders")
+    return table_checksum(
+        o, "o_orderkey", ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )

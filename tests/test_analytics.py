@@ -104,3 +104,20 @@ def test_merge_partial_aggs_handles_delta_only_keys(spark):
         for r in merge_partial_aggs(base, delta, ["k"]).collect()
     }
     assert got == {"a": (2, 10.0), "b": (4, 12.0), "c": (1, 1.0)}
+
+
+def test_checksum_detects_single_row_mutation(spark, sf_dir):
+    from fastetl_spark.operators.sync import table_checksum
+
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 7, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    a = {r.bucket: (r.n_rows, r.checksum) for r in table_checksum(o, "o_orderkey", cols).collect()}
+    b = {r.bucket: (r.n_rows, r.checksum) for r in table_checksum(mutated, "o_orderkey", cols).collect()}
+    diff = {k for k in a if a[k] != b[k]}
+    # exactly the bucket containing key 7 flags; row counts agree everywhere
+    assert diff == {0}
+    assert all(a[k][0] == b[k][0] for k in a)
