@@ -97,10 +97,13 @@ def robust_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge; every downstream float op (abs, diff, 3*mad compare) is
     exact IEEE on identical inputs.
 
-    Shape at scale: two groupBys on event_type plus two broadcast
-    joins of the tiny per-type stats back onto the events — the events
-    table itself is scanned, never collected, and the per-type frames
-    are a handful of rows."""
+    Shape at scale: EXACT per-group percentiles gather each group's
+    values into one aggregator, so this operator is for moderate group
+    sizes (or pre-aggregated values); at 100 TB per group, route
+    through approx_quantiles_events (mergeable sketch, one pass) and
+    keep this as the verification oracle on samples. The join-backs
+    broadcast the handful of per-type stat rows; the events table is
+    scanned, never collected."""
     e = ensure_parallelism(read_table(spark, sf_dir, "events"))
     med = e.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")

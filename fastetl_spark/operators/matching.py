@@ -40,9 +40,13 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     without changing results) runs BEFORE levenshtein so most pairs are
     rejected by integer compare, not DP. Both engines implement standard
     Levenshtein — integer distances, no float drift."""
+    # materialize the dictionary ONCE: both self-join sides derive from
+    # this frame, and without the checkpoint each side would re-run the
+    # distinct (a full fact-table scan apiece at 100 TB)
     names = (
         ensure_parallelism(read_table(spark, sf_dir, "part"))
         .select("p_name").distinct()
+        .localCheckpoint()
     )
     a = names.select(F.col("p_name").alias("name_a"), F.length("p_name").alias("len_a"))
     b = names.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("len_b"))

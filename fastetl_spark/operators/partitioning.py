@@ -55,16 +55,19 @@ GROUP BY event_type
 """
 
 
-def salted_agg(df: DataFrame, key: str, salt_col: str, salt_n: int = _SALT_N) -> DataFrame:
-    """Two-phase skew-proof aggregation: phase 1 groups by
-    (key, deterministic salt) so a hot key's rows spread over salt_n
-    reduce tasks; phase 2 merges the salt_n partials per key — COUNT and
-    SUM are monoids, so the rewrite is exact. The phase-2 shuffle moves
-    only keys x salt_n partial rows, never data rows. This is the manual
-    twin of AQE skew-split for aggregations (AQE only splits joins)."""
+def salted_agg(
+    df: DataFrame, key: str, salt_col: str, val_col: str, salt_n: int = _SALT_N
+) -> DataFrame:
+    """Two-phase skew-proof aggregation of `val_col` by `key`: phase 1
+    groups by (key, deterministic salt from `salt_col`) so a hot key's
+    rows spread over salt_n reduce tasks; phase 2 merges the salt_n
+    partials per key — COUNT and SUM are monoids, so the rewrite is
+    exact. The phase-2 shuffle moves only keys x salt_n partial rows,
+    never data rows. This is the manual twin of AQE skew-split for
+    aggregations (AQE only splits joins)."""
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_n)))
     partial = salted.groupBy(key, "__salt").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__val").alias("__total")
+        F.count(F.lit(1)).alias("__n"), F.sum(val_col).alias("__total")
     )
     return partial.groupBy(key).agg(
         F.sum("__n").alias("n"), F.sum("__total").alias("total")
@@ -85,7 +88,7 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(read_table(spark, sf_dir, "events")).withColumn(
         "__val", F.col("value").cast("decimal(18,6)")
     )
-    out = salted_agg(e, "event_type", "event_id")
+    out = salted_agg(e, "event_type", "event_id", "__val")
     return out.select(
         "event_type",
         F.col("n").cast("long").alias("n"),

@@ -315,12 +315,17 @@ def table_checksum(df: DataFrame, key_col: str, cols: list[str],
     diff (the reference's row-count guard, upgraded to content
     equality). Canonicalization contract: pass integer/string/date
     columns (or pre-format floats/timestamps yourself) — float-to-string
-    rendering is engine-specific."""
+    rendering is engine-specific.
+
+    Buckets come from integer `div` (exact at any key magnitude, and it
+    truncates toward zero exactly like DuckDB's `//`); a float-floor
+    bucket would silently lose precision past 2^53 and disagree with
+    `//` on negative keys."""
     canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return (
         df.select(
-            F.floor(F.col(key_col) / F.lit(bucket_width)).alias("bucket"),
+            F.expr(f"`{key_col}` div {int(bucket_width)}").alias("bucket"),
             row_hash.alias("__h"),
         )
         .groupBy("bucket")
