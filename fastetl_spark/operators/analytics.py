@@ -288,3 +288,27 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --- mergeable distinct-count rollup (HLL sketches) ----------------------
+
+
+@query("hll_weekly_users_rollup")  # sketch-based — rows-only check
+def hll_weekly_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via DAILY HyperLogLog sketches unioned up —
+    the mergeable-sketch rollup that makes distinct counts composable at
+    100 TB: the raw events are scanned ONCE into per-day sketches
+    (kilobytes each); every coarser granularity (week here, month,
+    all-time, any ad-hoc date range) is a union of sketches, never a
+    rescan. An exact COUNT(DISTINCT) cannot roll up — distinct counts
+    are not additive; sketches are. Estimate error ~2% (Spark default
+    lgConfigK); approx_distinct_users is the same trade for a single
+    grain."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", F.col("day")).alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+    )

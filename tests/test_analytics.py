@@ -121,3 +121,54 @@ def test_checksum_detects_single_row_mutation(spark, sf_dir):
     # exactly the bucket containing key 7 flags; row counts agree everywhere
     assert diff == {0}
     assert all(a[k][0] == b[k][0] for k in a)
+
+
+def test_hll_rollup_near_exact(spark, sf_dir):
+    from fastetl_spark.operators.analytics import hll_weekly_users_rollup
+
+    e = read_table(spark, sf_dir, "events")
+    exact = {
+        r["week"]: r["n"]
+        for r in e.groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = hll_weekly_users_rollup(spark, sf_dir).collect()
+    assert {r["week"] for r in rows} == set(exact)
+    for r in rows:
+        # HLL default precision: well under 5% at any cardinality
+        assert abs(r["est_users"] - exact[r["week"]]) <= max(2, 0.05 * exact[r["week"]])
+
+
+def test_landing_datasource_roundtrip(spark, tmp_path):
+    import json
+
+    from fastetl_spark.io.landing_source import LandingDataSource
+
+    spark.dataSource.register(LandingDataSource)
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i in range(3):
+        with open(stage / f"chunk{i}.jsonl", "w") as fh:
+            for j in range(5):
+                fh.write(json.dumps({"name": f"r{i}-{j}", "qty": i * 10 + j}) + "\n")
+
+    df = (
+        spark.read.format("fastetl_landing")
+        .schema("name string, qty bigint")
+        .option("path", str(stage))
+        .load()
+    )
+    # one partition per chunk: executor-side fetch, no driver funnel
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 15
+
+    out = tmp_path / "out"
+    df.write.format("fastetl_landing").mode("overwrite").option("path", str(out)).save()
+    back = (
+        spark.read.format("fastetl_landing")
+        .schema("name string, qty bigint")
+        .option("path", str(out))
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
