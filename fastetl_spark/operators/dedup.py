@@ -424,6 +424,38 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- connected components (pair list -> dedup clusters) ------------------
 
 
+_CC_DRIVER_EDGE_CAP = 2_000_000
+
+
+def _union_find_components(edge_rows, id_col: str, spark) -> DataFrame:
+    """Exact union-find over a collected edge list (path compression +
+    union by min representative). Returns (id_col, component) with
+    component = min reachable node — identical semantics to the
+    distributed fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min representative wins so labels match min-propagation
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, f"{id_col} long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
@@ -431,20 +463,27 @@ def connected_components(
     b_col: str = "doc_b",
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    driver_edge_cap: int = _CC_DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (doc_id, component) where
     component is the smallest doc_id reachable through the pair graph —
     the step a real dedup pipeline runs between candidate generation
     (minhash/simhash/jaccard) and canonical selection.
 
-    Iterative min-label propagation on DataFrames: each round every node
-    takes the min of its own label and its neighbors' labels; rounds
-    needed = graph diameter (near-dup clusters are shallow, typically
-    <= 3-4). Each round is one shuffle on the node id; lineage is cut
-    with localCheckpoint per round (use a reliable checkpoint dir on a
-    cluster). Convergence is detected by an aggregate changed-count —
-    one cheap action per round, unavoidable for an iterative fixpoint.
-    No GraphFrames/RDD dependency.
+    Size-adaptive strategy. The edge list is the OUTPUT of candidate
+    generation — orders of magnitude smaller than the corpus — so it is
+    counted first (the edges are checkpointed; the count is nearly
+    free). At or under `driver_edge_cap` edges the components come from
+    an exact driver-side union-find (milliseconds, zero extra jobs);
+    above it, iterative min-label propagation on DataFrames: each round
+    every node takes the min of its own label and its neighbors'
+    labels; rounds needed = graph diameter (near-dup clusters are
+    shallow, typically <= 3-4). Each round is one shuffle on the node
+    id; lineage is cut with localCheckpoint per round (use a reliable
+    checkpoint dir on a cluster). Convergence is detected by an
+    aggregate changed-count — one cheap action per round, unavoidable
+    for an iterative fixpoint. No GraphFrames/RDD dependency. Both
+    paths produce identical labels (min reachable node).
 
     Only the EDGE-INDUCED subgraph iterates: a node with no pair edge
     can never change label, so isolated nodes (the overwhelming majority
@@ -452,12 +491,24 @@ def connected_components(
     At 100 TB this is the difference between shuffling the whole corpus
     every round and shuffling only the near-dup subgraph every round.
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_edge_cap:
+        resolved = _union_find_components(
+            [(r["src"], r["dst"]) for r in edges.collect()], id_col, spark
+        )
+        if nodes is None:
+            return resolved
+        return (
+            nodes.select(F.col(id_col)).distinct()
+            .join(resolved, id_col, "left")
+            .select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
+        )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))

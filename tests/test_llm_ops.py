@@ -337,6 +337,11 @@ def test_connected_components_chain_and_nonconvergence(spark):
     assert all(got[i] == 1 for i in range(1, 7))  # chain collapses to min id
     assert got[7] == 7 and got[8] == 8  # isolated nodes are their own component
 
+    # the distributed fixpoint (forced via driver_edge_cap=0) must agree
+    # with the driver union-find exactly
+    dist = connected_components(pairs, nodes=nodes, driver_edge_cap=0)
+    assert {r["doc_id"]: r["component"] for r in dist.collect()} == got
+
     # an insufficient round budget must raise, not return split clusters
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, nodes=nodes, max_iterations=1)
+        connected_components(pairs, nodes=nodes, max_iterations=1, driver_edge_cap=0)
