@@ -172,3 +172,63 @@ def test_landing_datasource_roundtrip(spark, tmp_path):
         .load()
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_validate_split_partitions_rows(spark, sf_dir):
+    from fastetl_spark.plans.quarantine import validate_split
+
+    o = read_table(spark, sf_dir, "orders")
+    rules = [
+        ("status_known", F.col("o_orderstatus").isin("O", "F")),
+        ("min_price", F.col("o_totalprice") > 1000.0),
+    ]
+    valid, rejects = validate_split(o, rules)
+    assert valid.count() + rejects.count() == o.count()
+    # every reject names at least one rule; null predicates reject
+    assert rejects.filter(F.size("failed_rules") == 0).count() == 0
+    bad_status = o.filter(~F.col("o_orderstatus").isin("O", "F")).count()
+    assert (
+        rejects.filter(F.array_contains("failed_rules", "status_known")).count()
+        == bad_status
+    )
+
+
+def test_validate_split_null_predicate_rejects(spark):
+    from fastetl_spark.plans.quarantine import validate_split
+
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double")
+    valid, rejects = validate_split(df, [("v_pos", F.col("v") > 0)])
+    assert [r.id for r in valid.collect()] == [2]
+    assert [r.id for r in rejects.collect()] == [1]
+
+
+def test_schema_diff_and_breaking_gate(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from fastetl_spark.meta.schema_diff import assert_no_breaking_drift, schema_diff
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("ID", T.LongType()),  # case-insensitive match
+            T.StructField("price", T.StringType()),  # type change
+            T.StructField("added_at", T.TimestampType()),  # addition
+        ]
+    )
+    kinds = {(c.kind, c.column) for c in schema_diff(old, new)}
+    assert kinds == {
+        ("added", "added_at"),
+        ("removed", "name"),
+        ("type_changed", "price"),
+    }
+    with pytest.raises(ValueError, match="breaking schema drift"):
+        assert_no_breaking_drift(old, new)
+    benign = assert_no_breaking_drift(old, T.StructType(list(old.fields) + [T.StructField("x", T.LongType())]))
+    assert [c.kind for c in benign] == ["added"]
