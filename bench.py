@@ -49,6 +49,9 @@ HEADLINE = [
     "referential_integrity_report",
     "fuzzy_name_pairs",
     "incremental_agg_merge",
+    "sync_checksum_ranges",
+    "quarantine_rejects",
+    "hll_weekly_users_rollup",
 ]
 
 
