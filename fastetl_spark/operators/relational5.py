@@ -665,3 +665,42 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
     )
+
+
+_ARGMINMAX_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rmax = 1 THEN event_id END) AS max_value_event,
+       MAX(CASE WHEN rmin = 1 THEN event_id END) AS min_value_event,
+       CAST(count_if(value > 50.0) AS BIGINT) AS n_above_50,
+       bool_and(value IS NOT NULL) AS all_valued,
+       bool_or(value > 99.0) AS any_near_max
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@query("argminmax_cluster", _ARGMINMAX_SQL)
+def argminmax_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function surface: max_by/min_by (arg-max/arg-min),
+    count_if, bool_and/bool_or. Tie-breaks are made DETERMINISTIC by
+    ordering on struct(value, event_id) — a bare max_by over a column
+    with duplicate maxima returns an arbitrary row and can never
+    hash-match another engine (the oracle expresses the same total
+    order with ROW_NUMBER). One groupBy; arg-max via struct comparison
+    is a single partial-aggregable expression, not a window pass."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias("max_value_event"),
+        F.min_by("event_id", F.struct("value", "event_id")).alias("min_value_event"),
+        F.count_if(F.col("value") > 50.0).alias("n_above_50"),
+        F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+        F.bool_or(F.col("value") > 99.0).alias("any_near_max"),
+    )

@@ -186,3 +186,35 @@ def foreach_batch_agg_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_quarantine(
+    stream: DataFrame,
+    rules,
+    valid_path: str,
+    reject_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming validate-and-quarantine: each micro-batch is split by
+    plans/quarantine.validate_split — valid rows append to the
+    destination, rejects (with their failed-rule tags) append to the
+    quarantine path. The tagged frame is persisted so the two sinks
+    share ONE evaluation of the rule predicates, and appends keep the
+    sink idempotent per batch file (no read-modify-write)."""
+    from fastetl_spark.plans.quarantine import validate_split
+
+    def split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            valid, rejects = validate_split(batch_df, rules)
+            valid.write.mode("append").parquet(valid_path)
+            rejects.write.mode("append").parquet(reject_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -160,3 +160,25 @@ def test_foreach_batch_agg_maintain_matches_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_foreach_batch_quarantine_splits_stream(spark, events_dir, tmp_path):
+    from fastetl_spark.streaming.stream_ops import foreach_batch_quarantine
+
+    rules = [
+        ("value_pos", F.col("value") > 0),
+        ("type_known", F.col("event_type").isin("click", "view", "purchase")),
+    ]
+    valid_p, reject_p = str(tmp_path / "valid"), str(tmp_path / "rej")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = foreach_batch_quarantine(stream, rules, valid_p, reject_p, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    src = spark.read.parquet(events_dir)
+    valid, rejects = spark.read.parquet(valid_p), spark.read.parquet(reject_p)
+    assert valid.count() + rejects.count() == src.count()
+    n_bad_type = src.filter(
+        ~F.col("event_type").isin("click", "view", "purchase")
+    ).count()
+    assert rejects.filter(F.array_contains("failed_rules", "type_known")).count() == n_bad_type
+    assert "failed_rules" not in valid.columns
