@@ -312,3 +312,43 @@ def hll_weekly_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy(F.date_trunc("week", F.col("day")).alias("week"))
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
     )
+
+
+# --- cumulative new-user counts ------------------------------------------
+
+_CUMULATIVE_USERS_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS total_users
+FROM daily
+"""
+
+
+@query("cumulative_new_users", _CUMULATIVE_USERS_SQL)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users + running total — the scale-safe rewrite of
+    "distinct users to date": a naive COUNT(DISTINCT) over an expanding
+    window re-scans ever-growing state per day; instead each user
+    contributes exactly one first-seen row (one groupBy on user_id),
+    and the cumulative sum runs over the DAILY frame — whose cardinality
+    is the number of days, not users, so the single-partition window is
+    a few-thousand-row driver-scale step no matter the corpus size."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("total_users")
+    )
