@@ -58,7 +58,11 @@ class LandingReader(DataSourceReader):
         return [_ChunkPartition(f) for f in files]
 
     def read(self, partition: _ChunkPartition):
-        # runs on an executor: fetch + parse one chunk
+        # runs on an executor: fetch + parse one chunk. With ZERO chunks
+        # partitions() returned [], and Spark still invokes read once
+        # with partition=None — that is an empty source, not an error.
+        if partition is None:
+            return
         names = [f.name for f in self.schema.fields]
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:

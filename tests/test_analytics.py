@@ -232,3 +232,18 @@ def test_schema_diff_and_breaking_gate(spark):
         assert_no_breaking_drift(old, new)
     benign = assert_no_breaking_drift(old, T.StructType(list(old.fields) + [T.StructField("x", T.LongType())]))
     assert [c.kind for c in benign] == ["added"]
+
+
+def test_landing_datasource_empty_dir_is_empty_frame(spark, tmp_path):
+    from fastetl_spark.io.landing_source import LandingDataSource
+
+    spark.dataSource.register(LandingDataSource)
+    empty = tmp_path / "empty_stage"
+    empty.mkdir()
+    df = (
+        spark.read.format("fastetl_landing")
+        .schema("a long")
+        .option("path", str(empty))
+        .load()
+    )
+    assert df.count() == 0
