@@ -11,3 +11,10 @@ bench:
 
 smoke:
 	python -c "from pyspark.sql import SparkSession; import __spark_entry__ as m; s = SparkSession.builder.master('local[8]').getOrCreate(); print(m.entry(s).count())"
+
+audit:
+	python tools/shuffle_audit.py
+	python tools/dump_plans.py
+
+sweep:
+	python tools/oracle_sweep.py /root/testdata/sf0.01

@@ -189,3 +189,26 @@ def read_orc(spark, path: str) -> DataFrame:
     """ORC reader; schema comes from the file footer (self-describing,
     no inference pass)."""
     return spark.read.orc(path)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~target_rows_per_file via ONE coalesce (no shuffle — coalesce only
+    merges read splits) and an atomic directory swap. The small-files
+    problem is the chronic failure mode of incremental sinks (every
+    micro-batch/upsert leaves files); compaction restores scan
+    efficiency (fewer tasks, bigger sequential reads, footer pruning
+    still per row group). Returns the file count after compaction.
+
+    File count = ceil(rows / target) from the parquet footers (a
+    metadata read, not a data scan)."""
+    df = spark.read.parquet(path)
+    n_rows = df.count()  # parquet count() is footer-metadata only
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    atomic_overwrite(df.coalesce(n_files), path)
+    out = spark.read.parquet(path)
+    return out.rdd.getNumPartitions()

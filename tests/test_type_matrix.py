@@ -111,3 +111,21 @@ def test_orc_roundtrip_preserves_types_and_pushdown(spark, sf_dir, tmp_path):
         back.filter(back.o_orderkey < 100)._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_compact_parquet_dir_reduces_files(spark, sf_dir, tmp_path):
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.io.writers import compact_parquet_dir
+
+    src = read_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "fragmented")
+    # simulate an incremental sink's debris: 40 tiny files
+    src.repartition(40).write.parquet(path)
+    import os
+
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 40
+    n_after = compact_parquet_dir(spark, path, target_rows_per_file=10**9)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert after == 1 and n_after == 1
+    assert spark.read.parquet(path).count() == src.count()
