@@ -131,3 +131,48 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
         )
     )
+
+
+def asof_join_cogrouped_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+) -> DataFrame:
+    """Cogrouped-applyInPandas twin of asof_join (§2.11 surface): both
+    frames are shuffled on the key ONCE, each key's two groups arrive as
+    pandas frames, and pandas.merge_asof does the per-key backward
+    match. Same single-shuffle cost shape as the native tagged-union
+    window — use the native one in production (no Python boundary);
+    this is the pattern to copy when per-group logic genuinely needs
+    pandas (model scoring, scipy, business rules)."""
+    import pandas as pd
+
+    out_type = dict(right.dtypes)[right_val]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"{right_val} {out_type}"]
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(left_ts)
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            out[right_val] = pd.Series([None] * len(out), dtype="object")
+            return out
+        r_sorted = r_pdf[[right_ts, right_val]].sort_values(right_ts)
+        return pd.merge_asof(
+            l_sorted,
+            r_sorted,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+        ).drop(columns=[right_ts] if right_ts != left_ts else [])
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema)
+    )

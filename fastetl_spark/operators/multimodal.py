@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fastetl_spark.io.readers import read_table
+from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
 MEDIA_SCHEMA = T.StructType(
@@ -196,4 +196,65 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id", "duration_ms", "ts_ms",
         F.floor(F.col("ts_ms") * _FRAME_FPS / 1000.0).cast("long").alias("frame_idx"),
+    )
+
+
+# --- grouped-agg pandas UDF (§2.11 UDAF surface) -------------------------
+
+
+@query("gini_by_event_type")  # float-reduction order differs from SQL — rows-only
+def gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event values per type via a GROUPED_AGG
+    pandas UDF — the custom-UDAF surface: Arrow ships each group's
+    column to Python once, the UDAF returns one scalar per group
+    (ranked-sum formula over the sorted values, vectorized numpy).
+    Rows-only: numpy's pairwise float summation differs from any SQL
+    engine's reduction order in the last bits; the equivalence test
+    checks against the native window-formula twin at 1e-9."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def gini(v: pd.Series) -> float:
+        x = np.sort(v.to_numpy(dtype=np.float64))
+        n = len(x)
+        total = x.sum()
+        if n == 0 or total == 0.0:
+            return 0.0
+        ranks = np.arange(1, n + 1, dtype=np.float64)
+        return float((2.0 * (ranks * x).sum()) / (n * total) - (n + 1.0) / n)
+
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    return (
+        e.groupBy("event_type")
+        .agg(gini("value").alias("gini"))
+        .select("event_type", F.round("gini", 9).alias("gini"))
+    )
+
+
+def gini_native_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Gini formula as native window expressions (rank per group,
+    then one aggregate) — the verification twin for the UDAF."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type", "value", F.row_number().over(w).alias("r")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.sum(F.col("r") * F.col("value")).alias("rank_sum"),
+        )
+        .select(
+            "event_type",
+            (
+                (F.lit(2.0) * F.col("rank_sum")) / (F.col("n") * F.col("total"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n")
+            ).alias("gini"),
+        )
     )

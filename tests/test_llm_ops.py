@@ -345,3 +345,38 @@ def test_connected_components_chain_and_nonconvergence(spark):
     # an insufficient round budget must raise, not return split clusters
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes=nodes, max_iterations=1, driver_edge_cap=0)
+
+
+def test_gini_udaf_matches_native_formula(spark, sf_dir):
+    from fastetl_spark.operators.multimodal import gini_by_event_type, gini_native_twin
+
+    udaf = {r.event_type: r.gini for r in gini_by_event_type(spark, sf_dir).collect()}
+    native = {r.event_type: r.gini for r in gini_native_twin(spark, sf_dir).collect()}
+    assert set(udaf) == set(native)
+    for k in udaf:
+        assert abs(udaf[k] - native[k]) < 1e-9
+        assert 0.0 <= udaf[k] < 1.0
+
+
+def test_cogrouped_pandas_asof_matches_native(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.operators.asof import asof_join, asof_join_cogrouped_pandas
+    from fastetl_spark.io.readers import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    native = asof_join(
+        purchases, clicks.withColumnRenamed("cts", "ts"), "user_id", "ts", "ts", ["click_id"]
+    )
+    pandas_ver = asof_join_cogrouped_pandas(
+        purchases, clicks, "user_id", "ts", "cts", "click_id"
+    )
+    a = sorted((r.event_id, r.click_id) for r in native.collect())
+    b = sorted((r.event_id, r.click_id) for r in pandas_ver.collect())
+    assert a == b
