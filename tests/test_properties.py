@@ -155,3 +155,90 @@ def test_normalize_text_idempotent(spark, texts):
     for r in out:
         assert r["once"] == r["twice"]
         assert "  " not in r["once"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_table_checksum_order_and_layout_invariant(spark, rows):
+    from fastetl_spark.operators.sync import table_checksum
+
+    df = spark.createDataFrame(rows, "k long, s string")
+    a = {
+        r["bucket"]: (r["n_rows"], r["checksum"])
+        for r in table_checksum(df, "k", ["k", "s"], bucket_width=1000).collect()
+    }
+    shuffled = df.repartition(5).sortWithinPartitions("s")
+    b = {
+        r["bucket"]: (r["n_rows"], r["checksum"])
+        for r in table_checksum(shuffled, "k", ["k", "s"], bucket_width=1000).collect()
+    }
+    assert a == b  # XOR fold is row-order and partitioning independent
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 3, 16]),
+)
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain_agg(spark, rows, salt_n):
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.operators.partitioning import salted_agg
+
+    df = spark.createDataFrame(rows, "id long, k string, v long").withColumn(
+        "__val", F.col("v").cast("decimal(18,2)")
+    )
+    salted = {
+        r["k"]: (r["n"], r["total"])
+        for r in salted_agg(df, "k", "id", "__val", salt_n=salt_n).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["total"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__val").alias("total"))
+        .collect()
+    }
+    assert salted == plain  # any salt width, same exact answer
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(-100, 100)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_validate_split_is_a_partition(spark, rows):
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.plans.quarantine import validate_split
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    valid, rejects = validate_split(
+        df, [("pos", F.col("v") > 0), ("even", F.col("v") % 2 == 0)]
+    )
+    v_ids = {r["id"] for r in valid.collect()}
+    r_ids = {r["id"] for r in rejects.collect()}
+    assert v_ids | r_ids == {r[0] for r in rows}
+    assert not (v_ids & r_ids)
