@@ -260,3 +260,62 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+_STATE_AT_SQL = """
+WITH changes AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_id
+  FROM events
+), versions AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM changes
+  WHERE prev_type IS NULL OR prev_type <> event_type
+), hist AS (
+  SELECT user_id, event_type AS state_type, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+  FROM versions
+)
+SELECT p.event_id, p.user_id, p.ts, h.state_type,
+       h.valid_from AS state_since
+FROM events p JOIN hist h
+  ON h.user_id = p.user_id
+ AND h.valid_from <= p.ts
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+WHERE p.event_type = 'purchase'
+"""
+
+
+@query("event_state_at_time", _STATE_AT_SQL)
+def event_state_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal lookup: each purchase event joined to the SCD2 state
+    version that was CURRENT at its timestamp (valid_from <= ts <
+    valid_to) — the "what did the dimension say when the fact happened"
+    query that separates event-time-correct pipelines from
+    latest-state-joins. The interval condition rides on the user_id
+    equi-join, so the shuffle is the same as a plain key join; version
+    intervals partition each user's timeline, so every fact matches
+    exactly once (asserted by the oracle's row count)."""
+    from fastetl_spark.operators.relational4 import scd2_user_event_history
+
+    hist = scd2_user_event_history(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+    )
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return (
+        p.join(
+            hist,
+            (p.user_id == hist.user_id)
+            & (hist.valid_from <= p.ts)
+            & (hist.valid_to.isNull() | (p.ts < hist.valid_to)),
+        )
+        .select(
+            "event_id", p.user_id, "ts", "state_type",
+            F.col("valid_from").alias("state_since"),
+        )
+    )

@@ -129,3 +129,38 @@ def test_compact_parquet_dir_reduces_files(spark, sf_dir, tmp_path):
     after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert after == 1 and n_after == 1
     assert spark.read.parquet(path).count() == src.count()
+
+
+def test_manifest_ingest_is_incremental(spark, sf_dir, tmp_path):
+    from fastetl_spark.io.manifest import ingest_new_files
+    from fastetl_spark.io.readers import read_table
+
+    src = read_table(spark, sf_dir, "orders").limit(100).cache()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dest, manifest = str(tmp_path / "dest"), str(tmp_path / "manifest")
+
+    # wave 1: two files land
+    src.filter("o_orderkey % 2 = 0").coalesce(1).write.parquet(str(landing / "w1"))
+    import shutil
+
+    n = 0
+    for f in (landing / "w1").glob("*.parquet"):
+        shutil.move(str(f), str(landing / f"file{n}.parquet"))
+        n += 1
+    got1 = ingest_new_files(spark, str(landing), dest, manifest)
+    assert len(got1) == n
+    count1 = spark.read.parquet(dest).count()
+
+    # re-run with nothing new: no-op
+    assert ingest_new_files(spark, str(landing), dest, manifest) == []
+    assert spark.read.parquet(dest).count() == count1
+
+    # wave 2: one more file lands; only it is ingested
+    src.filter("o_orderkey % 2 = 1").coalesce(1).write.parquet(str(landing / "w2"))
+    for f in (landing / "w2").glob("*.parquet"):
+        shutil.move(str(f), str(landing / f"file{n}.parquet"))
+        n += 1
+    got2 = ingest_new_files(spark, str(landing), dest, manifest)
+    assert len(got2) == 1
+    assert spark.read.parquet(dest).count() == src.count()
