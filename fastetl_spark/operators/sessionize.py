@@ -312,3 +312,72 @@ def time_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_value").isNotNull().alias("observed"),
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --- session path analysis -----------------------------------------------
+
+_PATHS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@query("top_session_paths", _PATHS_SQL)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 20 most common within-session event-type
+    sequences — which journeys users actually take. Builds on the same
+    gap-sessionization window chain (one shuffle on user_id feeds lag,
+    cumsum, and the per-session ordered aggregation); the ordered
+    concatenation is array_sort(collect_list(struct)) — struct field
+    order (ts, event_id) IS the sort key, so the path is deterministic
+    under any partitioning. Final top-20 compiles to
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    numbered = (
+        e.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = numbered.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
