@@ -215,3 +215,23 @@ def value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_value"
         ),
     )
+
+
+_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+@query("intersect_buyers_viewers", _INTERSECT_SQL)
+def intersect_buyers_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantic INTERSECT (users who both purchased and viewed),
+    completing the set-op family (union_all_counts, except_open_...).
+    Spark's intersect is set-semantic like SQL INTERSECT; the planner
+    compiles it to a left-semi aggregate, not a double distinct +
+    join."""
+    e = read_table(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id")
+    return buyers.intersect(viewers)
