@@ -275,3 +275,32 @@ def string_function_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
         F.reverse("c_mktsegment").alias("segment_reversed"),
     )
+
+
+@query(
+    "variant_props_stats",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    parse_json ONCE into the binary variant encoding, then typed
+    variant_get extraction — the modern path for JSON columns
+    (string-path get_json_object, used by json_extract_props, re-parses
+    the text per access; variant parses once and its binary form is
+    columnar-friendly). At 100 TB the parse cost dominates JSON
+    pipelines, so parse-once-extract-many is the difference between one
+    and N text scans of every payload."""
+    e = read_table(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("pv"))
+    k = F.try_variant_get(F.col("pv"), "$.k", "bigint")
+    return (
+        v.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+    )
