@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -112,6 +113,56 @@ class LandingWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
+class LandingStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: each NEWLY LANDED chunk becomes part of the next
+    micro-batch. The offset is the count of chunks already processed in
+    sorted-name order, so the contract is append-only landing with
+    monotonically sortable chunk names (part-<seq>/uuid timestamps —
+    what every exporter produces); a chunk sorting BEFORE an already
+    processed name would be silently skipped, exactly like Spark's own
+    file source with latestFirst=false and a moved file."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fastetl_landing requires option 'path'")
+        self.schema = schema
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".jsonl")
+        )
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def _rows_for(self, files: list[str]):
+        names = [f.name for f in self.schema.fields]
+        for path in files:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    yield tuple(rec.get(n) for n in names)
+
+    def read(self, start: dict):
+        # materialized list, not a generator: the simple-reader protocol
+        # pickles the prefetched batch into the offset cache. Fine here
+        # by construction — landing chunks are connector-page sized.
+        files = self._files()
+        new = files[start["n"]:]
+        return list(self._rows_for(new)), {"n": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: deterministic because chunk files are
+        # immutable once landed
+        files = self._files()
+        return list(self._rows_for(files[start["n"]:end["n"]]))
+
+
 class LandingDataSource(DataSource):
     """`fastetl_landing` — JSONL-chunk landing zone as a first-class
     Spark source/sink via the Python DataSource API."""
@@ -132,3 +183,6 @@ class LandingDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> LandingWriter:
         return LandingWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> LandingStreamReader:
+        return LandingStreamReader(self.options, schema)

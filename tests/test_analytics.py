@@ -247,3 +247,52 @@ def test_landing_datasource_empty_dir_is_empty_frame(spark, tmp_path):
         .load()
     )
     assert df.count() == 0
+
+
+def test_landing_stream_reader_incremental(spark, tmp_path):
+    import json
+
+    from fastetl_spark.io.landing_source import LandingDataSource
+
+    spark.dataSource.register(LandingDataSource)
+    stage = tmp_path / "stream_stage"
+    stage.mkdir()
+
+    def land(seq, rows):
+        with open(stage / f"part-{seq:04d}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    land(0, [{"name": "a", "qty": 1}, {"name": "b", "qty": 2}])
+    land(1, [{"name": "c", "qty": 3}])
+
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("fastetl_landing")
+        .schema("name string, qty bigint")
+        .option("path", str(stage))
+        .load()
+    )
+    q = stream.writeStream.format("parquet").option("path", dest).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert spark.read.parquet(dest).count() == 3
+
+    # wave 2: only the new chunk flows on restart from the checkpoint
+    land(2, [{"name": "d", "qty": 4}])
+    stream2 = (
+        spark.readStream.format("fastetl_landing")
+        .schema("name string, qty bigint")
+        .option("path", str(stage))
+        .load()
+    )
+    q2 = stream2.writeStream.format("parquet").option("path", dest).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    got = sorted(
+        (r["name"], r["qty"]) for r in spark.read.parquet(dest).collect()
+    )
+    assert got == [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
