@@ -235,3 +235,42 @@ def intersect_buyers_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
     buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
     viewers = e.filter(F.col("event_type") == "view").select("user_id")
     return buyers.intersect(viewers)
+
+
+_VALUE_WINDOW_SQL = """
+SELECT event_id, user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type,
+       lead(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("value_window_cluster", _VALUE_WINDOW_SQL)
+def value_window_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window functions (first/last/nth/lead-with-default)
+    over the full partition frame — the frame must be explicit:
+    last_value over the DEFAULT frame (unbounded preceding..current row)
+    is a per-row identity, the classic silent-wrong-answer. Ordering
+    includes event_id so every positional answer is deterministic."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(full).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.nth_value("event_type", 2).over(full).alias("second_type"),
+        F.lead("event_type", 1, "none").over(seq).alias("next_type"),
+    )
