@@ -141,3 +141,27 @@ def test_robust_outlier_stats_broadcast_back(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "robust_outlier_events")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "props" not in plan
+
+
+def test_session_paths_top20_is_take_ordered(spark, sf_dir):
+    df = QUERIES["top_session_paths"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-20
+    # one shuffle for the user_id window chain, one for the path counts
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bitemporal_lookup_single_fact_shuffle(spark, sf_dir):
+    df = QUERIES["event_state_at_time"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the interval join rides the user_id key join; the fact side is
+    # shuffled once (window chain), never sorted globally
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_variant_parse_once_single_shuffle(spark, sf_dir):
+    df = QUERIES["variant_props_stats"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan  # aggregation stays map-side partial
