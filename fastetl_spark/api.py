@@ -115,6 +115,51 @@ class Engine:
     def clean(self, df: DataFrame, cleaners: list) -> tuple[DataFrame, DataFrame]:
         return CleaningPipeline(cleaners).run(df)
 
+    # --- data-quality / maintenance surface -------------------------------
+
+    def validate_split(self, df: DataFrame, rules: list) -> tuple[DataFrame, DataFrame]:
+        """Row-level validate-and-quarantine (plans/quarantine): rules
+        are (name, Column-predicate) pairs, True = valid. Returns
+        (valid, rejects-with-failed_rules)."""
+        from fastetl_spark.plans.quarantine import validate_split
+
+        return validate_split(df, rules)
+
+    def checksum(self, df: DataFrame, key_col: str, cols: list[str],
+                 bucket_width: int = 10_000) -> DataFrame:
+        """Per-key-range XOR content checksums (operators/sync) —
+        cross-engine comparable sync verification."""
+        from fastetl_spark.operators.sync import table_checksum
+
+        return table_checksum(df, key_col, cols, bucket_width)
+
+    def schema_drift(self, old_df: DataFrame, new_df: DataFrame,
+                     fail_on_breaking: bool = True) -> list:
+        """Column-level drift report between two frames' schemas
+        (meta/schema_diff); raises on removed/type-changed columns when
+        fail_on_breaking."""
+        from fastetl_spark.meta.schema_diff import (
+            assert_no_breaking_drift,
+            schema_diff,
+        )
+
+        if fail_on_breaking:
+            return assert_no_breaking_drift(old_df.schema, new_df.schema)
+        return schema_diff(old_df.schema, new_df.schema)
+
+    def compact(self, path: str, target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file compaction of a parquet directory (io/writers)."""
+        from fastetl_spark.io.writers import compact_parquet_dir
+
+        return compact_parquet_dir(self.spark, path, target_rows_per_file)
+
+    def ingest_new_files(self, src_dir: str, dest_path: str,
+                         manifest_path: str) -> list[str]:
+        """Manifest-committed incremental file ingestion (io/manifest)."""
+        from fastetl_spark.io.manifest import ingest_new_files
+
+        return ingest_new_files(self.spark, src_dir, dest_path, manifest_path)
+
 
 # --- operator-shaped wrappers (reference operator parity) ----------------
 

@@ -95,3 +95,26 @@ def test_engine_sql_passthrough(spark, sf_dir):
     register_views(spark, sf_dir)
     engine = Engine(spark)
     assert engine.sql("SELECT COUNT(*) AS n FROM region").first().n == 5
+
+
+def test_engine_quality_surface(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.api import Engine
+    from fastetl_spark.io.readers import read_table
+
+    eng = Engine(spark)
+    o = read_table(spark, sf_dir, "orders")
+
+    valid, rejects = eng.validate_split(o, [("pos", F.col("o_totalprice") > 0)])
+    assert valid.count() + rejects.count() == o.count()
+
+    cs = eng.checksum(o, "o_orderkey", ["o_orderkey", "o_orderstatus"])
+    assert cs.count() >= 1
+
+    drift = eng.schema_drift(o, o.withColumn("extra", F.lit(1)))
+    assert [c.kind for c in drift] == ["added"]
+
+    frag = str(tmp_path / "frag")
+    o.limit(50).repartition(8).write.parquet(frag)
+    assert eng.compact(frag, target_rows_per_file=10**9) == 1
