@@ -262,3 +262,48 @@ def epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.select("doc_id", "source", F.explode_outer(copies).alias("copy_idx"))
         .filter(F.col("copy_idx").isNotNull())
     )
+
+
+# --- deterministic weighted sampling (priority sampling) ------------------
+
+_PRIORITY_K = 50
+
+_PRIORITY_SQL = f"""
+WITH prio AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars
+FROM prio
+ORDER BY priority, doc_id
+LIMIT {_PRIORITY_K}
+"""
+
+
+@query("priority_sample_weighted", _PRIORITY_SQL)
+def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield et al.): each document draws a reproducible
+    uniform u from the md5 of its key, gets priority u / weight
+    (weight = n_chars, so longer documents are proportionally likelier),
+    and the k smallest priorities are the sample. Engine-portable by
+    construction: u is integer hash arithmetic and the priority is ONE
+    IEEE division (exactly rounded everywhere) — the textbook u^(1/w)
+    exponentiation would diverge across libm implementations in the
+    last ulp and flip near-ties. Top-k compiles to
+    TakeOrderedAndProject, so the corpus is never globally sorted."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    )
+    prio = d.select(
+        "doc_id", "lang", "n_chars", (u / F.col("n_chars").cast("double")).alias("priority")
+    )
+    return (
+        prio.orderBy("priority", "doc_id")
+        .limit(_PRIORITY_K)
+        .select("doc_id", "lang", "n_chars")
+    )
