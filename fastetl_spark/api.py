@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.readers import read_jdbc
 from fastetl_spark.io.writers import atomic_overwrite, select_intersection, write_csv
 from fastetl_spark.meta.load_info import LoadInfo
@@ -93,17 +94,53 @@ class Engine:
         deleted_keys: DataFrame | None = None,
         table_name: str = "",
     ) -> int:
-        """Incremental sync (§2.9): read both sides, merge, rewrite dest."""
+        """Incremental sync (§2.9): watermark -> diff -> merge.
+
+        Destination layouts, in order of preference:
+        - bucketed parquet (io/bucketed, created via `Engine.bucketize`
+          or `write_bucketed`): only the key-buckets the increment
+          touches are read and rewritten — O(|increment|) per sync, the
+          layout a 100 TB destination needs;
+        - plain parquet: full merge + atomic directory swap (correct and
+          crash-safe, but O(|destination|) per sync — the migration
+          target is the bucketed layout);
+        - anything else (jdbc/csv): staged full overwrite.
+        """
         src_df = self.read(source)
+        is_parquet = "jdbc" not in dest and dest.get("format", "parquet") == "parquet"
+        if is_parquet:
+            from fastetl_spark.io.bucketed import (
+                partial_merge,
+                read_bucket_spec,
+                read_bucketed,
+            )
+
+            spec = read_bucket_spec(self.spark, dest["path"])
+            if spec is not None:
+                dest_df = read_bucketed(self.spark, dest["path"])
+                if dest_df.isEmpty():
+                    raise ValueError(
+                        "destination table is empty — run a full load first"
+                    )
+                wm = dest_df.agg(F.max(watermark_col)).first()[0]
+                inc = src_df.filter(F.col(watermark_col) > F.lit(wm))
+                partial_merge(self.spark, dest["path"], inc, deleted_keys)
+                # total-rows metric from parquet footers only — no data scan
+                n = self.spark.read.parquet(dest["path"]).count()
+                if self.load_info:
+                    self.load_info.save(
+                        table_name or dest.get("path", ""), "incremental", n
+                    )
+                return n
         dest_df = self.read(dest)
         merged = incremental_sync(dest_df, src_df, keys, watermark_col, deleted_keys)
-        if "jdbc" not in dest and dest.get("format", "parquet") == "parquet":
+        if is_parquet:
             # Rewriting the path being read is not crash-safe with plain
             # parquet: stage + directory-swap so a mid-write failure never
             # leaves the destination deleted or partial.
             n = atomic_overwrite(merged, dest["path"])
         else:
-            staged = merged.localCheckpoint()  # materialize before the dest rewrite
+            staged = merged.transform(materialize)  # materialize before the dest rewrite
             self.write(staged, dest, mode="overwrite")
             n = staged.count()
         if self.load_info:
@@ -152,6 +189,15 @@ class Engine:
         from fastetl_spark.io.writers import compact_parquet_dir
 
         return compact_parquet_dir(self.spark, path, target_rows_per_file)
+
+    def bucketize(self, path: str, keys: list[str], n_buckets: int) -> None:
+        """Migrate a plain-parquet destination to the key-bucketed
+        layout (io/bucketed) so subsequent `sync` calls rewrite only the
+        buckets each increment touches instead of the whole
+        destination."""
+        from fastetl_spark.io.bucketed import bucketize
+
+        bucketize(self.spark, path, keys, n_buckets)
 
     def ingest_new_files(self, src_dir: str, dest_path: str,
                          manifest_path: str) -> list[str]:

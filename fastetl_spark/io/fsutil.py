@@ -1,0 +1,66 @@
+"""Hadoop FileSystem helpers shared by the directory-swap writers.
+
+All path manipulation goes through the Hadoop FileSystem API resolved
+from the target URI, so the same code works on file://, hdfs://,
+s3a://, ... (the driver's local POSIX tree is just one case). On
+object stores without atomic rename the swap degrades to copy+delete —
+a far smaller non-transactional window than an in-place overwrite, but
+prefer a table format with a commit log there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path class) for the filesystem owning ``path_str``."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(path_str).getFileSystem(conf)
+    return fs, path_cls
+
+
+def replace_dir(fs, path_cls, src_str: str, dst_str: str) -> None:
+    """Publish ``src`` over ``dst`` with a backup-and-rename swap: the
+    destination is either the old directory or the new one, never a
+    partial mix. On failure the old directory is restored."""
+    src = path_cls(src_str)
+    dst = path_cls(dst_str)
+    backup = path_cls(dst_str.rstrip("/") + ".__old__")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    had_dst = fs.exists(dst)
+    if had_dst and not fs.rename(dst, backup):
+        raise IOError(f"replace_dir: could not move {dst_str} aside")
+    if not fs.rename(src, dst):
+        if had_dst:
+            fs.rename(backup, dst)
+        raise IOError(f"replace_dir: could not publish {src_str} to {dst_str}")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+
+
+def write_text_file(spark: SparkSession, path_str: str, text: str) -> None:
+    """Write a small control file (spec/marker) through the Hadoop FS."""
+    fs, path_cls = hadoop_fs(spark, path_str)
+    out = fs.create(path_cls(path_str), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_file(spark: SparkSession, path_str: str) -> str | None:
+    """Read a small control file; None when absent."""
+    fs, path_cls = hadoop_fs(spark, path_str)
+    p = path_cls(path_str)
+    if not fs.exists(p):
+        return None
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()

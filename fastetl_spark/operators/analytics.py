@@ -261,22 +261,37 @@ _RI_SQL = "\nUNION ALL\n".join(
 )
 
 
+# Parents with at most this many keys get an explicit broadcast hint
+# (~8 MB of int64 — always under any executor's broadcast budget). Above
+# it, NO hint: AQE picks broadcast vs shuffled anti-join from measured
+# sizes. A forced hint on a big parent (orders is a parent of lineitem;
+# at 100x scale its key projection is tens of GB) would bypass that
+# size-based choice and OOM the driver.
+_RI_BROADCAST_MAX_KEYS = 1_000_000
+
+
 @query("referential_integrity_report", _RI_SQL)
 def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan audit over every FK relation of the star schema — the
     data-quality gate a warehouse load runs before publishing. Each
     relation is one LEFT ANTI join on the KEY PROJECTIONS only (two
-    int64 columns shuffle, never rows); parent key sets are dimension
-    tables, so at scale each anti join broadcasts. The report itself is
-    five one-row aggregates unioned — constant output size regardless
-    of data volume."""
+    int64 columns shuffle, never rows). The broadcast hint is size-gated
+    on parquet footer row counts (same pattern as similarity.ann_topk):
+    dimension parents broadcast, large parents are left to AQE. The
+    report itself is five one-row aggregates unioned — constant output
+    size regardless of data volume."""
     frames = []
     for rel, child, fk, parent, pk in _FK_RELATIONS:
         c = read_table(spark, sf_dir, child).select(F.col(fk))
-        p = read_table(spark, sf_dir, parent).select(F.col(pk))
+        p_raw = read_table(spark, sf_dir, parent)
+        # footer-only count on the raw scan, BEFORE the projection
+        p_rows = p_raw.count()
+        p = p_raw.select(F.col(pk))
+        if p_rows <= _RI_BROADCAST_MAX_KEYS:
+            p = F.broadcast(p)
         n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
         n_orph = (
-            c.join(F.broadcast(p), F.col(fk) == F.col(pk), "left_anti")
+            c.join(p, F.col(fk) == F.col(pk), "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
         )
         frames.append(

@@ -69,14 +69,25 @@ def full_copy(
     (case-insensitive, fast_etl.py:84-89,290-310), minus ignores
     (db_to_csv_operator.py:63-72), truncate-or-append, then log the row
     count (fast_etl.py:343-356). Returns rows written."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     df = source
     if dest_columns:
         df = select_intersection(df, dest_columns)
     if columns_to_ignore:
         df = df.drop(*columns_to_ignore)
     mode = "overwrite" if truncate else "append"
+    # row-count metric rides on the write itself (observe) — one scan,
+    # no second job re-executing the source plan
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     df.write.mode(mode).parquet(dest_path)
-    n = df.sparkSession.read.parquet(dest_path).count() if not truncate else df.count()
+    n = int(obs.get["n_rows"])
+    if not truncate:
+        # append logs the destination TOTAL, like the reference's
+        # post-load count — parquet footer metadata only, no data scan
+        n = df.sparkSession.read.parquet(dest_path).count()
     if load_info is not None:
         load_info.save(table_name or dest_path, "full" if truncate else "append", n)
     return n
@@ -110,8 +121,14 @@ def copy_by_key_ranges(
         if os.path.exists(os.path.join(part_path, "_SUCCESS")):
             written[part_path] = -1  # already present: skipped (resume)
         else:
-            chunk = source.filter(F.col(key_column).between(lo, hi))
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            chunk = source.filter(F.col(key_column).between(lo, hi)).observe(
+                obs, F.count(F.lit(1)).alias("n_rows")
+            )
             chunk.write.mode("overwrite").parquet(part_path)
-            written[part_path] = chunk.count()
+            # count observed on the write job — no re-scan of the range
+            written[part_path] = int(obs.get["n_rows"])
         lo = hi + 1
     return written

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.operators.dedup import (
     _COMPONENTS_CTES_SQL,
@@ -123,7 +124,7 @@ def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("stop_hits"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("local_cum", F.sum("n_words").over(local_w)).localCheckpoint()
+    local = ranged.withColumn("local_cum", F.sum("n_words").over(local_w)).transform(materialize)
     totals = {
         r["pid"]: r["t"]
         for r in local.groupBy("pid").agg(F.sum("n_words").alias("t")).collect()
@@ -190,7 +191,7 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
     sh = toks.select(
         "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
-    ).localCheckpoint()
+    ).transform(materialize)
     ex = sh.select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
@@ -311,7 +312,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = wins.select(
         "doc_id", "pos", F.md5(F.substring(F.col("text"), F.col("pos"), _SUB_WIN)).alias("h")
-    ).localCheckpoint()
+    ).transform(materialize)
     a, b = hashed.alias("a"), hashed.alias("b")
     return a.join(
         b,

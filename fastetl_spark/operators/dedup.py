@@ -21,6 +21,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
@@ -193,21 +194,34 @@ def ngram_jaccard_pairs(
         # materialize: the shingle table feeds two shuffles; at 100 TB a
         # dedup pipeline persists this stage (reliable checkpoint dir on
         # a cluster; executor-local here)
-        .localCheckpoint()
+        .transform(materialize)
     )
-    groups = (
-        ex.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
-        .filter(F.size("docs") >= 2)
-    )
+    # two-phase df-cap: count each shingle's document frequency FIRST
+    # (cheap map-side-combinable count shuffle), keep only 2 <= df <= cap,
+    # and semi-join survivors back before collect_list. The order matters
+    # at scale: filtering on size(docs) AFTER collect_list bounds the
+    # OUTPUT but not the aggregation BUFFER — one stopword-grade shingle
+    # in 10^8 docs would materialize a multi-GB array in a single task
+    # before being dropped. Here the hot bucket is eliminated as a
+    # (shingle, count) row and never aggregates its doc list; the
+    # collect_list buffer is bounded by df_cap (and singleton shingles —
+    # the vast majority — never reach it either).
+    counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if observation is not None and df_cap is not None:
+        counts = counts.observe(
+            observation,
+            F.sum((F.col("df") > df_cap).cast("long")).alias("dropped_buckets"),
+            F.max("df").alias("max_df"),
+        )
+    keep = F.col("df") >= 2
     if df_cap is not None:
-        if observation is not None:
-            groups = groups.observe(
-                observation,
-                F.sum((F.size("docs") > df_cap).cast("long")).alias("dropped_buckets"),
-                F.max(F.size("docs")).alias("max_df"),
-            )
-        groups = groups.filter(F.size("docs") <= df_cap)
+        keep = keep & (F.col("df") <= df_cap)
+    survivors = counts.filter(keep).select("shingle")
+    groups = (
+        ex.join(survivors, "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+    )
     docs = F.col("docs")
     combos = F.flatten(
         F.transform(
@@ -311,7 +325,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shingles",
         F.transform("shingles", lambda s: F.pmod(s, F.lit(_M31))).alias("hs"),
-    ).localCheckpoint()  # feeds both the signature and the verify branch
+    ).transform(materialize)  # feeds both the signature and the verify branch
     sigs = hashed.select("doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
     # verify candidates with exact jaccard (small candidate set)
@@ -359,7 +373,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = tok.select("doc_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("hs"))
     sims = hashed.select(
         "doc_id", simhash64_from_hashes(F.col("hs")).alias("sim")
-    ).localCheckpoint()  # 64-expression fold; never recompute it per join side
+    ).transform(materialize)  # 64-expression fold; never recompute it per join side
     seg = sims.select(
         "doc_id",
         "sim",
@@ -496,7 +510,7 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     if edges.count() <= driver_edge_cap:
         resolved = _union_find_components(
@@ -512,7 +526,7 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     changed = 0
     for _ in range(max_iterations):
@@ -528,7 +542,7 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 (F.coalesce("nbr_label", "label") < F.col("label")).cast("long").alias("chg"),
             )
-        ).localCheckpoint()
+        ).transform(materialize)
         changed = new_labels.agg(F.sum("chg")).first()[0] or 0
         labels = new_labels.drop("chg")
         if changed == 0:
@@ -600,7 +614,7 @@ def doc_dup_pairs(d: DataFrame) -> DataFrame:
     jacc = ngram_jaccard_pairs(d).select("doc_a", "doc_b")
     fp = d.select(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
-    ).localCheckpoint()
+    ).transform(materialize)
     a, b = fp.alias("a"), fp.alias("b")
     fp_pairs = a.join(
         b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))

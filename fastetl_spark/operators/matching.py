@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
@@ -46,7 +47,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = (
         ensure_parallelism(read_table(spark, sf_dir, "part"))
         .select("p_name").distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     a = names.select(F.col("p_name").alias("name_a"), F.length("p_name").alias("len_a"))
     b = names.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("len_b"))

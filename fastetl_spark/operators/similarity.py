@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
@@ -327,7 +328,7 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
-    c = c.withColumn("cell", F.element_at(assign1("cv"), 1)).localCheckpoint()
+    c = c.withColumn("cell", F.element_at(assign1("cv"), 1)).transform(materialize)
     probe_n = _probe_cells_udf(centroids, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")

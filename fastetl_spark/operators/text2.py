@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.readers import ensure_parallelism, read_table, register_views
 from fastetl_spark.registry import query
 
@@ -62,7 +63,7 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = tok.filter(F.size("tokens") >= _WINNOW_K).select(
         "doc_id", gen.alias("hs")
-    ).localCheckpoint()
+    ).transform(materialize)
     windows_min = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(F.col("hs")) - (_WINNOW_W - 1), F.lit(1))),
@@ -112,7 +113,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", l2_norm(F.col("e")))
         .withColumn("h", F.slice("e", 1, head))
         .withColumn("rn", l2_norm(F.slice("e", head + 1, 10_000)))
-        .localCheckpoint()
+        .transform(materialize)
     )
     a = v.select(*[F.col(c).alias(f"{c}_a") for c in v.columns])
     b = v.select(*[F.col(c).alias(f"{c}_b") for c in v.columns])

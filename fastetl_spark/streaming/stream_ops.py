@@ -82,10 +82,24 @@ def foreach_batch_merge(
     dest_path: str,
     keys: list[str],
     checkpoint_dir: str,
+    n_buckets: int | None = None,
 ):
     """Streaming upsert: each micro-batch merges into the parquet
     destination (update-join + anti-join insert, §2.9 steps 4-7).
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery.
+
+    With ``n_buckets`` set (or when the destination already carries a
+    bucket spec), the destination uses the key-bucketed layout
+    (io/bucketed): each micro-batch reads and rewrites ONLY the buckets
+    it touches — O(|batch|) per trigger instead of O(|destination|),
+    which is what keeps a continuously-merged 100 TB destination
+    feasible. Without it, the fallback is the full merge + atomic
+    directory swap (correct, but rewrites everything every batch)."""
+    from fastetl_spark.io.bucketed import (
+        partial_merge,
+        read_bucket_spec,
+        write_bucketed,
+    )
     from fastetl_spark.io.writers import atomic_overwrite, read_parquet_if_exists
     from fastetl_spark.operators.sync import merge_upsert
 
@@ -95,6 +109,15 @@ def foreach_batch_merge(
         # Absence is detected explicitly; a read/merge *error* propagates
         # and fails the batch instead of silently overwriting the
         # destination with only the current micro-batch.
+        spec = read_bucket_spec(spark, dest_path)
+        if spec is not None:
+            partial_merge(spark, dest_path, batch)
+            return
+        if n_buckets:
+            # first batch of a bucketed destination: full initial load
+            # (spec file committed last, so a crash here is just "absent")
+            write_bucketed(batch, dest_path, keys, n_buckets)
+            return
         dest = read_parquet_if_exists(spark, dest_path)
         merged = batch if dest is None else merge_upsert(dest, batch.select(*dest.columns), keys)
         # staging-dir + directory swap: parquet is not transactional

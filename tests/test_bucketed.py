@@ -1,0 +1,243 @@
+"""Key-bucketed destination (io/bucketed): the partial-MERGE layout.
+
+The core scale claim under test: an increment touching 1 of N buckets
+rewrites exactly that bucket — every other bucket's files survive
+byte-identical (same paths, same modification times). Plus semantic
+equivalence against the full-frame merge operators, deletion handling,
+the Engine.sync integration, and the streaming foreachBatch path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.bucketed import (
+    BUCKET_COL,
+    bucket_id,
+    bucketize,
+    partial_merge,
+    read_bucket_spec,
+    read_bucketed,
+    read_buckets_for_keys,
+    write_bucketed,
+)
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.operators.sync import delete_sync, merge_upsert
+
+N_BUCKETS = 8
+
+
+def _bucket_listing(path: str) -> dict[int, dict[str, float]]:
+    """{bucket_id: {file_path: mtime}} for every bucket dir."""
+    out: dict[int, dict[str, float]] = {}
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        d = os.path.join(path, entry)
+        out[b] = {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        }
+    return out
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_write_read_roundtrip_and_spec(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "nation_b")
+    nation = read_table(spark, sf_dir, "nation")
+    write_bucketed(nation, dest, ["n_nationkey"], N_BUCKETS)
+
+    spec = read_bucket_spec(spark, dest)
+    assert spec == {"version": 1, "keys": ["n_nationkey"], "n_buckets": N_BUCKETS}
+
+    back = read_bucketed(spark, dest)
+    assert BUCKET_COL not in back.columns
+    assert _rows(back, nation.columns) == _rows(nation, nation.columns)
+
+
+def test_partial_merge_rewrites_only_touched_bucket(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "nation_b")
+    nation = read_table(spark, sf_dir, "nation")
+    write_bucketed(nation, dest, ["n_nationkey"], N_BUCKETS)
+    before = _bucket_listing(dest)
+    assert len(before) > 1  # 25 keys over 8 buckets: several dirs exist
+
+    inc = nation.filter(F.col("n_nationkey") == 7).withColumn(
+        "n_name", F.lit("UPDATED")
+    )
+    stats = partial_merge(spark, dest, inc)
+    assert stats["n_buckets"] == N_BUCKETS
+    assert stats["buckets_touched"] == 1
+
+    (touched_bucket,) = [
+        r[0] for r in inc.select(bucket_id(["n_nationkey"], N_BUCKETS)).collect()
+    ]
+    after = _bucket_listing(dest)
+    assert set(after) == set(before)
+    for b, files in before.items():
+        if b == touched_bucket:
+            continue  # the one rewritten bucket
+        assert after[b] == files, f"untouched bucket {b} was rewritten"
+
+    got = read_bucketed(spark, dest)
+    assert got.count() == nation.count()
+    assert (
+        got.filter(F.col("n_nationkey") == 7).first().n_name == "UPDATED"
+    )
+
+
+def test_partial_merge_matches_full_merge(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "orders_b")
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    inc = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    dels = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+
+    write_bucketed(base, dest, ["o_orderkey"], N_BUCKETS)
+    partial_merge(spark, dest, inc, deleted_keys=dels)
+
+    expected = delete_sync(
+        merge_upsert(base, inc.select(*base.columns), ["o_orderkey"]),
+        dels,
+        ["o_orderkey"],
+    )
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    assert _rows(read_bucketed(spark, dest), cols) == _rows(expected, cols)
+
+
+def test_partial_merge_new_keys_land_in_new_buckets(spark, tmp_path):
+    dest = str(tmp_path / "tiny_b")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_bucketed(df, dest, ["id"], 4)
+    existing = set(_bucket_listing(dest))
+
+    # append keys until one lands in a bucket with no directory yet
+    newbies = spark.createDataFrame(
+        [(i, f"new{i}") for i in range(3, 40)], "id long, v string"
+    )
+    stats = partial_merge(spark, dest, newbies)
+    assert stats["buckets_touched"] >= len(existing)
+    got = read_bucketed(spark, dest)
+    assert got.count() == 2 + 37
+    assert set(_bucket_listing(dest)) >= existing
+
+
+def test_partial_merge_delete_can_empty_a_bucket(spark, tmp_path):
+    dest = str(tmp_path / "del_b")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, v string")
+    write_bucketed(df, dest, ["id"], 4)
+    # delete every key in one bucket
+    tagged = df.withColumn("b", bucket_id(["id"], 4))
+    victim = tagged.first().b
+    dels = tagged.filter(F.col("b") == victim).select("id")
+    n_deleted = dels.count()
+    empty_inc = df.limit(0)
+    partial_merge(spark, dest, empty_inc, deleted_keys=dels)
+
+    assert victim not in _bucket_listing(dest)
+    got = read_bucketed(spark, dest)
+    assert got.count() == 20 - n_deleted
+    assert got.join(dels, on="id", how="left_semi").count() == 0
+
+
+def test_read_buckets_for_keys_point_lookup(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "cust_b")
+    customer = read_table(spark, sf_dir, "customer")
+    write_bucketed(customer, dest, ["c_custkey"], N_BUCKETS)
+    wanted = customer.select("c_custkey").limit(5)
+    got = read_buckets_for_keys(spark, dest, wanted)
+    assert got.count() == 5
+    assert BUCKET_COL not in got.columns
+    assert set(r.c_custkey for r in got.collect()) == set(
+        r.c_custkey for r in wanted.collect()
+    )
+
+
+def test_bucketize_migration_then_engine_sync(spark, sf_dir, tmp_path):
+    from fastetl_spark.api import Engine
+
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") <= F.lit("2000-01-01").cast("timestamp"))
+    dest = str(tmp_path / "dest")
+    old.write.parquet(dest)
+    src = str(tmp_path / "src")
+    orders.write.parquet(src)
+
+    eng = Engine(spark)
+    eng.bucketize(dest, ["o_orderkey"], N_BUCKETS)
+    assert read_bucket_spec(spark, dest) is not None
+
+    n = eng.sync(
+        {"path": src}, {"path": dest}, keys=["o_orderkey"], watermark_col="o_orderdate"
+    )
+    assert n == orders.count()
+    got = read_bucketed(spark, dest)
+    assert got.count() == orders.count()
+    assert got.select("o_orderkey").distinct().count() == orders.count()
+    # still a bucketed destination after the sync
+    assert read_bucket_spec(spark, dest)["n_buckets"] == N_BUCKETS
+
+
+def test_partial_merge_requires_spec(spark, tmp_path):
+    plain = str(tmp_path / "plain")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    df.write.parquet(plain)
+    with pytest.raises(ValueError, match="bucket_spec"):
+        partial_merge(spark, plain, df)
+
+
+def test_foreach_batch_merge_bucketed(spark, sf_dir, tmp_path):
+    from fastetl_spark.streaming.stream_ops import (
+        foreach_batch_merge,
+        read_events_stream,
+    )
+
+    events_dir = str(tmp_path / "events")
+    read_table(spark, sf_dir, "events").repartition(4).write.parquet(events_dir)
+    dest = str(tmp_path / "dest")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = foreach_batch_merge(
+        stream,
+        dest_path=dest,
+        keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=N_BUCKETS,
+    )
+    q.awaitTermination(180)
+    assert read_bucket_spec(spark, dest)["n_buckets"] == N_BUCKETS
+    got = read_bucketed(spark, dest)
+    src = spark.read.parquet(events_dir)
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()
+
+
+def test_materialize_reliable_checkpoint_mode(spark, sf_dir, tmp_path):
+    from fastetl_spark.checkpointing import (
+        enable_reliable_checkpoints,
+        materialize,
+        reliable_checkpoint_dir,
+    )
+
+    nation = read_table(spark, sf_dir, "nation")
+    local_result = _rows(materialize(nation), nation.columns)
+    assert reliable_checkpoint_dir(spark) is None
+    try:
+        enable_reliable_checkpoints(spark, str(tmp_path / "ckpt"))
+        assert reliable_checkpoint_dir(spark) is not None
+        reliable = materialize(nation)
+        assert _rows(reliable, nation.columns) == local_result
+        # the reliable path actually wrote checkpoint data to the dir
+        assert any((tmp_path / "ckpt").rglob("*"))
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert reliable_checkpoint_dir(spark) is None

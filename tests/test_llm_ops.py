@@ -259,7 +259,16 @@ def test_ngram_jaccard_df_cap_defuses_hot_shingle(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
 
     obs = Observation()
-    pairs = ngram_jaccard_pairs(df, df_cap=64, observation=obs).collect()
+    result = ngram_jaccard_pairs(df, df_cap=64, observation=obs)
+    # plan shape: the df-cap must act BEFORE collect_list (semi-join of
+    # count-survivors under the list aggregate), so a hot shingle never
+    # materializes its doc array in an aggregation buffer at all
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert plan.index("collect_list") < plan.rindex("LeftSemi"), (
+        "collect_list must sit above the df-cap semi-join"
+    )
+    pairs = result.collect()
     got = {(r.doc_a, r.doc_b) for r in pairs}
     assert (1001, 1002) in got
     # without the cap the hot shingle alone contributes C(302,2) ≈ 45k

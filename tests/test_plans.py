@@ -135,6 +135,23 @@ def test_referential_integrity_antijoins_broadcast(spark, sf_dir):
     assert plan.count("LeftAnti, BuildRight") >= 5 or plan.count("BroadcastHashJoin") >= 5
 
 
+def test_referential_integrity_broadcast_is_gated_not_forced(spark, sf_dir, monkeypatch):
+    """When a parent exceeds the broadcast gate, the anti-join must be
+    left to AQE's size-based choice (shuffled anti-join here, with the
+    auto threshold off) — a forced F.broadcast on a 100x-scale orders
+    key projection would OOM the driver."""
+    from fastetl_spark.operators import analytics
+
+    monkeypatch.setattr(analytics, "_RI_BROADCAST_MAX_KEYS", 0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "referential_integrity_report")
+        assert "BroadcastHashJoin" not in plan  # no hint slipped through
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def test_robust_outlier_stats_broadcast_back(spark, sf_dir):
     # tiny per-type med/mad frames must broadcast onto events, and the
     # events scan must prune to (event_type, value)
