@@ -39,7 +39,9 @@ DB_TO_SPARK: dict[str, T.DataType] = {
     "bit": T.BooleanType(),
     "float": T.FloatType(),
     "real": T.FloatType(),
+    "float4": T.FloatType(),
     "double": T.DoubleType(),
+    "float8": T.DoubleType(),
     "timestamp": T.TimestampType(),
     "datetime": T.TimestampType(),
     "datetime2": T.TimestampType(),

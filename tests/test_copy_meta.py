@@ -390,3 +390,90 @@ def test_watermark_store_reads_pre_upgrade_schema(spark, tmp_path):
     # new-format rows written on top take over, typed
     store.set("t1", 42)
     assert store.get("t1") == 42
+
+
+def test_reflection_ddl_roundtrip_postgresql():
+    """Schema -> CREATE TABLE -> parse back: equal under the type
+    mapping (reference create_table.py:296-340 reflection round trip)."""
+    from fastetl_spark.io.reflection import create_table_ddl, parse_create_table_ddl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("tiny", T.ShortType()),
+            T.StructField("price", T.DecimalType(38, 13)),
+            T.StructField("ratio", T.DoubleType()),
+            T.StructField("active", T.BooleanType()),
+            T.StructField("created", T.TimestampType()),
+            T.StructField("birth", T.DateType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    ddl = create_table_ddl("t", schema, "postgresql", schema_name="public",
+                           lengths={"name": 120})
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS public.t (")
+    assert "id BIGINT NOT NULL" in ddl
+    assert "price NUMERIC(38,13)" in ddl
+    assert "name VARCHAR(120)" in ddl
+    assert "payload BYTEA" in ddl
+    back = parse_create_table_ddl(ddl)
+    assert back == schema
+
+
+def test_reflection_ddl_roundtrip_mssql_overrides():
+    """The reference's mssql overrides survive the trip: BIT <-> Boolean,
+    DATETIME2 <-> Timestamp, VARCHAR(MAX) for long strings
+    (create_table.py:276-282; types_mapping.yml:2-20)."""
+    from fastetl_spark.io.reflection import create_table_ddl, parse_create_table_ddl
+
+    schema = T.StructType(
+        [
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("blob_text", T.StringType()),
+            T.StructField("amount", T.DecimalType(38, 8)),
+        ]
+    )
+    ddl = create_table_ddl("t", schema, "mssql", if_not_exists=False,
+                           lengths={"blob_text": 9000})
+    assert "flag BIT" in ddl
+    assert "ts DATETIME2" in ddl
+    assert "blob_text VARCHAR(MAX)" in ddl
+    assert "amount DECIMAL(38,8)" in ddl
+    assert parse_create_table_ddl(ddl) == schema
+
+
+def test_reflection_inspector_columns_and_numeric_default():
+    """Inspector-style column dicts (the reference's get_columns shape)
+    map through the same rules: NUMERIC with no precision ->
+    NUMERIC(38,13), precision overflow -> (38,8), unknown -> string."""
+    from fastetl_spark.io.reflection import create_table_ddl, reflect_columns_to_schema
+
+    schema = reflect_columns_to_schema(
+        [
+            {"name": "id", "type": "bigint", "nullable": False},
+            {"name": "v", "type": "numeric"},
+            {"name": "big", "type": "decimal", "precision": 50, "scale": 10},
+            {"name": "mystery", "type": "hstore"},
+        ]
+    )
+    assert schema["id"].dataType == T.LongType() and not schema["id"].nullable
+    assert schema["v"].dataType == T.DecimalType(38, 13)
+    assert schema["big"].dataType == T.DecimalType(38, 8)
+    assert schema["mystery"].dataType == T.StringType()
+    ddl = create_table_ddl("dest", schema, "postgresql")
+    assert "big NUMERIC(38,8)" in ddl
+
+
+def test_source_to_dest_ddl_from_dataframe(spark):
+    """Any readable source's DataFrame schema emits the dest DDL in one
+    call — the Spark analog of reflect-source -> create_all."""
+    from fastetl_spark.io.reflection import parse_create_table_ddl, source_to_dest_ddl
+
+    df = spark.createDataFrame([(1, "a", 2.5)], "id long, name string, score double")
+    ddl = source_to_dest_ddl(df, "scores", dialect="postgresql")
+    back = parse_create_table_ddl(ddl)
+    assert [f.name for f in back.fields] == ["id", "name", "score"]
+    assert back["score"].dataType == T.DoubleType()
