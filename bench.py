@@ -86,18 +86,45 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    # scaling-curve guard: the heaviest queries also run at the next
+    # sf down; wall-time ratio across a 10x data step should stay well
+    # under ~25x (fixed overheads keep it below linear at these sizes —
+    # a ratio past the guard means accidental super-linear work, the
+    # kind that would explode long before 100 TB). Reported, not
+    # asserted: the bench must still emit its JSON line either way.
+    scaling: dict[str, dict] = {}
+    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(
+        sf_dir.rstrip("/")
+    ):
+        heavy = sorted(timings, key=timings.get, reverse=True)[:5]
+        for name in heavy:
+            fn = queries[name]
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, small_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            ratio = timings[name] / best if best > 0 else float("inf")
+            scaling[name] = {
+                "small_sec": round(best, 3),
+                "big_sec": timings[name],
+                "ratio": round(ratio, 2),
+                "ok": ratio < 25.0,
             }
-        )
-    )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scaling:
+        out["scaling"] = scaling
+        out["scaling_ok"] = all(s["ok"] for s in scaling.values())
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -97,6 +97,9 @@ class Engine:
         """Incremental sync (§2.9): watermark -> diff -> merge.
 
         Destination layouts, in order of preference:
+        - Delta (``format: "delta"``, needs delta-spark installed): one
+          transactional MERGE INTO — file-pruned partial rewrite plus
+          cross-file atomicity (operators/delta_merge);
         - bucketed parquet (io/bucketed, created via `Engine.bucketize`
           or `write_bucketed`): only the key-buckets the increment
           touches are read and rewritten — O(|increment|) per sync, the
@@ -107,6 +110,18 @@ class Engine:
         - anything else (jdbc/csv): staged full overwrite.
         """
         src_df = self.read(source)
+        if dest.get("format") == "delta":
+            from fastetl_spark.operators.delta_merge import merge_into_delta, require_delta
+
+            require_delta()
+            dest_df = self.read(dest)
+            wm = dest_df.agg(F.max(watermark_col)).first()[0]
+            inc = src_df if wm is None else src_df.filter(F.col(watermark_col) > F.lit(wm))
+            merge_into_delta(self.spark, dest["path"], inc, keys, deleted_keys)
+            n = self.read(dest).count()
+            if self.load_info:
+                self.load_info.save(table_name or dest.get("path", ""), "incremental", n)
+            return n
         is_parquet = "jdbc" not in dest and dest.get("format", "parquet") == "parquet"
         if is_parquet:
             from fastetl_spark.io.bucketed import (

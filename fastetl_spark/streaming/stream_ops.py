@@ -83,18 +83,22 @@ def foreach_batch_merge(
     keys: list[str],
     checkpoint_dir: str,
     n_buckets: int | None = None,
+    fmt: str = "parquet",
 ):
     """Streaming upsert: each micro-batch merges into the parquet
     destination (update-join + anti-join insert, §2.9 steps 4-7).
     Returns the StreamingQuery.
 
-    With ``n_buckets`` set (or when the destination already carries a
-    bucket spec), the destination uses the key-bucketed layout
-    (io/bucketed): each micro-batch reads and rewrites ONLY the buckets
-    it touches — O(|batch|) per trigger instead of O(|destination|),
-    which is what keeps a continuously-merged 100 TB destination
-    feasible. Without it, the fallback is the full merge + atomic
-    directory swap (correct, but rewrites everything every batch)."""
+    With ``fmt="delta"`` (delta-spark installed), every micro-batch is
+    ONE transactional MERGE INTO (operators/delta_merge) — file-pruned
+    partial rewrite, atomic commit. With ``n_buckets`` set (or when the
+    destination already carries a bucket spec), the destination uses
+    the key-bucketed plain-parquet layout (io/bucketed): each
+    micro-batch reads and rewrites ONLY the buckets it touches —
+    O(|batch|) per trigger instead of O(|destination|), which is what
+    keeps a continuously-merged 100 TB destination feasible. Without
+    either, the fallback is the full merge + atomic directory swap
+    (correct, but rewrites everything every batch)."""
     from fastetl_spark.io.bucketed import (
         partial_merge,
         read_bucket_spec,
@@ -103,9 +107,19 @@ def foreach_batch_merge(
     from fastetl_spark.io.writers import atomic_overwrite, read_parquet_if_exists
     from fastetl_spark.operators.sync import merge_upsert
 
+    if fmt == "delta":
+        from fastetl_spark.operators.delta_merge import require_delta
+
+        require_delta()  # fail at wiring time, not on the first batch
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(keys)
+        if fmt == "delta":
+            from fastetl_spark.operators.delta_merge import merge_into_delta
+
+            merge_into_delta(spark, dest_path, batch, keys)
+            return
         # Absence is detected explicitly; a read/merge *error* propagates
         # and fails the batch instead of silently overwriting the
         # destination with only the current micro-batch.
