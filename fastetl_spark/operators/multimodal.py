@@ -108,7 +108,19 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "byte_size", "checksum", "media_type")
 
 
-@query("multimodal_features")  # mapInPandas fake-decode — rows-only check
+# the stub decode is deterministic arithmetic on the payload byte size,
+# so the flat feature table has an exact SQL oracle — the Arrow/
+# mapInPandas plumbing is what the query actually exercises
+_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS feat_dim
+FROM documents
+"""
+
+
+@query("multimodal_features", _FEATURES_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline shape: binary wrap -> Arrow-batched
     feature extraction (stubbed decode) -> flat feature table."""

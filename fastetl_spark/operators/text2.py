@@ -46,20 +46,51 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K = 4  # k-gram size (words)
 _WINNOW_W = 5  # window of consecutive k-gram hashes to take minima over
 
+# md5 hex strings as the k-gram hash: any hash works for Schleimer
+# winnowing, and md5 is bit-identical across engines — which is what
+# lets this query carry a full DuckDB oracle instead of a rows-only
+# check (xxhash64 exists only in Spark).
+_WINNOW_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - {_WINNOW_K - 1}),
+                        i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS hs
+  FROM tok WHERE len(t) >= {_WINNOW_K}
+), fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+             i -> list_min(hs[i:i+{_WINNOW_W - 1}]))) AS f
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(len(f) AS INTEGER) AS n_fingerprints,
+       list_min(f) AS min_fp
+FROM fps
+"""
 
-@query("doc_winnowing_fingerprints")  # xxhash-based — rows-only check
+
+@query("doc_winnowing_fingerprints", _WINNOW_SQL)
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (Schleimer et al.): k-gram rolling hashes, keep the
     minimum per sliding window — a compact, position-robust fingerprint
-    set for plagiarism-style matching. Pure array expressions."""
-    from fastetl_spark.operators.dedup import shingle_hashes, word_tokens
+    set for plagiarism-style matching. Pure array expressions; the
+    k-gram hash is md5 (engine-portable), so the result is exactly
+    oracle-checkable."""
+    from fastetl_spark.operators.dedup import word_tokens
 
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
     # ordered (non-distinct) k-gram hashes
     gen = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(F.col("tokens")) - (_WINNOW_K - 1), F.lit(0))),
-        lambda i: F.xxhash64(*[F.element_at(F.col("tokens"), i + k) for k in range(_WINNOW_K)]),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("tokens"), i + k) for k in range(_WINNOW_K)]
+            )
+        ),
     )
     hashed = tok.filter(F.size("tokens") >= _WINNOW_K).select(
         "doc_id", gen.alias("hs")
