@@ -27,6 +27,7 @@ HEADLINE = [
     "qa_log_pipeline",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_increment_vs_corpus",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
     "lang_id",

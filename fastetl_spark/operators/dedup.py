@@ -639,3 +639,121 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     comp = resolve_doc_components(d)
     return comp.withColumn("is_canonical", F.col("component") == F.col("doc_id"))
+
+
+# --- incremental dedup: new batch vs existing corpus ---------------------
+
+_INC_SPLIT_MOD = 7  # stand-in split for the registered query: doc_id % 7
+
+_INC_DEDUP_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= {_SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tokens) - {_SHINGLE_N - 1}),
+                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM shingled
+), corpus AS (
+  SELECT * FROM ex WHERE doc_id % {_INC_SPLIT_MOD} != 0
+), inc AS (
+  SELECT * FROM ex WHERE doc_id % {_INC_SPLIT_MOD} = 0
+), kept AS (
+  SELECT shingle FROM corpus GROUP BY shingle
+  HAVING COUNT(*) <= {_JACCARD_DF_CAP}
+), pair_counts AS (
+  SELECT c.doc_id AS corpus_doc, i.doc_id AS new_doc,
+         MAX(c.n_sh) AS n_c, MAX(i.n_sh) AS n_i, COUNT(*) AS shared
+  FROM corpus c JOIN inc i ON c.shingle = i.shingle
+  WHERE c.shingle IN (SELECT shingle FROM kept)
+  GROUP BY c.doc_id, i.doc_id
+)
+SELECT new_doc, corpus_doc, shared,
+       shared * 1.0 / (n_c + n_i - shared) AS jaccard
+FROM pair_counts
+WHERE shared * 1.0 / (n_c + n_i - shared) >= {_JACCARD_THRESHOLD}
+"""
+
+
+def incremental_jaccard_matches(
+    corpus: DataFrame,
+    increment: DataFrame,
+    shingle_n: int = _SHINGLE_N,
+    threshold: float = _JACCARD_THRESHOLD,
+    df_cap: int | None = _JACCARD_DF_CAP,
+) -> DataFrame:
+    """Near-dup matches of a NEW document batch against an EXISTING
+    corpus — the shape continuous corpus curation actually runs: the
+    corpus is 100 TB, the increment is a day's crawl, and the job must
+    cost O(|increment|), never O(|corpus|^2) or a corpus self-join.
+
+    Scale order of operations (each step shrinks the corpus side):
+    1. the increment's distinct shingle set (small — bounded by the
+       batch) semi-joins the exploded corpus FIRST, so corpus shingles
+       that cannot match anything are dropped at the scan;
+    2. the df-cap count-filters the PRUNED corpus shingles before any
+       pairing (two-phase, same rationale as ngram_jaccard_pairs — a
+       stopword shingle never builds its pair bucket);
+    3. only then does the equi-join on shingle produce candidate pairs,
+       grouped to exact jaccard from integer counts.
+
+    Both inputs are (doc_id, text) frames; sides must be key-disjoint.
+    Returns (new_doc, corpus_doc, shared, jaccard >= threshold).
+    """
+    def explode_side(d: DataFrame, id_alias: str, n_alias: str) -> DataFrame:
+        tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
+        sh = tok.select(
+            "doc_id", shingle_hashes(F.col("tokens"), shingle_n).alias("shingles")
+        )
+        return (
+            sh.select(
+                F.col("doc_id").alias(id_alias),
+                F.size("shingles").alias(n_alias),
+                F.explode_outer("shingles").alias("shingle"),
+            )
+            .filter(F.col("shingle").isNotNull())
+        )
+
+    ex_i = explode_side(increment, "new_doc", "n_i").transform(materialize)
+    ex_c = explode_side(corpus, "corpus_doc", "n_c")
+    # step 1: prune the corpus explode to shingles the increment has.
+    # The distinct increment shingle set is batch-bounded; AQE
+    # broadcasts it when it fits, so the corpus side is filtered
+    # without shuffling the corpus.
+    inc_shingles = ex_i.select("shingle").distinct()
+    ex_c = ex_c.join(inc_shingles, on="shingle", how="left_semi").transform(materialize)
+    # step 2: df-cap on the pruned corpus side, counts before any pairing
+    if df_cap is not None:
+        survivors = (
+            ex_c.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        ex_c = ex_c.join(survivors, on="shingle", how="left_semi")
+    # step 3: candidate pairs by shingle equi-join, exact jaccard
+    pairs = (
+        ex_c.join(ex_i, on="shingle")
+        .groupBy("new_doc", "corpus_doc")
+        .agg(
+            F.max("n_c").alias("n_c"),
+            F.max("n_i").alias("n_i"),
+            F.count(F.lit(1)).alias("shared"),
+        )
+    )
+    jac = F.col("shared") * 1.0 / (F.col("n_c") + F.col("n_i") - F.col("shared"))
+    return pairs.select(
+        "new_doc", "corpus_doc", "shared", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+@query("dedup_increment_vs_corpus", _INC_DEDUP_SQL)
+def dedup_increment_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of incremental_jaccard_matches: every 7th doc is
+    'the new batch', the rest are 'the corpus'."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    inc = d.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
+    return incremental_jaccard_matches(corpus, inc)

@@ -389,3 +389,44 @@ def test_cogrouped_pandas_asof_matches_native(spark, sf_dir):
     a = sorted((r.event_id, r.click_id) for r in native.collect())
     b = sorted((r.event_id, r.click_id) for r in pandas_ver.collect())
     assert a == b
+
+
+def test_incremental_dedup_matches_only_cross_side(spark):
+    """New-batch-vs-corpus dedup: a planted near-dup across the split is
+    found, within-side duplicates are NOT reported (the corpus is never
+    self-joined), and a hot shingle shared by everything is capped."""
+    import random
+
+    from fastetl_spark.operators.dedup import incremental_jaccard_matches
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    hot = "the quick fox"
+    body = [rng.choice(vocab) for _ in range(40)]
+    near = list(body)
+    near[7] = "changed"
+    other = [rng.choice(vocab) for _ in range(40)]
+    corpus_rows = [(1, " ".join(body)), (2, " ".join(body)), (3, " ".join(other))]
+    corpus_rows += [
+        (10 + i, f"{hot} " + " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(200)
+    ]
+    inc_rows = [(1001, " ".join(near)), (1002, " ".join(other))]
+    inc_rows += [
+        (1100 + i, f"{hot} " + " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(50)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+
+    got = {
+        (r.new_doc, r.corpus_doc)
+        for r in incremental_jaccard_matches(corpus, inc, df_cap=64).collect()
+    }
+    # the planted cross-side near-dups match BOTH identical corpus docs
+    assert (1001, 1) in got and (1001, 2) in got
+    assert (1002, 3) in got
+    # within-side duplicate pair (1,2) must never appear in any column
+    # combination, and the hot shingle contributes no pairs
+    assert all(nd >= 1000 and cd < 1000 for nd, cd in got)
+    assert len(got) < 20
