@@ -33,9 +33,19 @@ class Engine:
     """SparkSession-backed engine: read anything, write anything, sync,
     clean, passthrough SQL (the reference's whole operator surface)."""
 
-    def __init__(self, spark: SparkSession, load_log_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        load_log_path: str | None = None,
+        watermark_store_path: str | None = None,
+    ):
         self.spark = spark
         self.load_info = LoadInfo(spark, load_log_path) if load_log_path else None
+        self.watermark_store = None
+        if watermark_store_path:
+            from fastetl_spark.operators.sync import WatermarkStore
+
+            self.watermark_store = WatermarkStore(spark, watermark_store_path)
 
     # --- io ---------------------------------------------------------------
 
@@ -132,14 +142,29 @@ class Engine:
 
             spec = read_bucket_spec(self.spark, dest["path"])
             if spec is not None:
-                dest_df = read_bucketed(self.spark, dest["path"])
-                if dest_df.isEmpty():
-                    raise ValueError(
-                        "destination table is empty — run a full load first"
-                    )
-                wm = dest_df.agg(F.max(watermark_col)).first()[0]
+                # watermark from the control table when configured — a
+                # MAX over the destination would be a full scan, exactly
+                # the O(|destination|) cost the bucketed layout removes.
+                # Fallback (no store / first run): scan once, then the
+                # store takes over.
+                wm = None
+                if self.watermark_store is not None:
+                    wm = self.watermark_store.get(table_name or dest["path"])
+                if wm is None:
+                    dest_df = read_bucketed(self.spark, dest["path"])
+                    if dest_df.isEmpty():
+                        raise ValueError(
+                            "destination table is empty — run a full load first"
+                        )
+                    wm = dest_df.agg(F.max(watermark_col)).first()[0]
                 inc = src_df.filter(F.col(watermark_col) > F.lit(wm))
+                if self.watermark_store is not None:
+                    inc = inc.transform(materialize)  # two consumers below
                 partial_merge(self.spark, dest["path"], inc, deleted_keys)
+                if self.watermark_store is not None:
+                    new_wm = inc.agg(F.max(watermark_col)).first()[0]
+                    if new_wm is not None:
+                        self.watermark_store.set(table_name or dest["path"], new_wm)
                 # total-rows metric from parquet footers only — no data scan
                 n = self.spark.read.parquet(dest["path"]).count()
                 if self.load_info:

@@ -241,3 +241,39 @@ def test_materialize_reliable_checkpoint_mode(spark, sf_dir, tmp_path):
     finally:
         spark.sparkContext.setCheckpointDir(None)
     assert reliable_checkpoint_dir(spark) is None
+
+
+def test_engine_sync_bucketed_watermark_store(spark, sf_dir, tmp_path):
+    """With a watermark store, sync never scans the destination for its
+    MAX watermark: the second (no-new-data) sync reads the stored value,
+    finds an empty increment, and touches zero buckets — every bucket
+    file survives byte-identical."""
+    from fastetl_spark.api import Engine
+    from fastetl_spark.operators.sync import WatermarkStore
+
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    dest = str(tmp_path / "dest")
+    orders.filter(F.col("o_orderdate") <= cutoff).write.parquet(dest)
+    src = str(tmp_path / "src")
+    orders.write.parquet(src)
+
+    wm_path = str(tmp_path / "wm_state")
+    eng = Engine(spark, watermark_store_path=wm_path)
+    eng.bucketize(dest, ["o_orderkey"], N_BUCKETS)
+
+    n = eng.sync(
+        {"path": src}, {"path": dest}, keys=["o_orderkey"], watermark_col="o_orderdate"
+    )
+    assert n == orders.count()
+    # the store holds the source max now
+    stored = WatermarkStore(spark, wm_path).get(dest)
+    true_max = orders.agg(F.max("o_orderdate")).first()[0]
+    assert stored == true_max
+
+    before = _bucket_listing(dest)
+    n2 = eng.sync(
+        {"path": src}, {"path": dest}, keys=["o_orderkey"], watermark_col="o_orderdate"
+    )
+    assert n2 == orders.count()
+    assert _bucket_listing(dest) == before, "no-op sync rewrote buckets"
