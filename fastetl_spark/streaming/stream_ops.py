@@ -77,6 +77,74 @@ def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "2 hours")
     return stream.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def make_merge_batch(
+    dest_path: str,
+    keys: list[str],
+    n_buckets: int | None = None,
+    fmt: str = "parquet",
+):
+    """The foreachBatch merge body, as a standalone callable so batch
+    redelivery can be tested directly (and reused outside a stream).
+
+    Redelivery contract: a committed batch_id is recorded as a marker
+    file AFTER its merge publishes (``dest.__commits__/<batch_id>``), so
+    a redelivered micro-batch — Structured Streaming replays the last
+    batch after any restart that crashed between sink write and
+    checkpoint commit — is skipped instead of re-merged. The marker is
+    written last: a crash between merge and marker re-applies the merge
+    on replay, which is safe because the merge is idempotent (keyed
+    upsert), so the destination converges either way — effectively-once
+    on top of the at-least-once trigger. Delta destinations skip the
+    marker dance: the MERGE itself is transactional.
+    """
+    from fastetl_spark.io.bucketed import (
+        partial_merge,
+        read_bucket_spec,
+        write_bucketed,
+    )
+    from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
+    from fastetl_spark.io.writers import atomic_overwrite, read_parquet_if_exists
+    from fastetl_spark.operators.sync import merge_upsert
+
+    commits_dir = dest_path.rstrip("/") + ".__commits__"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(keys)
+        if fmt == "delta":
+            from fastetl_spark.operators.delta_merge import merge_into_delta
+
+            merge_into_delta(spark, dest_path, batch, keys)
+            return
+        marker = f"{commits_dir}/{int(batch_id)}"
+        fs, path_cls = hadoop_fs(spark, dest_path)
+        if fs.exists(path_cls(marker)):
+            return  # redelivered batch: already merged and committed
+        # Absence is detected explicitly; a read/merge *error* propagates
+        # and fails the batch instead of silently overwriting the
+        # destination with only the current micro-batch.
+        spec = read_bucket_spec(spark, dest_path)
+        if spec is not None:
+            partial_merge(spark, dest_path, batch)
+        elif n_buckets:
+            # first batch of a bucketed destination: full initial load
+            # (spec file committed last, so a crash here is just "absent")
+            write_bucketed(batch, dest_path, keys, n_buckets)
+        else:
+            dest = read_parquet_if_exists(spark, dest_path)
+            merged = (
+                batch if dest is None else merge_upsert(dest, batch.select(*dest.columns), keys)
+            )
+            # staging-dir + directory swap: parquet is not transactional
+            # (with Delta this whole function is one MERGE INTO), so the
+            # swap keeps readers and crash-recovery from ever seeing a
+            # truncated destination.
+            atomic_overwrite(merged, dest_path)
+        write_text_file(spark, marker, "")  # commit marker, after publish
+
+    return merge_batch
+
+
 def foreach_batch_merge(
     stream: DataFrame,
     dest_path: str,
@@ -98,50 +166,16 @@ def foreach_batch_merge(
     O(|batch|) per trigger instead of O(|destination|), which is what
     keeps a continuously-merged 100 TB destination feasible. Without
     either, the fallback is the full merge + atomic directory swap
-    (correct, but rewrites everything every batch)."""
-    from fastetl_spark.io.bucketed import (
-        partial_merge,
-        read_bucket_spec,
-        write_bucketed,
-    )
-    from fastetl_spark.io.writers import atomic_overwrite, read_parquet_if_exists
-    from fastetl_spark.operators.sync import merge_upsert
-
+    (correct, but rewrites everything every batch). Batch redelivery
+    after a restart is absorbed by the commit-marker log (see
+    make_merge_batch)."""
     if fmt == "delta":
         from fastetl_spark.operators.delta_merge import require_delta
 
         require_delta()  # fail at wiring time, not on the first batch
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(keys)
-        if fmt == "delta":
-            from fastetl_spark.operators.delta_merge import merge_into_delta
-
-            merge_into_delta(spark, dest_path, batch, keys)
-            return
-        # Absence is detected explicitly; a read/merge *error* propagates
-        # and fails the batch instead of silently overwriting the
-        # destination with only the current micro-batch.
-        spec = read_bucket_spec(spark, dest_path)
-        if spec is not None:
-            partial_merge(spark, dest_path, batch)
-            return
-        if n_buckets:
-            # first batch of a bucketed destination: full initial load
-            # (spec file committed last, so a crash here is just "absent")
-            write_bucketed(batch, dest_path, keys, n_buckets)
-            return
-        dest = read_parquet_if_exists(spark, dest_path)
-        merged = batch if dest is None else merge_upsert(dest, batch.select(*dest.columns), keys)
-        # staging-dir + directory swap: parquet is not transactional
-        # (with Delta this whole function is one MERGE INTO), so the
-        # swap keeps readers and crash-recovery from ever seeing a
-        # truncated destination.
-        atomic_overwrite(merged, dest_path)
-
     return (
-        stream.writeStream.foreachBatch(merge_batch)
+        stream.writeStream.foreachBatch(make_merge_batch(dest_path, keys, n_buckets, fmt))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -182,3 +182,32 @@ def test_foreach_batch_quarantine_splits_stream(spark, events_dir, tmp_path):
     ).count()
     assert rejects.filter(F.array_contains("failed_rules", "type_known")).count() == n_bad_type
     assert "failed_rules" not in valid.columns
+
+
+def test_merge_batch_redelivery_is_skipped(spark, tmp_path):
+    """Structured Streaming replays the last micro-batch after a restart
+    that crashed between sink write and checkpoint commit. A replayed
+    (batch_id, data) must be a no-op: the commit marker written after
+    the first merge short-circuits the redelivery."""
+    import os
+
+    from fastetl_spark.streaming.stream_ops import make_merge_batch
+
+    dest = str(tmp_path / "dest")
+    merge = make_merge_batch(dest, keys=["id"])
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    merge(b0, 0)
+    assert sorted(r.v for r in spark.read.parquet(dest).collect()) == ["a", "b"]
+
+    # redelivery of batch 0 with DIFFERENT payload (worst case): must be
+    # ignored — the first commit won
+    b0_replay = spark.createDataFrame([(1, "X"), (2, "Y")], "id long, v string")
+    merge(b0_replay, 0)
+    assert sorted(r.v for r in spark.read.parquet(dest).collect()) == ["a", "b"]
+
+    # the next batch id applies normally
+    merge(spark.createDataFrame([(2, "b2"), (3, "c")], "id long, v string"), 1)
+    got = {r.id: r.v for r in spark.read.parquet(dest).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    assert os.path.isdir(dest + ".__commits__")
