@@ -354,3 +354,51 @@ def ivf_topk(
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     return ivf_topk(e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding")
+
+
+# --- per-dimension embedding sanity profile ------------------------------
+
+# comparison/count-only stats (no float arithmetic): distributed float
+# SUMs are order-dependent across engines, so a mean/std column could
+# never hash-match an oracle — while count/min/max/zero/nonfinite are
+# exact on any engine and are what an embedding-QA gate actually checks
+# (dead dims, exploded dims, NaN leakage from a bad encoder shard).
+_DIM_PROFILE_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(v) AS min_v,
+       MAX(v) AS max_v,
+       CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(CASE WHEN isnan(v) OR isinf(v) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonfinite
+FROM ex GROUP BY dim
+"""
+
+
+@query("embedding_dim_profile", _DIM_PROFILE_SQL)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile: row count, min/max, zero and
+    non-finite counts — the pre-flight gate before ANN indexing or
+    training (a dead dimension, a blown-up dimension, or NaNs from one
+    bad encoder shard each corrupt a whole similarity index).
+
+    One scan + posexplode + a single (dim)-keyed aggregate with map-side
+    partials; output is |dims| rows regardless of corpus size."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    ex = e.select(F.posexplode("embedding").alias("dim0", "v"))
+    nonfinite = F.isnan("v") | F.col("v").isin(float("inf"), float("-inf"))
+    return (
+        ex.groupBy((F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+            F.sum(F.when(nonfinite, 1).otherwise(0)).cast("long").alias("n_nonfinite"),
+        )
+    )

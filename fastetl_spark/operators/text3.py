@@ -264,3 +264,60 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(contrib).cast("double").alias("rarity_score"),
         )
     )
+
+
+# --- TF-IDF-style distinctive terms (integer-rank form) ------------------
+
+_DISTINCT_TERMS_K = 3
+
+# rank by (tf DESC, df ASC, term ASC): the same ordering TF-IDF induces
+# for a fixed doc (tf up, idf monotonically down in df) but computed on
+# integers only — no log/float, so the oracle is exact and the ranking
+# has a total order (term tiebreak), deterministic across engines.
+_DISTINCT_TERMS_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex WHERE term != '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_DISTINCT_TERMS_K}
+"""
+
+
+@query("doc_distinctive_terms", _DISTINCT_TERMS_SQL)
+def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_DISTINCT_TERMS_K} distinctive terms per document — keyword
+    extraction for corpus exploration/labeling. TF-IDF's ordering on
+    integer (tf, df) pairs, no floats: frequent-in-doc wins, common-in-
+    corpus loses, term string breaks ties.
+
+    Scale shape: the tf aggregate shuffles once on (doc_id, term); the
+    df aggregate reduces tf (already per-term) map-side; the df table
+    is vocabulary-sized, so AQE broadcasts it back onto tf; the top-k
+    window shuffles by doc_id only. No corpus self-joins."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    ex = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, on="term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DISTINCT_TERMS_K)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
