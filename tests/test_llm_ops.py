@@ -430,3 +430,39 @@ def test_incremental_dedup_matches_only_cross_side(spark):
     # combination, and the hot shingle contributes no pairs
     assert all(nd >= 1000 and cd < 1000 for nd, cd in got)
     assert len(got) < 20
+
+
+def test_corpus_curator_funnel_and_single_pass(spark):
+    """Planted digit spam, short docs, and exact dups must fall at the
+    right stage; all stage counts come from observations on the ONE
+    action (no per-stage count jobs); filters fuse into the scan."""
+    from fastetl_spark.plans.curation_pipeline import CorpusCurator
+    from pyspark.sql import functions as F
+
+    base = "word " * 30  # 150 chars, passes the length floor
+    rows = [
+        (1, base + "alpha"),
+        (2, base + "alpha"),          # exact dup of 1 -> dropped at dedup
+        (3, base.upper() + "ALPHA"),  # normalized dup of 1 -> dropped
+        (4, "short doc"),             # dropped at min_length
+        (5, base + "123456789 " * 12),  # digit-heavy -> dropped at ratio
+        (6, base + "unique tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_digits = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    curator = (
+        CorpusCurator()
+        .filter("min_length", F.length("text") >= 100)
+        .filter("digit_ratio", n_digits * 100 <= 30 * F.length("text"))
+        .dedup_exact_normalized()
+    )
+    curated, stats = curator.run(df)
+    kept = sorted(r.doc_id for r in curated.collect())  # the one action
+    assert kept == [1, 6]
+    got = {name: n for _, name, n in stats()}
+    assert got == {
+        "raw": 6,
+        "min_length": 5,      # doc 4 out
+        "digit_ratio": 4,     # doc 5 out
+        "dedup_normalized": 2,  # docs 2, 3 out (1 canonical by min id)
+    }
