@@ -53,6 +53,9 @@ HEADLINE = [
     "sync_checksum_ranges",
     "quarantine_rejects",
     "hll_weekly_users_rollup",
+    "doc_distinctive_terms",
+    "embedding_dim_profile",
+    "curation_pipeline_stats",
 ]
 
 

@@ -242,3 +242,37 @@ def test_validate_split_is_a_partition(spark, rows):
     r_ids = {r["id"] for r in rejects.collect()}
     assert v_ids | r_ids == {r[0] for r in rows}
     assert not (v_ids & r_ids)
+
+
+@given(
+    st.data(),
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_partial_merge_equals_full_merge_property(spark, tmp_path_factory, data):
+    """For ANY (base, increment, deletions) drawn over a small key
+    space, the bucketed partial merge must equal the full-frame
+    merge_upsert + delete_sync composition — including increments with
+    brand-new keys, deletions of absent keys, and empty feeds."""
+    from fastetl_spark.io.bucketed import partial_merge, read_bucketed, write_bucketed
+    from fastetl_spark.operators.sync import delete_sync, merge_upsert
+
+    keyspace = list(range(20))
+    base_keys = data.draw(st.sets(st.sampled_from(keyspace), min_size=1))
+    inc_keys = data.draw(st.sets(st.sampled_from(keyspace)))
+    del_keys = data.draw(st.sets(st.sampled_from(keyspace)))
+
+    dest = str(tmp_path_factory.mktemp("pm") / "dest")
+    base = spark.createDataFrame([(k, f"b{k}") for k in sorted(base_keys)], "id long, v string")
+    inc = spark.createDataFrame(
+        [(k, f"i{k}") for k in sorted(inc_keys)], "id long, v string"
+    )
+    dels = spark.createDataFrame([(k,) for k in sorted(del_keys)], "id long")
+
+    write_bucketed(base, dest, ["id"], 4)
+    partial_merge(spark, dest, inc, deleted_keys=dels)
+
+    got = sorted(tuple(r) for r in read_bucketed(spark, dest).collect())
+    expected_df = delete_sync(merge_upsert(base, inc, ["id"]), dels, ["id"])
+    expected = sorted(tuple(r) for r in expected_df.collect())
+    assert got == expected
