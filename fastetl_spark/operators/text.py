@@ -190,3 +190,51 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --- encoding QA: mojibake / replacement-char detection ------------------
+
+# the classic UTF-8-read-as-Latin-1 artifacts ("Ã©" where
+# e-acute was meant, "â€™" for a typographic apostrophe)
+# plus the decoder replacement char U+FFFD — a crawl shard that was
+# double-decoded shows up here long before a language model chokes on
+# it. Built from \u escapes so the pattern is byte-identical in Spark's
+# Java regex and DuckDB's RE2 (the source file stays pure ASCII).
+_MOJIBAKE_PAT = (
+    "(\u00C3[\u0080-\u00BF]"      # A-tilde + Latin-1 continuation byte
+    # a-circumflex + euro + the third mojibake byte as either its C1
+    # control (Latin-1 view) or its cp1252 glyph (what users see)
+    "|\u00E2\u20AC[\u0098\u0099\u009C\u009D\u00A2\u00A6\u2122\u02DC\u0153]"
+    "|\uFFFD)"                      # decoder replacement char
+)
+_NON_ASCII_PAT = "[^\\x00-\\x7F]"
+
+_ENCODING_QA_SQL = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '{_MOJIBAKE_PAT}', '', 'g'))
+            AS BIGINT) AS n_mojibake_chars,
+       CAST(len(regexp_extract_all(text, '{_NON_ASCII_PAT}')) AS BIGINT)
+           AS n_non_ascii,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@query("encoding_qa", _ENCODING_QA_SQL)
+def encoding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding sanity: count of mojibake artifact chars
+    (UTF-8 double-decode sequences, U+FFFD replacement), non-ASCII
+    chars, and total length — the shard-level gate that catches a
+    mis-decoded crawl source. Pure native regexes, one scan, fuses
+    into codegen with any other per-doc metric."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", _MOJIBAKE_PAT, ""))
+        ).cast("long").alias("n_mojibake_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(_NON_ASCII_PAT), 0))
+        .cast("long")
+        .alias("n_non_ascii"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
