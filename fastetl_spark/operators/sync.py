@@ -346,3 +346,89 @@ def sync_checksum_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(
         o, "o_orderkey", ["o_orderkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+# --- snapshot diff -------------------------------------------------------
+
+_SNAPSHOT_CUTOFF = "1997-01-01"
+_DIFF_MOD = 13
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate <= TIMESTAMP '{_SNAPSHOT_CUTOFF}'
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_DIFF_MOD} = 0
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two snapshots of a keyed table: each key is
+    'added' (new only), 'removed' (old only), 'changed' (present in
+    both, any compare column differs — null-safe), or 'unchanged'.
+
+    The reconciliation report a sync pipeline runs to explain what an
+    increment did (and the debugging tool when two systems disagree —
+    pair with sync_checksum_ranges to find WHICH ranges disagree, then
+    this to see the rows). One full-outer sort-merge join keyed on
+    `keys` — both sides shuffle once; on bucketed destinations
+    (io/bucketed) with matching specs the bucket ids serve as the
+    co-location hint. Output is (keys..., status): project before
+    joining so only keys + compared columns move."""
+    # presence comes from literal sentinels, not data nullability: a
+    # full-outer miss nulls EVERY column of the missing side, and a
+    # compare column may legitimately be null on a real row
+    joined = (
+        old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+        .withColumn("__o_present", F.lit(1))
+        .join(
+            new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+            .withColumn("__n_present", F.lit(1)),
+            on=keys,
+            how="full_outer",
+        )
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__o_present").isNull(), F.lit("added"))
+        .when(F.col("__n_present").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*keys, status.alias("status"))
+
+
+@query("snapshot_diff_orders", _SNAPSHOT_DIFF_SQL)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: 'old' = orders at the {_SNAPSHOT_CUTOFF}
+    snapshot, 'new' = current orders with every {_DIFF_MOD}th price
+    restated — exercises added + changed + unchanged in one run."""
+    from fastetl_spark.io.readers import ensure_parallelism
+
+    orders = ensure_parallelism(read_table(spark, sf_dir, "orders"))
+    old = orders.filter(
+        F.col("o_orderdate") <= F.lit(_SNAPSHOT_CUTOFF).cast("timestamp")
+    )
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % _DIFF_MOD == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])

@@ -118,3 +118,27 @@ def test_engine_quality_surface(spark, sf_dir, tmp_path):
     frag = str(tmp_path / "frag")
     o.limit(50).repartition(8).write.parquet(frag)
     assert eng.compact(frag, target_rows_per_file=10**9) == 1
+
+
+def test_snapshot_diff_all_statuses(spark):
+    """added / removed / changed / unchanged, with null-safe compares:
+    a null->value change and a value->null change both count as
+    'changed'; identical nulls are 'unchanged'."""
+    from fastetl_spark.operators.sync import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "d", 40.0)],
+        "id long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (5, "e", 50.0)],
+        "id long, v string, x double",
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, ["id"], ["v", "x"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",    # x: null -> 20.0
+        3: "unchanged",  # v: null == null (null-safe)
+        4: "removed",
+        5: "added",
+    }
