@@ -230,6 +230,16 @@ class Engine:
 
         return compact_parquet_dir(self.spark, path, target_rows_per_file)
 
+    def zorder_write(
+        self, df: DataFrame, path: str, cols: list[str], n_files: int = 16
+    ) -> None:
+        """Write parquet laid out on the Z-curve of `cols` (io/zorder):
+        per-file min-max stats become selective on every listed column,
+        so filters on any of them prune files at planning time."""
+        from fastetl_spark.io.zorder import zorder_write
+
+        zorder_write(df, path, cols, n_files=n_files)
+
     def bucketize(self, path: str, keys: list[str], n_buckets: int) -> None:
         """Migrate a plain-parquet destination to the key-bucketed
         layout (io/bucketed) so subsequent `sync` calls rewrite only the
