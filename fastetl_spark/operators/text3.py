@@ -305,10 +305,16 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is vocabulary-sized, so AQE broadcasts it back onto tf; the top-k
     window shuffles by doc_id only. No corpus self-joins."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    from fastetl_spark.checkpointing import materialize
+
     ex = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregate and the join: materialize it so the
+    # corpus is tokenized once, not once per consumer
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).transform(
+        materialize
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql.window import Window
 
