@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fastetl_spark.registry import query
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -289,3 +291,85 @@ def foreach_batch_quarantine(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- driver-checkable streaming query ------------------------------------
+
+_STREAM_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@query("streaming_tumbling_counts", _STREAM_TUMBLING_SQL)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run under the correctness gate: the
+    events parquet is consumed as a file-source stream (availableNow),
+    aggregated with groupBy(window(ts, '1 hour')), drained into a
+    memory sink, and the final complete-mode table is returned — so the
+    DuckDB oracle checks exact batch-stream equivalence, not a batch
+    re-derivation. This is the equivalence the foreachBatch/production
+    sinks rely on, here proven per-round by the driver itself."""
+    import uuid
+
+    from fastetl_spark.functions.stable import dec
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # probe the batch footer for the ts physical type (same adaptive
+    # rule as io.readers.read_table): TIMESTAMP(NANOS) surfaces as long
+    # under the conf and needs a div-1000 repair; plain micros reads as
+    # a timestamp directly. The file source needs a fixed schema, so
+    # the probe decides which schema to stream with.
+    ts_is_nanos = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+        == "bigint"
+    )
+    schema = _EVENTS_NANOS_SCHEMA if ts_is_nanos else EVENTS_SCHEMA
+    # the file source wants a DIRECTORY; select just the events table
+    # out of the shared fixture dir with a glob
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    e = raw
+    if ts_is_nanos:
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "st_tumbling_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
