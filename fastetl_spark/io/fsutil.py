@@ -64,3 +64,44 @@ def read_text_file(spark: SparkSession, path_str: str) -> str | None:
         return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
+
+
+_LEFTOVER_SUFFIXES = ("__staging__", "__old__", "__merge_staging__", "__bucketize_staging__")
+
+
+def vacuum_dest(spark: SparkSession, path: str, keep_commit_markers: int = 1000) -> dict:
+    """Maintenance sweep for a swap-published destination: remove
+    leftover staging/backup directories (a crash between write and
+    swap strands them — they are never referenced by readers, only
+    re-created by the next write) and trim the streaming commit-marker
+    log to the newest `keep_commit_markers` batch ids (markers exist to
+    absorb redelivery of the LAST batch after a restart; anything far
+    older is dead weight on the namenode/listing).
+
+    Safe to run concurrently with readers: nothing under the live
+    destination directory itself is touched. Do NOT run concurrently
+    with an in-flight merge on the same destination — the merge's own
+    staging dir looks identical to a stranded one.
+
+    Returns {"dirs_removed": [...], "markers_removed": n}.
+    """
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    removed = []
+    for suffix in _LEFTOVER_SUFFIXES:
+        p = path_cls(f"{base}.{suffix}")
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(f"{base}.{suffix}")
+    markers_removed = 0
+    commits = path_cls(f"{base}.__commits__")
+    if fs.exists(commits):
+        ids = []
+        for status in fs.listStatus(commits):
+            name = status.getPath().getName()
+            if name.isdigit():
+                ids.append(int(name))
+        for batch_id in sorted(ids)[:-keep_commit_markers] if keep_commit_markers else sorted(ids):
+            fs.delete(path_cls(f"{base}.__commits__/{batch_id}"), False)
+            markers_removed += 1
+    return {"dirs_removed": removed, "markers_removed": markers_removed}

@@ -277,3 +277,33 @@ def test_engine_sync_bucketed_watermark_store(spark, sf_dir, tmp_path):
     )
     assert n2 == orders.count()
     assert _bucket_listing(dest) == before, "no-op sync rewrote buckets"
+
+
+def test_vacuum_dest_removes_leftovers_keeps_data(spark, tmp_path):
+    """Stranded staging/backup dirs and old commit markers go; the live
+    destination and the newest markers stay."""
+    import os
+
+    from fastetl_spark.io.fsutil import vacuum_dest
+    from fastetl_spark.streaming.stream_ops import make_merge_batch
+
+    dest = str(tmp_path / "dest")
+    merge = make_merge_batch(dest, keys=["id"])
+    for b in range(5):
+        merge(spark.createDataFrame([(b, f"v{b}")], "id long, v string"), b)
+    # strand fake leftovers like a crash would
+    os.makedirs(dest + ".__staging__/x")
+    os.makedirs(dest + ".__old__")
+
+    stats = vacuum_dest(spark, dest, keep_commit_markers=2)
+    assert not os.path.exists(dest + ".__staging__")
+    assert not os.path.exists(dest + ".__old__")
+    assert stats["markers_removed"] == 3
+    kept = sorted(
+        f for f in os.listdir(dest + ".__commits__") if not f.startswith(".")
+    )
+    assert kept == ["3", "4"]
+    assert spark.read.parquet(dest).count() == 5
+    # redelivery of a RETAINED batch is still absorbed after the vacuum
+    merge(spark.createDataFrame([(4, "XX")], "id long, v string"), 4)
+    assert {r.v for r in spark.read.parquet(dest).collect()} == {"v0", "v1", "v2", "v3", "v4"}
