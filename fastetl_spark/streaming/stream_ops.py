@@ -373,3 +373,68 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_STREAM_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   ts) AS gap_s
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+@query("streaming_session_counts", _STREAM_SESSION_SQL)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30-min gap) run as a REAL stream under the
+    oracle gate. The SQL oracle re-derives the same sessions with the
+    LAG/cumulative-flag construction — note the boundary: Spark merges
+    an event into a session only while its start is strictly BEFORE
+    the current end (last ts + gap), so a gap of exactly the gap
+    length STARTS a session; the oracle's is_new uses >= to match.
+    Output avoids the window end (implementation-defined last+gap) and
+    keys sessions by their start."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+        == "bigint"
+    )
+    schema = _EVENTS_NANOS_SCHEMA if ts_is_nanos else EVENTS_SCHEMA
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    e = raw
+    if ts_is_nanos:
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    name = "st_session_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
