@@ -367,3 +367,80 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).alias("total_users")
     )
+
+
+# --- correlation / regression from exact moment sums ---------------------
+
+# The naive route — F.corr / regr_slope — can never hash-match a serial
+# oracle: distributed float summation is order-dependent. Instead the
+# five moment sums (Sx, Sy, Sxx, Syy, Sxy) are EXACT DECIMAL sums
+# (identical on any engine and any partitioning — sums of exact
+# rationals), cast to double, and the closed-form corr/slope/intercept
+# are computed from them with the same double expression on both sides:
+# identical inputs + correctly-rounded IEEE ops = identical bits. This
+# is also the right 100 TB shape: moment sums are map-side-combinable
+# monoids (one aggregate pass), the statistics are O(groups) driver
+# math afterwards.
+_REGRESSION_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(date_part('hour', ts) AS DECIMAL(4,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(date_part('hour', ts) AS DECIMAL(4,0))
+                * CAST(date_part('hour', ts) AS DECIMAL(4,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(date_part('hour', ts) AS DECIMAL(4,0))
+                * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 9) AS corr_hour_value,
+       ROUND(CASE WHEN n * sxx - sx * sx <> 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 9) AS slope,
+       ROUND(CASE WHEN n * sxx - sx * sx <> 0
+            THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END, 9) AS intercept
+FROM m
+"""
+
+
+@query("value_hour_regression", _REGRESSION_SQL)
+def value_hour_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of value on hour-of-day (corr, slope,
+    intercept) via exact decimal moment sums — the diurnal-pattern
+    check an event pipeline runs, and the template for any distributed
+    second-moment statistic that must verify bit-exactly against a
+    serial engine."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    x = F.hour("ts").cast("decimal(4,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_term = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    # the moment sums are exact decimals, but each engine's
+    # decimal->double CAST can differ in the last ulp (DuckDB divides
+    # int128 by 10^scale in double — two roundings; the JVM rounds
+    # once), so the derived statistics are rounded to 9 dp on both
+    # sides — far above ulp noise, far below statistical meaning
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            F.when(var_term > 0, (n * sxy - sx * sy) / F.sqrt(var_term)), 9
+        ).alias("corr_hour_value"),
+        F.round(F.when(denom != 0, slope), 9).alias("slope"),
+        F.round(F.when(denom != 0, (sy - slope * sx) / n), 9).alias("intercept"),
+    )
