@@ -44,6 +44,7 @@ HEADLINE = [
     "gopher_quality_filter",
     "deterministic_split",
     "similarity_ivf",
+    "similarity_ivfpq",
     "source_reputation_report",
     "robust_outlier_events",
     "skewed_agg_salted",

@@ -402,3 +402,188 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(nonfinite, 1).otherwise(0)).cast("long").alias("n_nonfinite"),
         )
     )
+
+
+# --- IVF-PQ: product-quantized ANN (the billion-scale memory shape) ------
+
+PQ_M = 8      # subspaces (d=64 -> 8 dims each)
+PQ_KSUB = 16  # codewords per subspace (4-bit codes)
+PQ_REFINE = 64  # approx candidates exactly reranked per query
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    train_sample: int = 16_384,
+    iterations: int = 8,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks trained on the id-ordered driver
+    sample (same bounded-sample contract as ivf_train_centroids).
+    Returns m codebooks of ksub codewords (each d/m floats)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(train_sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train_codebooks: corpus is empty")
+    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    M = M / norms
+    d = M.shape[1]
+    if d % m != 0:
+        raise ValueError(f"pq_train_codebooks: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for s in range(m):
+        S = M[:, s * dsub : (s + 1) * dsub]
+        C = S[:ksub].copy()  # id-ordered seeds, deterministic
+        for _ in range(iterations):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([list(map(float, row)) for row in C])
+    return books
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoding: per subspace, nearest-codeword id on
+    the unit-normalized vector — one (n x ksub) distance matrix per
+    subspace per batch. Codebooks ride the task closure (m*ksub*dsub
+    floats)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    dsub = B[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        M = M / norms
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for s in range(m):
+            S = M[:, s * dsub : (s + 1) * dsub]
+            d2 = ((S[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_approx_sim_udf(codebooks: list[list[list[float]]]):
+    """Asymmetric scoring: reconstruct each candidate from its codes and
+    dot it with the unit-normalized query — vectorized gather + einsum
+    per Arrow batch. The true vectors never travel with the index."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.stack([np.asarray(b, dtype=np.float64) for b in codebooks])  # m x ksub x dsub
+    m = B.shape[0]
+
+    @pandas_udf("double")
+    def approx_sim(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qvecs) == 0:
+            return pd.Series([], dtype=float)
+        Q = np.stack(qvecs.to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        qn[qn == 0.0] = 1.0
+        Q = Q / qn
+        Cd = np.stack(codes.to_numpy()).astype(np.int64)  # n x m
+        # gather: n x m x dsub reconstructed subvectors, flatten to n x d
+        R = B[np.arange(m)[None, :], Cd]  # n x m x dsub
+        R = R.reshape(len(Cd), -1)
+        return pd.Series(np.einsum("nd,nd->n", Q, R))
+
+    return approx_sim
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = TOP_K,
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    refine: int = PQ_REFINE,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse cells prune the corpus (IVF), 4-bit product
+    codes stand in for the vectors during candidate scoring (PQ/ADC),
+    and only the top-`refine` approximate candidates per query are
+    exactly reranked from the raw vectors. The index row is
+    (id, cell, m codes) — ~m bytes instead of d*8: at a billion
+    vectors that is the difference between an index that fits in
+    cluster memory and one that does not. The raw-vector table is
+    touched only for encoding (once) and the final point-lookup
+    rerank join."""
+    centroids = ivf_train_centroids(corpus, vec_col, k=n_cells, id_col=id_col)
+    books = pq_train_codebooks(corpus, vec_col, id_col, m=m, ksub=ksub)
+    assign1 = _probe_cells_udf(centroids, 1)
+    encode = _pq_encode_udf(books)
+
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    # the PQ index: id + cell + codes, no vectors
+    index = (
+        raw.select("neighbor_id", "cv")
+        .withColumn("cell", F.element_at(assign1("cv"), 1))
+        .withColumn("codes", encode("cv"))
+        .drop("cv")
+        .transform(materialize)
+    )
+    probe_n = _probe_cells_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    q = q.withColumn("probe", F.explode(probe_n("qv")))
+
+    approx = _pq_approx_sim_udf(books)
+    cand = index.join(
+        broadcast(q),
+        (F.col("cell") == F.col("probe")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn("asim", approx("qv", "codes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("asim"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= refine)
+        .select("query_id", "neighbor_id", "qv", "qn")
+    )
+    # exact rerank: point-lookup join back to the raw vectors
+    rerank = shortlist.join(raw, on="neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@query("similarity_ivfpq")  # approximate — rows-only check
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding"
+    )

@@ -466,3 +466,44 @@ def test_corpus_curator_funnel_and_single_pass(spark):
         "digit_ratio": 4,     # doc 5 out
         "dedup_normalized": 2,  # docs 2, 3 out (1 canonical by min id)
     }
+
+
+def test_ivfpq_recall_and_index_shape(spark, sf_dir):
+    """IVF-PQ must (a) carry only (id, cell, m 4-bit codes) in its
+    index, (b) keep the cross join out of the plan, and (c) hit a
+    recall floor vs brute force — the exact rerank of the PQ shortlist
+    should land close to plain IVF's recall."""
+    from fastetl_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        embedding_cosine_topk,
+        similarity_ivfpq,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_cosine_topk(spark, sf_dir).collect()
+    }
+    df = similarity_ivfpq(spark, sf_dir)
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    assert approx and all(q != n for q, n in approx)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.35, recall
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # codes really are m small ints
+    from fastetl_spark.operators.similarity import (
+        _pq_encode_udf,
+        pq_train_codebooks,
+    )
+    from fastetl_spark.io.readers import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, "embedding", "vec_id")
+    enc = _pq_encode_udf(books)
+    codes = e.limit(20).select(enc(F.col("embedding").cast("array<double>")).alias("c"))
+    for r in codes.collect():
+        assert len(r.c) == PQ_M
+        assert all(0 <= v < PQ_KSUB for v in r.c)
