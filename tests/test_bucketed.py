@@ -307,3 +307,44 @@ def test_vacuum_dest_removes_leftovers_keeps_data(spark, tmp_path):
     # redelivery of a RETAINED batch is still absorbed after the vacuum
     merge(spark.createDataFrame([(4, "XX")], "id long, v string"), 4)
     assert {r.v for r in spark.read.parquet(dest).collect()} == {"v0", "v1", "v2", "v3", "v4"}
+
+
+def test_partial_merge_crash_mid_publish_converges_on_rerun(spark, tmp_path, monkeypatch):
+    """A crash between bucket swaps leaves a mixed old/new destination;
+    re-running the SAME increment must converge every bucket (the
+    documented idempotent-recovery contract, io/bucketed docstring)."""
+    import fastetl_spark.io.bucketed as bucketed_mod
+    from fastetl_spark.io.bucketed import partial_merge, read_bucketed, write_bucketed
+    from fastetl_spark.io.fsutil import replace_dir
+    from fastetl_spark.operators.sync import merge_upsert
+
+    dest = str(tmp_path / "dest")
+    base = spark.createDataFrame([(i, f"b{i}") for i in range(40)], "id long, v string")
+    # touch several buckets: updates spread over the whole keyspace
+    inc = spark.createDataFrame(
+        [(i, f"NEW{i}") for i in range(0, 40, 3)] + [(100, "added")],
+        "id long, v string",
+    )
+    write_bucketed(base, dest, ["id"], 4)
+
+    calls = {"n": 0}
+
+    def failing_replace(fs, path_cls, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise IOError("injected crash between bucket swaps")
+        return replace_dir(fs, path_cls, src, dst)
+
+    monkeypatch.setattr(bucketed_mod, "replace_dir", failing_replace)
+    with pytest.raises(IOError, match="injected crash"):
+        partial_merge(spark, dest, inc)
+    # destination is now a MIX of merged and unmerged buckets, but every
+    # bucket is a complete old or new version (never partial)
+    monkeypatch.setattr(bucketed_mod, "replace_dir", replace_dir)
+
+    partial_merge(spark, dest, inc)  # recovery: re-run the same increment
+    got = sorted(tuple(r) for r in read_bucketed(spark, dest).collect())
+    expected = sorted(
+        tuple(r) for r in merge_upsert(base, inc, ["id"]).collect()
+    )
+    assert got == expected
