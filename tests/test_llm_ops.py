@@ -507,3 +507,57 @@ def test_ivfpq_recall_and_index_shape(spark, sf_dir):
     for r in codes.collect():
         assert len(r.c) == PQ_M
         assert all(0 <= v < PQ_KSUB for v in r.c)
+
+
+def test_shingle_index_matches_and_reads_only_touched_buckets(spark, sf_dir, tmp_path):
+    """The persistent index must (a) reproduce incremental_jaccard_matches
+    exactly, (b) read only the buckets the increment's shingles hash to,
+    and (c) stay correct after an append-only update."""
+    from fastetl_spark.io.bucketed import BUCKET_COL, bucket_id
+    from fastetl_spark.operators.dedup import incremental_jaccard_matches
+    from fastetl_spark.operators.dedup_index import (
+        append_to_shingle_index,
+        build_shingle_index,
+        match_against_index,
+        _shingle_rows,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    idx = str(tmp_path / "shingle_idx")
+    build_shingle_index(corpus, idx, n_buckets=16)
+
+    got = sorted(
+        (r.new_doc, r.corpus_doc, r.shared)
+        for r in match_against_index(spark, idx, inc).collect()
+    )
+    want = sorted(
+        (r.new_doc, r.corpus_doc, r.shared)
+        for r in incremental_jaccard_matches(corpus, inc).collect()
+    )
+    assert got == want and got  # identical matches, non-empty
+
+    # pruning: every file the match read lives in a touched bucket dir
+    from fastetl_spark.io.bucketed import read_buckets_for_keys
+
+    inc_shingles = _shingle_rows(inc, 3).select("shingle").distinct()
+    touched = {
+        r[0]
+        for r in inc_shingles.select(bucket_id(["shingle"], 16)).distinct().collect()
+    }
+    read_df = read_buckets_for_keys(spark, idx, inc_shingles)
+    index_files = [f for f in read_df.inputFiles() if f"{BUCKET_COL}=" in f]
+    assert index_files  # the scan actually hit the index
+    for f in index_files:
+        bucket = int(f.split(f"{BUCKET_COL}=")[1].split("/")[0])
+        assert bucket in touched
+
+    # append-only maintenance: after indexing the increment itself, an
+    # identical new batch matches against the APPENDED docs too
+    append_to_shingle_index(inc, idx)
+    again = match_against_index(spark, idx, inc)
+    # every inc doc now matches itself in the index (jaccard 1.0)
+    self_pairs = {(r.new_doc, r.corpus_doc) for r in again.collect()}
+    ids = [r.doc_id for r in inc.select("doc_id").collect()]
+    assert all((i, i) in self_pairs for i in ids)
