@@ -206,6 +206,17 @@ def partial_merge(
             # every row of this bucket was deleted: the bucket dir goes away
             fs.delete(path_cls(dst), True)
     fs.delete(path_cls(staging), True)
+    # a delete can empty the WHOLE destination; plain parquet cannot
+    # express "zero rows, known schema" without a file, so keep one
+    # schema-bearing empty file in bucket 0 — reads stay one-call
+    remaining = [
+        s
+        for s in fs.listStatus(path_cls(path.rstrip("/")))
+        if s.isDirectory() and s.getPath().getName().startswith(f"{BUCKET_COL}=")
+    ]
+    if not remaining:
+        empty = spark.createDataFrame([], merged.drop(BUCKET_COL).schema)
+        empty.write.mode("overwrite").parquet(f"{path.rstrip('/')}/{BUCKET_COL}=0")
     return {
         "n_buckets": n_buckets,
         "buckets_touched": len(touched_ids),
