@@ -148,15 +148,45 @@ def partial_merge(
     be key-unique (callers dedupe, as the streaming merge already does).
 
     Returns ``{"n_buckets": N, "buckets_touched": t, "rows_written": w}``.
-    """
-    from fastetl_spark.operators.sync import delete_sync, merge_upsert
 
+    Concurrency: a lock file (``<path>.__merge_lock__``, atomic create)
+    rejects a second merge on the same destination — two merges would
+    fight over one staging directory and interleave bucket swaps. A
+    crash leaves the lock behind; clear it with
+    ``io.fsutil.vacuum_dest`` (or delete the file) once no merge runs.
+    """
     spec = read_bucket_spec(spark, path)
     if spec is None:
         raise ValueError(
             f"{path} has no {SPEC_FILE}; initialize with write_bucketed() first"
         )
     keys, n_buckets = spec["keys"], spec["n_buckets"]
+
+    lock_fs, lock_path_cls = hadoop_fs(spark, path)
+    lock = lock_path_cls(path.rstrip("/") + ".__merge_lock__")
+    if not lock_fs.createNewFile(lock):
+        raise RuntimeError(
+            f"another merge holds {lock}: concurrent merges on one "
+            "destination are rejected (stale after a crash? clear it "
+            "with io.fsutil.vacuum_dest)"
+        )
+    try:
+        return _partial_merge_locked(
+            spark, path, increment, deleted_keys, keys, n_buckets
+        )
+    finally:
+        lock_fs.delete(lock, False)
+
+
+def _partial_merge_locked(
+    spark: SparkSession,
+    path: str,
+    increment: DataFrame,
+    deleted_keys: DataFrame | None,
+    keys: list[str],
+    n_buckets: int,
+) -> dict:
+    from fastetl_spark.operators.sync import delete_sync, merge_upsert
 
     inc = increment.withColumn(BUCKET_COL, bucket_id(keys, n_buckets)).transform(
         materialize

@@ -66,7 +66,13 @@ def read_text_file(spark: SparkSession, path_str: str) -> str | None:
         stream.close()
 
 
-_LEFTOVER_SUFFIXES = ("__staging__", "__old__", "__merge_staging__", "__bucketize_staging__")
+_LEFTOVER_SUFFIXES = (
+    "__staging__",
+    "__old__",
+    "__merge_staging__",
+    "__bucketize_staging__",
+    "__merge_lock__",  # stale after a crashed merge; safe once none runs
+)
 
 
 def vacuum_dest(spark: SparkSession, path: str, keep_commit_markers: int = 1000) -> dict:

@@ -348,3 +348,21 @@ def test_partial_merge_crash_mid_publish_converges_on_rerun(spark, tmp_path, mon
         tuple(r) for r in merge_upsert(base, inc, ["id"]).collect()
     )
     assert got == expected
+
+
+def test_partial_merge_lock_rejects_concurrent_and_vacuums(spark, tmp_path):
+    from fastetl_spark.io.fsutil import vacuum_dest
+
+    dest = str(tmp_path / "dest")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_bucketed(df, dest, ["id"], 4)
+    # simulate a crashed merge that left its lock behind
+    open(dest + ".__merge_lock__", "w").close()
+    with pytest.raises(RuntimeError, match="another merge holds"):
+        partial_merge(spark, dest, df)
+    vacuum_dest(spark, dest)
+    assert not os.path.exists(dest + ".__merge_lock__")
+    # lock cleared: merges work again, and release their own lock
+    stats = partial_merge(spark, dest, df.withColumn("v", F.lit("x")))
+    assert stats["rows_written"] == 2
+    assert not os.path.exists(dest + ".__merge_lock__")
