@@ -140,3 +140,135 @@ def match_against_index(
     return pairs.select(
         "new_doc", "corpus_doc", "shared", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# --- persistent MinHash-LSH index (the scale-default dedup path) ---------
+
+from fastetl_spark.operators.dedup import (  # noqa: E402
+    _M31,
+    _MINHASH_BANDS,
+    _MINHASH_K,
+    minhash_signature_from_hashes,
+)
+
+LSH_INDEX_BUCKETS = 64  # local default; ~4096 at 100 TB
+
+
+def _band_rows(docs: DataFrame, shingle_n: int = _SHINGLE_N) -> DataFrame:
+    """(band, band_hash, doc_id) rows: minhash signature banded the same
+    way lsh_candidate_pairs bands it, one row per (doc, band)."""
+    tok = docs.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
+    hashed = tok.select(
+        "doc_id",
+        F.transform(
+            shingle_hashes(F.col("tokens"), shingle_n),
+            lambda s: F.pmod(s, F.lit(_M31)),
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0).transform(materialize)
+    sig = hashed.select(
+        "doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig")
+    )
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"), "doc_id")
+
+
+def build_minhash_index(
+    docs: DataFrame, index_path: str, n_buckets: int = LSH_INDEX_BUCKETS
+) -> None:
+    """One-time LSH index build: the corpus's banded signature rows,
+    bucketed by (band, band_hash). One corpus pass, ever."""
+    write_bucketed(_band_rows(docs), index_path, ["band", "band_hash"], n_buckets)
+
+
+def append_to_minhash_index(docs: DataFrame, index_path: str) -> None:
+    """O(|increment|) maintenance: append the new docs' band rows into
+    the buckets they hash to."""
+    spark = docs.sparkSession
+    spec = read_bucket_spec(spark, index_path)
+    if spec is None:
+        raise ValueError(f"{index_path} is not a minhash index (no bucket spec)")
+    rows = _band_rows(docs)
+    (
+        rows.withColumn(BUCKET_COL, bucket_id(["band", "band_hash"], spec["n_buckets"]))
+        .write.mode("append")
+        .partitionBy(BUCKET_COL)
+        .parquet(index_path)
+    )
+
+
+def match_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    increment: DataFrame,
+    corpus_path: str | None = None,
+    threshold: float = _JACCARD_THRESHOLD,
+    shingle_n: int = _SHINGLE_N,
+) -> DataFrame:
+    """LSH candidates of an increment against the indexed corpus —
+    reading only the index buckets the increment's band hashes touch.
+
+    Without `corpus_path`: returns candidate pairs
+    (new_doc, corpus_doc, n_bands) — n_bands = colliding band count,
+    a cheap similarity proxy. With `corpus_path` (a doc_id-bucketed
+    corpus, io/bucketed): candidates are VERIFIED with exact shingle
+    Jaccard, reading only the corpus buckets holding the candidate
+    docs (point lookups) — the full sublinear pipeline: banded index
+    probe -> candidate ids -> bucket-pruned text fetch -> exact verify.
+    """
+    inc_bands = _band_rows(increment, shingle_n).select(
+        "band", "band_hash", F.col("doc_id").alias("new_doc")
+    ).transform(materialize)
+    probe_keys = inc_bands.select("band", "band_hash").distinct()
+    hits = read_buckets_for_keys(spark, index_path, probe_keys).select(
+        "band", "band_hash", F.col("doc_id").alias("corpus_doc")
+    )
+    cands = (
+        hits.join(inc_bands, on=["band", "band_hash"])
+        .filter(F.col("corpus_doc") != F.col("new_doc"))
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    if corpus_path is None:
+        return cands
+    cands = cands.transform(materialize)
+    # exact verify: fetch ONLY the candidate corpus docs' texts
+    wanted = cands.select(F.col("corpus_doc").alias("doc_id")).distinct()
+    corpus_docs = read_buckets_for_keys(spark, corpus_path, wanted)
+    c_sh = corpus_docs.select(
+        F.col("doc_id").alias("corpus_doc"),
+        shingle_hashes(word_tokens(F.col("text")), shingle_n).alias("sh_c"),
+    )
+    i_sh = increment.select(
+        F.col("doc_id").alias("new_doc"),
+        shingle_hashes(word_tokens(F.col("text")), shingle_n).alias("sh_i"),
+    )
+    verified = (
+        cands.join(c_sh, on="corpus_doc")
+        .join(i_sh, on="new_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.size(F.array_intersect("sh_i", "sh_c")).alias("shared"),
+            F.size("sh_i").alias("n_i"),
+            F.size("sh_c").alias("n_c"),
+        )
+    )
+    jac = F.col("shared") * 1.0 / (F.col("n_i") + F.col("n_c") - F.col("shared"))
+    return verified.select(
+        "new_doc", "corpus_doc", "shared", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

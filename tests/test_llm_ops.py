@@ -561,3 +561,57 @@ def test_shingle_index_matches_and_reads_only_touched_buckets(spark, sf_dir, tmp
     self_pairs = {(r.new_doc, r.corpus_doc) for r in again.collect()}
     ids = [r.doc_id for r in inc.select("doc_id").collect()]
     assert all((i, i) in self_pairs for i in ids)
+
+
+def test_minhash_index_candidates_and_verified_matches(spark, sf_dir, tmp_path):
+    """The persistent LSH index must (a) produce the same cross-side
+    candidate pairs as in-memory banding, and (b) with a doc-bucketed
+    corpus attached, verify them to exact-jaccard matches that agree
+    with incremental_jaccard_matches ABOVE the LSH recall floor (every
+    verified match must BE a true match; planted near-dups must
+    surface)."""
+    from fastetl_spark.io.bucketed import write_bucketed
+    from fastetl_spark.operators.dedup import incremental_jaccard_matches
+    from fastetl_spark.operators.dedup_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        match_minhash_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+
+    idx = str(tmp_path / "lsh_idx")
+    cpath = str(tmp_path / "corpus_b")
+    build_minhash_index(corpus, idx, n_buckets=16)
+    write_bucketed(corpus.select("doc_id", "text"), cpath, ["doc_id"], 16)
+
+    cands = match_minhash_index(spark, idx, inc)
+    assert cands.count() > 0
+    assert cands.filter(F.col("n_bands") < 1).count() == 0
+
+    verified = {
+        (r.new_doc, r.corpus_doc)
+        for r in match_minhash_index(spark, idx, inc, corpus_path=cpath).collect()
+    }
+    exact = {
+        (r.new_doc, r.corpus_doc)
+        for r in incremental_jaccard_matches(corpus, inc).collect()
+    }
+    assert verified, "LSH index found no verified matches"
+    assert verified <= exact  # no false positives after exact verify
+    assert len(verified) >= max(1, len(exact) // 2)  # recall floor
+
+    # append-only maintenance: index the increment, rematch — inc docs
+    # now collide with themselves in every band
+    append_to_minhash_index(inc, idx)
+    again = match_minhash_index(spark, idx, inc)
+    self_hits = again.filter(F.col("new_doc") == F.col("corpus_doc"))
+    assert self_hits.count() == 0  # self-pairs are filtered
+    # but identical content across ids WOULD collide: planted twin
+    twin = spark.createDataFrame(
+        [(99001, inc.first().text)], "doc_id long, text string"
+    )
+    tw = match_minhash_index(spark, idx, twin)
+    assert tw.filter(F.col("corpus_doc") == inc.first().doc_id).count() == 1
