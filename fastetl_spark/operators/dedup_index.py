@@ -272,3 +272,32 @@ def match_minhash_index(
     return verified.select(
         "new_doc", "corpus_doc", "shared", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# --- registered form: the index path under the correctness gate ----------
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table  # noqa: E402
+from fastetl_spark.operators.dedup import _INC_DEDUP_SQL, _INC_SPLIT_MOD  # noqa: E402
+from fastetl_spark.registry import query  # noqa: E402
+
+
+@query("shingle_index_match", _INC_DEDUP_SQL)
+def shingle_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTENT-INDEX dedup path under the oracle gate: build the
+    shingle index for the corpus side (deterministic scratch location,
+    rebuilt per run), match the increment against it, and return the
+    same (new_doc, corpus_doc, shared, jaccard) frame the direct
+    incremental matcher produces — so the driver verifies that the
+    index round-trip (bucketed write -> hash-pruned read -> match)
+    loses nothing vs the corpus-scan path (they share one oracle)."""
+    import hashlib
+    import tempfile
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    inc = d.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
+    # deterministic per-sf scratch path, rebuilt (not shared) every run
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/fastetl_shingle_idx_{tag}"
+    build_shingle_index(corpus, idx, n_buckets=16)
+    return match_against_index(spark, idx, inc)
