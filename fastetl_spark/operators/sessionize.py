@@ -381,3 +381,99 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+# --- binned interval-overlap join ----------------------------------------
+
+_OVERLAP_USER_CAP = 50  # keep the registered pair surface bounded
+
+_OVERLAP_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events WHERE user_id < {_OVERLAP_USER_CAP}
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM ordered
+), sessions AS (
+  SELECT user_id, session_seq, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY user_id, session_seq
+), binned AS (
+  SELECT user_id, session_seq, s, e,
+         unnest(generate_series(date_trunc('hour', s), date_trunc('hour', e),
+                                INTERVAL 1 HOUR)) AS hour_bin
+  FROM sessions
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_session_overlaps
+FROM (SELECT DISTINCT user_id, session_seq, s, e, hour_bin FROM binned) a
+JOIN (SELECT DISTINCT user_id, session_seq, s, e, hour_bin FROM binned) b
+  ON a.hour_bin = b.hour_bin AND a.user_id < b.user_id
+ AND a.s <= b.e AND b.s <= a.e
+ AND date_trunc('hour', greatest(a.s, b.s)) = a.hour_bin
+GROUP BY a.user_id, b.user_id
+"""
+
+
+@query("session_overlap_pairs", _OVERLAP_SQL)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via hour binning — the scale pattern for
+    joining two interval sets without an O(n^2) theta join: each
+    session explodes to the hour bins it covers, candidates meet on an
+    EQUI-join of the bin, the true overlap predicate filters, and the
+    start-bin-ownership condition (the overlap is counted only in the
+    hour where it begins) deduplicates multi-bin overlaps WITHOUT a
+    distinct over pairs. Work scales with bins x bin occupancy, never
+    |sessions|^2; skew = the busiest hour, handled by AQE.
+
+    Counts overlapping session pairs per (user_a < user_b) pair over a
+    bounded user subset."""
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < _OVERLAP_USER_CAP
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    numbered = e.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    binned = sessions.select(
+        "user_id",
+        "session_seq",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_bin"),
+    )
+    a = binned.select(*[F.col(c).alias(f"a_{c}") for c in binned.columns])
+    b = binned.select(*[F.col(c).alias(f"b_{c}") for c in binned.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_hour_bin") == F.col("b_hour_bin"))
+        & (F.col("a_user_id") < F.col("b_user_id"))
+        & (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        # count each overlap exactly once: in its starting hour's bin
+        & (
+            F.date_trunc("hour", F.greatest(F.col("a_s"), F.col("b_s")))
+            == F.col("a_hour_bin")
+        ),
+    )
+    return pairs.groupBy(
+        F.col("a_user_id").alias("user_a"), F.col("b_user_id").alias("user_b")
+    ).agg(F.count(F.lit(1)).alias("n_session_overlaps"))
