@@ -230,6 +230,31 @@ class Engine:
 
         return compact_parquet_dir(self.spark, path, target_rows_per_file)
 
+    # --- persistent dedup index (operators/dedup_index) ------------------
+
+    def build_dedup_index(
+        self, docs: DataFrame, index_path: str, n_buckets: int = 64
+    ) -> None:
+        """One-time shingle-index build over a (doc_id, text) corpus —
+        afterwards `match_new_documents` costs O(|batch|), not
+        O(|corpus|)."""
+        from fastetl_spark.operators.dedup_index import build_shingle_index
+
+        build_shingle_index(docs, index_path, n_buckets)
+
+    def match_new_documents(self, index_path: str, new_docs: DataFrame) -> DataFrame:
+        """Near-dup matches of a new batch against the indexed corpus,
+        reading only the index buckets the batch's shingles hash to."""
+        from fastetl_spark.operators.dedup_index import match_against_index
+
+        return match_against_index(self.spark, index_path, new_docs)
+
+    def index_new_documents(self, index_path: str, new_docs: DataFrame) -> None:
+        """Append-only index maintenance after a batch merges."""
+        from fastetl_spark.operators.dedup_index import append_to_shingle_index
+
+        append_to_shingle_index(new_docs, index_path)
+
     def zorder_write(
         self, df: DataFrame, path: str, cols: list[str], n_files: int = 16
     ) -> None:

@@ -142,3 +142,25 @@ def test_snapshot_diff_all_statuses(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_engine_dedup_index_facade(spark, sf_dir, tmp_path):
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    inc = d.filter(F.col("doc_id") % 7 == 0)
+    idx = str(tmp_path / "idx")
+    eng.build_dedup_index(corpus, idx, n_buckets=8)
+    matches = eng.match_new_documents(idx, inc)
+    assert matches.count() > 0
+    eng.index_new_documents(idx, inc)
+    # after indexing, the same batch matches itself (jaccard 1.0 pairs)
+    again = eng.match_new_documents(idx, inc)
+    ids = {r.doc_id for r in inc.select("doc_id").collect()}
+    self_pairs = {
+        (r.new_doc, r.corpus_doc)
+        for r in again.filter(F.col("new_doc") == F.col("corpus_doc")).collect()
+    }
+    assert self_pairs == {(i, i) for i in ids}
