@@ -65,6 +65,17 @@ def normalize_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
 
 
+def md5_prefix_hash(c: Column) -> Column:
+    """60-bit deterministic string hash that DuckDB reproduces
+    bit-for-bit: the first 15 hex chars of md5 parsed base-16
+    (DuckDB twin: ``('0x' || substr(md5(s),1,15))::BIGINT``).
+    Costlier than xxhash64 (md5 + hex parse), so it is used ONLY where
+    a registered query needs the ORACLE to replicate hash-dependent
+    results exactly (LSH banding, simhash bit folds) — production
+    paths keep xxhash64."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 # --- exact / normalized dedup -------------------------------------------
 
 _EXACT_SQL = """

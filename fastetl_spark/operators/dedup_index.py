@@ -148,37 +148,68 @@ from fastetl_spark.operators.dedup import (  # noqa: E402
     _M31,
     _MINHASH_BANDS,
     _MINHASH_K,
+    md5_prefix_hash,
     minhash_signature_from_hashes,
+    word_shingles,
 )
 
 LSH_INDEX_BUCKETS = 64  # local default; ~4096 at 100 TB
 
 
-def _band_rows(docs: DataFrame, shingle_n: int = _SHINGLE_N) -> DataFrame:
+def _band_rows(
+    docs: DataFrame, shingle_n: int = _SHINGLE_N, portable: bool = False
+) -> DataFrame:
     """(band, band_hash, doc_id) rows: minhash signature banded the same
-    way lsh_candidate_pairs bands it, one row per (doc, band)."""
+    way lsh_candidate_pairs bands it, one row per (doc, band).
+
+    ``portable=True`` swaps xxhash64 for the md5-prefix hash
+    (dedup.md5_prefix_hash) and the banded xxhash64 for a decimal
+    concat key, so a DuckDB oracle can reproduce the banding
+    BIT-FOR-BIT — used by the gated `minhash_index_match` query.
+    Production indexes keep the default (faster) hashing; the two
+    variants are distinguished on disk by the band_hash column type
+    (string = portable, long = xxhash64) and auto-detected on read.
+    """
     tok = docs.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
-    hashed = tok.select(
-        "doc_id",
-        F.transform(
-            shingle_hashes(F.col("tokens"), shingle_n),
-            lambda s: F.pmod(s, F.lit(_M31)),
-        ).alias("hs"),
-    ).filter(F.size("hs") > 0).transform(materialize)
+    if portable:
+        sh = tok.select(
+            "doc_id", word_shingles(F.col("tokens"), shingle_n).alias("sh")
+        )
+        hashed = sh.select(
+            "doc_id",
+            F.transform(
+                F.col("sh"), lambda s: F.pmod(md5_prefix_hash(s), F.lit(_M31))
+            ).alias("hs"),
+        ).filter(F.size("hs") > 0).transform(materialize)
+    else:
+        hashed = tok.select(
+            "doc_id",
+            F.transform(
+                shingle_hashes(F.col("tokens"), shingle_n),
+                lambda s: F.pmod(s, F.lit(_M31)),
+            ).alias("hs"),
+        ).filter(F.size("hs") > 0).transform(materialize)
     sig = hashed.select(
         "doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig")
     )
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
+
+    def band_key(b: int):
+        vals = [
+            F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if portable:
+            return F.concat_ws("_", *[v.cast("string") for v in vals])
+        return F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+
     return sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_hash"),
+                        F.lit(b).alias("band"), band_key(b).alias("band_hash")
                     )
                     for b in range(_MINHASH_BANDS)
                 ]
@@ -187,22 +218,39 @@ def _band_rows(docs: DataFrame, shingle_n: int = _SHINGLE_N) -> DataFrame:
     ).select(F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"), "doc_id")
 
 
+def _index_is_portable(spark: SparkSession, index_path: str) -> bool:
+    """Variant sniff from the on-disk schema: the portable index stores
+    band_hash as a string concat key, the xxhash64 index as a long.
+    Keeps append/match parameter-free and makes a variant mismatch
+    (probe hashed one way, index built the other) impossible."""
+    for f in spark.read.parquet(index_path).schema.fields:
+        if f.name == "band_hash":
+            return f.dataType.simpleString() == "string"
+    raise ValueError(f"{index_path} has no band_hash column — not a minhash index")
+
+
 def build_minhash_index(
-    docs: DataFrame, index_path: str, n_buckets: int = LSH_INDEX_BUCKETS
+    docs: DataFrame,
+    index_path: str,
+    n_buckets: int = LSH_INDEX_BUCKETS,
+    portable: bool = False,
 ) -> None:
     """One-time LSH index build: the corpus's banded signature rows,
     bucketed by (band, band_hash). One corpus pass, ever."""
-    write_bucketed(_band_rows(docs), index_path, ["band", "band_hash"], n_buckets)
+    write_bucketed(
+        _band_rows(docs, portable=portable), index_path, ["band", "band_hash"], n_buckets
+    )
 
 
 def append_to_minhash_index(docs: DataFrame, index_path: str) -> None:
     """O(|increment|) maintenance: append the new docs' band rows into
-    the buckets they hash to."""
+    the buckets they hash to (hash variant auto-detected from the
+    index schema)."""
     spark = docs.sparkSession
     spec = read_bucket_spec(spark, index_path)
     if spec is None:
         raise ValueError(f"{index_path} is not a minhash index (no bucket spec)")
-    rows = _band_rows(docs)
+    rows = _band_rows(docs, portable=_index_is_portable(spark, index_path))
     (
         rows.withColumn(BUCKET_COL, bucket_id(["band", "band_hash"], spec["n_buckets"]))
         .write.mode("append")
@@ -230,7 +278,8 @@ def match_minhash_index(
     docs (point lookups) — the full sublinear pipeline: banded index
     probe -> candidate ids -> bucket-pruned text fetch -> exact verify.
     """
-    inc_bands = _band_rows(increment, shingle_n).select(
+    portable = _index_is_portable(spark, index_path)
+    inc_bands = _band_rows(increment, shingle_n, portable=portable).select(
         "band", "band_hash", F.col("doc_id").alias("new_doc")
     ).transform(materialize)
     probe_keys = inc_bands.select("band", "band_hash").distinct()
@@ -301,3 +350,82 @@ def shingle_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = f"{tempfile.gettempdir()}/fastetl_shingle_idx_{tag}"
     build_shingle_index(corpus, idx, n_buckets=16)
     return match_against_index(spark, idx, inc)
+
+
+# The DuckDB twin of the FULL LSH pipeline: portable shingle hashes
+# (md5-prefix, see dedup.md5_prefix_hash) -> 32 affine minhashes ->
+# 8 bands of 4 -> collision candidates (increment vs corpus split by
+# doc_id % 7) -> exact string-shingle Jaccard verify. Because both
+# engines compute IDENTICAL signatures, the oracle checks LSH RECALL
+# exactly, not merely that verified pairs are real.
+_MINHASH_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= {_SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tokens) - {_SHINGLE_N - 1}),
+                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+              ELSE [] END AS shingles
+  FROM toks
+), hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_M31}) AS hs
+  FROM shingled WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, {_MINHASH_K}),
+           i -> list_min(list_transform(hs,
+                  h -> (h * (2*i + 1) + i * 7919) % {_M31}))) AS sig
+  FROM hashed
+), banded AS (
+  SELECT doc_id, b AS band,
+         array_to_string(list_transform(
+           range(b*{_MINHASH_K // _MINHASH_BANDS},
+                 (b+1)*{_MINHASH_K // _MINHASH_BANDS}),
+           r -> CAST(sig[r + 1] AS VARCHAR)), '_') AS band_key
+  FROM sigs, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) bands
+), cand AS (
+  SELECT DISTINCT i.doc_id AS new_doc, c.doc_id AS corpus_doc
+  FROM banded i JOIN banded c
+    ON i.band = c.band AND i.band_key = c.band_key
+  WHERE i.doc_id % {_INC_SPLIT_MOD} = 0 AND c.doc_id % {_INC_SPLIT_MOD} != 0
+), verified AS (
+  SELECT cand.new_doc, cand.corpus_doc,
+         len(list_intersect(si.shingles, sc.shingles)) AS shared,
+         len(si.shingles) AS n_i, len(sc.shingles) AS n_c
+  FROM cand
+  JOIN hashed si ON si.doc_id = cand.new_doc
+  JOIN hashed sc ON sc.doc_id = cand.corpus_doc
+)
+SELECT new_doc, corpus_doc, shared,
+       shared * 1.0 / (n_i + n_c - shared) AS jaccard
+FROM verified
+WHERE shared * 1.0 / (n_i + n_c - shared) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("minhash_index_match", _MINHASH_INDEX_SQL)
+def minhash_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB dedup DEFAULT under the oracle gate: build
+    the banded MinHash index + a doc_id-bucketed corpus in scratch,
+    probe with the increment (reads only touched index buckets), fetch
+    only candidate corpus docs (bucket-pruned point lookups), verify
+    with exact shingle Jaccard. Portable md5-prefix hashing makes the
+    DuckDB oracle reproduce the banding bit-for-bit, so a dropped
+    candidate (recall bug) OR a bogus pair (precision bug) both fail
+    the hash compare."""
+    import hashlib
+    import tempfile
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    inc = d.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/fastetl_minhash_idx_{tag}"
+    corpus_path = f"{tempfile.gettempdir()}/fastetl_minhash_corpus_{tag}"
+    build_minhash_index(corpus, idx, n_buckets=16, portable=True)
+    write_bucketed(corpus.select("doc_id", "text"), corpus_path, ["doc_id"], 16)
+    return match_minhash_index(spark, idx, inc, corpus_path=corpus_path)

@@ -615,3 +615,47 @@ def test_minhash_index_candidates_and_verified_matches(spark, sf_dir, tmp_path):
     )
     tw = match_minhash_index(spark, idx, twin)
     assert tw.filter(F.col("corpus_doc") == inc.first().doc_id).count() == 1
+
+
+def test_minhash_index_portable_variant_detected_and_correct(spark, sf_dir, tmp_path):
+    """The portable (md5-prefix, oracle-replicable) index variant must be
+    auto-detected from the on-disk schema by append/match, and its
+    verified matches must still be exact-Jaccard-true (subset of the
+    exact incremental matcher's output)."""
+    from fastetl_spark.io.bucketed import write_bucketed
+    from fastetl_spark.operators.dedup import incremental_jaccard_matches
+    from fastetl_spark.operators.dedup_index import (
+        _index_is_portable,
+        append_to_minhash_index,
+        build_minhash_index,
+        match_minhash_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+
+    idx = str(tmp_path / "lsh_idx_portable")
+    cpath = str(tmp_path / "corpus_b")
+    build_minhash_index(corpus, idx, n_buckets=16, portable=True)
+    write_bucketed(corpus.select("doc_id", "text"), cpath, ["doc_id"], 16)
+    assert _index_is_portable(spark, idx) is True
+
+    verified = {
+        (r.new_doc, r.corpus_doc)
+        for r in match_minhash_index(spark, idx, inc, corpus_path=cpath).collect()
+    }
+    exact = {
+        (r.new_doc, r.corpus_doc)
+        for r in incremental_jaccard_matches(corpus, inc).collect()
+    }
+    assert verified and verified <= exact
+
+    # append auto-detects the portable banding: a planted twin of an
+    # appended doc must collide (it wouldn't if append hashed xxhash64)
+    append_to_minhash_index(inc, idx)
+    twin = spark.createDataFrame(
+        [(99001, inc.first().text)], "doc_id long, text string"
+    )
+    tw = match_minhash_index(spark, idx, twin)
+    assert tw.filter(F.col("corpus_doc") == inc.first().doc_id).count() == 1
