@@ -254,6 +254,71 @@ def _partial_merge_locked(
     }
 
 
+DEFAULT_MAX_FILES_PER_BUCKET = 16
+
+
+def bucket_file_counts(
+    spark: SparkSession, path: str, bucket_ids: list[int] | None = None
+) -> dict[int, int]:
+    """Data-file count per bucket directory (Hadoop listStatus — pure
+    metadata, no data read). ``bucket_ids=None`` lists every bucket."""
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    if bucket_ids is None:
+        bucket_ids = [
+            int(s.getPath().getName().split("=", 1)[1])
+            for s in fs.listStatus(path_cls(base))
+            if s.isDirectory() and s.getPath().getName().startswith(f"{BUCKET_COL}=")
+        ]
+    out: dict[int, int] = {}
+    for b in sorted(set(bucket_ids)):
+        p = path_cls(f"{base}/{BUCKET_COL}={b}")
+        if not fs.exists(p):
+            continue
+        out[b] = sum(
+            1
+            for s in fs.listStatus(p)
+            if not s.isDirectory()
+            and not s.getPath().getName().startswith(("_", "."))
+        )
+    return out
+
+
+def compact_buckets(
+    spark: SparkSession,
+    path: str,
+    bucket_ids: list[int] | None = None,
+    max_files: int = DEFAULT_MAX_FILES_PER_BUCKET,
+    target_rows_per_file: int = 1_000_000,
+) -> dict[int, int]:
+    """Per-bucket small-file compaction for append-maintained bucketed
+    destinations (the persistent dedup indexes append a few files per
+    increment forever — without this, a year of daily batches turns the
+    "read only touched buckets" win into a file-count-overhead loss).
+
+    Only buckets whose data-file count EXCEEDS ``max_files`` are
+    rewritten (one coalesce + atomic swap each, via io/writers
+    atomic_overwrite); everything else is left untouched, so calling
+    this after every append is cheap — the steady state is one no-op
+    listStatus per touched bucket. Returns {bucket_id: file_count_after}
+    for the buckets that were compacted."""
+    from fastetl_spark.io.writers import atomic_overwrite
+
+    base = path.rstrip("/")
+    counts = bucket_file_counts(spark, path, bucket_ids)
+    compacted: dict[int, int] = {}
+    for b, n_files in counts.items():
+        if n_files <= max_files:
+            continue
+        bdir = f"{base}/{BUCKET_COL}={b}"
+        df = spark.read.parquet(bdir)
+        n_rows = df.count()  # parquet footer metadata only
+        k = max(1, -(-n_rows // target_rows_per_file))
+        atomic_overwrite(df.coalesce(k), bdir)
+        compacted[b] = bucket_file_counts(spark, path, [b])[b]
+    return compacted
+
+
 def bucketize(
     spark: SparkSession, path: str, keys: list[str], n_buckets: int
 ) -> None:

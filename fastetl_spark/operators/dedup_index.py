@@ -13,9 +13,10 @@ then
   GBs, not the corpus;
 - **maintenance** appends the increment's own shingle rows as new
   parquet files INTO the touched bucket directories — no bucket
-  rewrite at all, O(|increment|) writes (run io/writers
-  compact_parquet_dir-style compaction per bucket when file counts
-  creep).
+  rewrite at all, O(|increment|) writes. Touched buckets whose
+  data-file count creeps past a threshold are auto-compacted
+  (io/bucketed.compact_buckets), so per-bucket file counts stay
+  bounded no matter how many daily increments land.
 
 The index stores n_sh (the doc's distinct-shingle count) beside every
 row, so exact Jaccard needs no lookup back into the corpus. The df-cap
@@ -33,7 +34,9 @@ from pyspark.sql import functions as F
 from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.bucketed import (
     BUCKET_COL,
+    DEFAULT_MAX_FILES_PER_BUCKET,
     bucket_id,
+    compact_buckets,
     read_bucket_spec,
     read_buckets_for_keys,
     write_bucketed,
@@ -77,21 +80,46 @@ def build_shingle_index(
     write_bucketed(_shingle_rows(docs, shingle_n), index_path, ["shingle"], n_buckets)
 
 
-def append_to_shingle_index(docs: DataFrame, index_path: str) -> None:
+def _append_index_rows(
+    rows: DataFrame,
+    index_path: str,
+    keys: list[str],
+    n_buckets: int,
+    compact_threshold: int | None,
+) -> None:
+    """Shared append-then-compact maintenance step for both indexes:
+    tag rows with their bucket, append the files, then compact any
+    TOUCHED bucket whose data-file count crept past the threshold
+    (io/bucketed.compact_buckets — steady state is one listStatus per
+    touched bucket, so per-bucket file counts stay bounded forever
+    instead of growing by one file per daily increment)."""
+    spark = rows.sparkSession
+    tagged = rows.withColumn(BUCKET_COL, bucket_id(keys, n_buckets)).transform(
+        materialize
+    )
+    # distinct bucket ids are bounded by n_buckets — a driver value
+    touched = sorted({r[0] for r in tagged.select(BUCKET_COL).distinct().collect()})
+    tagged.write.mode("append").partitionBy(BUCKET_COL).parquet(index_path)
+    if compact_threshold is not None:
+        compact_buckets(spark, index_path, touched, max_files=compact_threshold)
+
+
+def append_to_shingle_index(
+    docs: DataFrame,
+    index_path: str,
+    compact_threshold: int | None = DEFAULT_MAX_FILES_PER_BUCKET,
+) -> None:
     """O(|increment|) maintenance: the new docs' shingle rows land as
     appended files inside the buckets they hash to — nothing is
-    rewritten. Call AFTER matching (or the increment matches itself)."""
+    rewritten except buckets whose file count exceeded
+    ``compact_threshold`` (auto-compacted; None disables). Call AFTER
+    matching (or the increment matches itself)."""
     spark = docs.sparkSession
     spec = read_bucket_spec(spark, index_path)
     if spec is None:
         raise ValueError(f"{index_path} is not a shingle index (no bucket spec)")
     rows = _shingle_rows(docs, _SHINGLE_N)
-    (
-        rows.withColumn(BUCKET_COL, bucket_id(["shingle"], spec["n_buckets"]))
-        .write.mode("append")
-        .partitionBy(BUCKET_COL)
-        .parquet(index_path)
-    )
+    _append_index_rows(rows, index_path, ["shingle"], spec["n_buckets"], compact_threshold)
 
 
 def match_against_index(
@@ -242,20 +270,22 @@ def build_minhash_index(
     )
 
 
-def append_to_minhash_index(docs: DataFrame, index_path: str) -> None:
+def append_to_minhash_index(
+    docs: DataFrame,
+    index_path: str,
+    compact_threshold: int | None = DEFAULT_MAX_FILES_PER_BUCKET,
+) -> None:
     """O(|increment|) maintenance: append the new docs' band rows into
-    the buckets they hash to (hash variant auto-detected from the
-    index schema)."""
+    the buckets they hash to (hash variant auto-detected from the index
+    schema); touched buckets past ``compact_threshold`` files are
+    auto-compacted (None disables)."""
     spark = docs.sparkSession
     spec = read_bucket_spec(spark, index_path)
     if spec is None:
         raise ValueError(f"{index_path} is not a minhash index (no bucket spec)")
     rows = _band_rows(docs, portable=_index_is_portable(spark, index_path))
-    (
-        rows.withColumn(BUCKET_COL, bucket_id(["band", "band_hash"], spec["n_buckets"]))
-        .write.mode("append")
-        .partitionBy(BUCKET_COL)
-        .parquet(index_path)
+    _append_index_rows(
+        rows, index_path, ["band", "band_hash"], spec["n_buckets"], compact_threshold
     )
 
 

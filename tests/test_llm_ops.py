@@ -563,6 +563,41 @@ def test_shingle_index_matches_and_reads_only_touched_buckets(spark, sf_dir, tmp
     assert all((i, i) in self_pairs for i in ids)
 
 
+def test_index_append_auto_compaction_bounds_file_counts(spark, sf_dir, tmp_path):
+    """20 successive appends must NOT grow per-bucket file counts
+    without bound: auto-compaction keeps every bucket at or under the
+    threshold (compared against a compaction-disabled control which
+    does blow past it), and match results are identical either way."""
+    from fastetl_spark.io.bucketed import bucket_file_counts
+    from fastetl_spark.operators.dedup_index import (
+        append_to_shingle_index,
+        build_shingle_index,
+        match_against_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 7 == 0).limit(20)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    threshold = 4
+    idx = str(tmp_path / "auto")
+    ctl = str(tmp_path / "ctl")
+    build_shingle_index(corpus, idx, n_buckets=8)
+    build_shingle_index(corpus, ctl, n_buckets=8)
+    for i in range(20):
+        batch = inc.withColumn("doc_id", F.col("doc_id") + F.lit(1000 * (i + 1)))
+        append_to_shingle_index(batch, idx, compact_threshold=threshold)
+        append_to_shingle_index(batch, ctl, compact_threshold=None)
+
+    auto_counts = bucket_file_counts(spark, idx)
+    ctl_counts = bucket_file_counts(spark, ctl)
+    assert max(ctl_counts.values()) > threshold  # control proves growth
+    assert max(auto_counts.values()) <= threshold  # compaction bounds it
+
+    got = sorted(map(tuple, match_against_index(spark, idx, inc).collect()))
+    want = sorted(map(tuple, match_against_index(spark, ctl, inc).collect()))
+    assert got == want and got  # byte-identical matches
+
+
 def test_minhash_index_candidates_and_verified_matches(spark, sf_dir, tmp_path):
     """The persistent LSH index must (a) produce the same cross-side
     candidate pairs as in-memory banding, and (b) with a doc-bucketed
