@@ -121,13 +121,31 @@ class Engine:
         """
         src_df = self.read(source)
         if dest.get("format") == "delta":
-            from fastetl_spark.operators.delta_merge import merge_into_delta, require_delta
+            from fastetl_spark.operators.delta_merge import (
+                is_delta_table,
+                merge_into_delta,
+                require_delta,
+            )
 
             require_delta()
-            dest_df = self.read(dest)
-            wm = dest_df.agg(F.max(watermark_col)).first()[0]
+            # watermark resolution mirrors the bucketed branch: control
+            # table first (no destination scan), then — only for an
+            # EXISTING table — a one-time MAX scan; a missing table is
+            # the documented "first call creates it" path, which must
+            # not read() the not-yet-existing destination.
+            wm = None
+            if self.watermark_store is not None:
+                wm = self.watermark_store.get(table_name or dest["path"])
+            if wm is None and is_delta_table(self.spark, dest["path"]):
+                wm = self.read(dest).agg(F.max(watermark_col)).first()[0]
             inc = src_df if wm is None else src_df.filter(F.col(watermark_col) > F.lit(wm))
+            if self.watermark_store is not None:
+                inc = inc.transform(materialize)  # merge + new-watermark read below
             merge_into_delta(self.spark, dest["path"], inc, keys, deleted_keys)
+            if self.watermark_store is not None:
+                new_wm = inc.agg(F.max(watermark_col)).first()[0]
+                if new_wm is not None:
+                    self.watermark_store.set(table_name or dest["path"], new_wm)
             n = self.read(dest).count()
             if self.load_info:
                 self.load_info.save(table_name or dest.get("path", ""), "incremental", n)
@@ -151,13 +169,17 @@ class Engine:
                 if self.watermark_store is not None:
                     wm = self.watermark_store.get(table_name or dest["path"])
                 if wm is None:
+                    # MAX over an empty destination is None — legitimate
+                    # after a deletion feed empties every bucket
+                    # (partial_merge keeps a schema-bearing empty file);
+                    # merge the full source increment rather than wedge.
                     dest_df = read_bucketed(self.spark, dest["path"])
-                    if dest_df.isEmpty():
-                        raise ValueError(
-                            "destination table is empty — run a full load first"
-                        )
                     wm = dest_df.agg(F.max(watermark_col)).first()[0]
-                inc = src_df.filter(F.col(watermark_col) > F.lit(wm))
+                inc = (
+                    src_df
+                    if wm is None
+                    else src_df.filter(F.col(watermark_col) > F.lit(wm))
+                )
                 if self.watermark_store is not None:
                     inc = inc.transform(materialize)  # two consumers below
                 partial_merge(self.spark, dest["path"], inc, deleted_keys)
@@ -175,6 +197,21 @@ class Engine:
         dest_df = self.read(dest)
         merged = incremental_sync(dest_df, src_df, keys, watermark_col, deleted_keys)
         if is_parquet:
+            # A parquet destination without a bucket spec takes the
+            # O(|destination|) full-rewrite path — correct and
+            # crash-safe, but every sync rewrites everything. Say so
+            # loudly: at scale the fix is a one-time
+            # Engine.bucketize(path, keys, n_buckets) migration.
+            import warnings
+
+            warnings.warn(
+                f"sync destination {dest['path']!r} is plain parquet with no "
+                "bucket spec: falling back to a full destination rewrite "
+                "(O(|destination|) per sync). Migrate once with "
+                "Engine.bucketize(path, keys, n_buckets) to rewrite only "
+                "touched buckets per increment.",
+                stacklevel=2,
+            )
             # Rewriting the path being read is not crash-safe with plain
             # parquet: stage + directory-swap so a mid-write failure never
             # leaves the destination deleted or partial.

@@ -279,6 +279,59 @@ def test_engine_sync_bucketed_watermark_store(spark, sf_dir, tmp_path):
     assert _bucket_listing(dest) == before, "no-op sync rewrote buckets"
 
 
+def test_engine_sync_emptied_bucketed_dest_reloads_full_source(spark, tmp_path):
+    """A deletion feed can legitimately empty a bucketed destination;
+    the next sync must treat the missing watermark as 'load everything'
+    instead of wedging on a valid destination."""
+    from fastetl_spark.api import Engine
+
+    dest = str(tmp_path / "dest")
+    rows = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, ts long"
+    )
+    write_bucketed(rows, dest, ["id"], N_BUCKETS)
+    # empty it via a deletion feed — the layout stays valid (schema-
+    # bearing empty file, spec intact)
+    partial_merge(
+        spark, dest, rows.limit(0), deleted_keys=rows.select("id")
+    )
+    assert read_bucketed(spark, dest).count() == 0
+    assert read_bucket_spec(spark, dest) is not None
+
+    src = str(tmp_path / "src")
+    rows.write.parquet(src)
+    eng = Engine(spark)
+    n = eng.sync({"path": src}, {"path": dest}, keys=["id"], watermark_col="ts")
+    assert n == 3
+    assert _rows(read_bucketed(spark, dest), ["id", "v", "ts"]) == _rows(
+        rows, ["id", "v", "ts"]
+    )
+
+
+def test_engine_sync_plain_parquet_warns_about_full_rewrite(spark, tmp_path):
+    """The non-bucketed parquet fallback is O(|destination|) per sync;
+    it must say so loudly and name the bucketize migration."""
+    from fastetl_spark.api import Engine
+
+    rows = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, v string, ts long")
+    dest = str(tmp_path / "dest")
+    rows.limit(1).write.parquet(dest)
+    src = str(tmp_path / "src")
+    rows.write.parquet(src)
+    eng = Engine(spark)
+    with pytest.warns(UserWarning, match="bucketize"):
+        n = eng.sync({"path": src}, {"path": dest}, keys=["id"], watermark_col="ts")
+    assert n == 2
+    # the bucketed path must NOT warn
+    dest2 = str(tmp_path / "dest2")
+    write_bucketed(rows.limit(1), dest2, ["id"], N_BUCKETS)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        eng.sync({"path": src}, {"path": dest2}, keys=["id"], watermark_col="ts")
+
+
 def test_vacuum_dest_removes_leftovers_keeps_data(spark, tmp_path):
     """Stranded staging/backup dirs and old commit markers go; the live
     destination and the newest markers stay."""
