@@ -187,8 +187,10 @@ class Engine:
                     new_wm = inc.agg(F.max(watermark_col)).first()[0]
                     if new_wm is not None:
                         self.watermark_store.set(table_name or dest["path"], new_wm)
-                # total-rows metric from parquet footers only — no data scan
-                n = self.spark.read.parquet(dest["path"]).count()
+                # total-rows metric from parquet footers only — no data
+                # scan (read_bucketed resolves the v2 manifest when
+                # present; a raw root read would see both generations)
+                n = read_bucketed(self.spark, dest["path"]).count()
                 if self.load_info:
                     self.load_info.save(
                         table_name or dest.get("path", ""), "incremental", n
@@ -302,14 +304,18 @@ class Engine:
 
         zorder_write(df, path, cols, n_files=n_files)
 
-    def bucketize(self, path: str, keys: list[str], n_buckets: int) -> None:
+    def bucketize(
+        self, path: str, keys: list[str], n_buckets: int, atomic: bool = False
+    ) -> None:
         """Migrate a plain-parquet destination to the key-bucketed
         layout (io/bucketed) so subsequent `sync` calls rewrite only the
-        buckets each increment touches instead of the whole
-        destination."""
+        buckets each increment touches instead of the whole destination.
+        ``atomic=True`` selects layout v2: every merge publishes all its
+        touched buckets with one manifest pointer flip, so readers never
+        see a cross-bucket mix (read via `io.bucketed.read_bucketed`)."""
         from fastetl_spark.io.bucketed import bucketize
 
-        bucketize(self.spark, path, keys, n_buckets)
+        bucketize(self.spark, path, keys, n_buckets, atomic=atomic)
 
     def ingest_new_files(self, src_dir: str, dest_path: str,
                          manifest_path: str) -> list[str]:

@@ -18,13 +18,25 @@ file-level pruning. This module is the plain-parquet equivalent:
   O(|increment| + |touched buckets|), and a point increment into a
   4096-bucket 100 TB destination rewrites ~25 GB, not 100 TB.
 
-Crash semantics: each bucket swap is atomic (backup-and-rename), the
-set of swaps is not one transaction — a crash mid-publish leaves some
-buckets at the new version and some at the old. The merge is
-idempotent by construction (upsert keyed on the merge key; deletes are
-anti-joins), so recovery is "re-run the same increment": every bucket
-converges to the same state. For cross-bucket atomicity use the
-Delta-backed path when `delta` is importable (operators/delta_merge).
+Crash semantics, layout v1 (default): each bucket swap is atomic
+(backup-and-rename), the set of swaps is not one transaction — a crash
+mid-publish leaves some buckets at the new version and some at the
+old. The merge is idempotent by construction (upsert keyed on the
+merge key; deletes are anti-joins), so recovery is "re-run the same
+increment": every bucket converges to the same state.
+
+Layout v2 (``write_bucketed(..., atomic=True)``) closes that window
+for plain parquet: bucket data lives in versioned ``bucket_<K>_v<gen>``
+dirs, and a rename-committed ``_manifest_<gen>.json`` is the single
+pointer that publishes a generation. A merge writes all touched
+buckets' new dirs first (unreferenced, invisible), then flips the
+pointer once — readers racing the merge resolve one committed
+generation, old or new, never a mix; a crash before the commit leaves
+the old generation fully intact. The previous generation's dirs are
+retained for in-flight readers and GC'd a generation later. The
+trade: v2 roots are not raw-readable with ``spark.read.parquet(path)``
+— go through ``read_bucketed``. The Delta-backed path
+(operators/delta_merge) remains the choice where delta is installed.
 
 Reads stay one-call: ``spark.read.parquet(path)`` discovers the bucket
 column as a normal Hive partition (``read_bucketed`` drops it). The
@@ -51,6 +63,10 @@ from fastetl_spark.io.fsutil import (
 BUCKET_COL = "__fe_bucket"
 SPEC_FILE = "_bucket_spec.json"
 SPEC_VERSION = 1
+# Layout v2: versioned bucket dirs + a rename-committed manifest pointer
+# (cross-bucket ATOMIC publish — readers see one generation, never a mix)
+SPEC_VERSION_ATOMIC = 2
+MANIFEST_PREFIX = "_manifest_"
 
 
 def bucket_id(keys: list[str], n_buckets: int) -> Column:
@@ -70,34 +86,167 @@ def read_bucket_spec(spark: SparkSession, path: str) -> dict | None:
     if text is None:
         return None
     spec = json.loads(text)
-    if spec.get("version") != SPEC_VERSION:
+    if spec.get("version") not in (SPEC_VERSION, SPEC_VERSION_ATOMIC):
         raise ValueError(f"unsupported bucket spec version: {spec.get('version')}")
     return spec
 
 
+# --- layout v2: manifest-committed generations ---------------------------
+
+
+def _manifest_gens(fs, path_cls, base: str) -> list[int]:
+    """Committed manifest generations, ascending (metadata listing)."""
+    if not fs.exists(path_cls(base)):
+        return []
+    gens = []
+    for s in fs.listStatus(path_cls(base)):
+        name = s.getPath().getName()
+        if name.startswith(MANIFEST_PREFIX) and name.endswith(".json"):
+            try:
+                gens.append(int(name[len(MANIFEST_PREFIX) : -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(gens)
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict | None:
+    """Latest committed manifest of a v2 destination:
+    {"gen": N, "buckets": {bucket_id: dir_name}} — the one pointer that
+    defines which physical dirs are live. None when no manifest exists."""
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    gens = _manifest_gens(fs, path_cls, base)
+    if not gens:
+        return None
+    text = read_text_file(spark, f"{base}/{MANIFEST_PREFIX}{gens[-1]}.json")
+    m = json.loads(text)
+    m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+    return m
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, gen: int, buckets: dict[int, str]
+) -> None:
+    """THE atomic publish step: write the manifest to a hidden tmp name,
+    then rename onto `_manifest_<gen>.json` (rename-to-new-name is
+    atomic on HDFS/POSIX). A reader lists committed manifests and takes
+    the highest generation, so at every instant it resolves either the
+    old pointer or the new one — never a partially-published state."""
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    tmp = f"{base}/.{MANIFEST_PREFIX}{gen}.json.tmp"
+    final = f"{base}/{MANIFEST_PREFIX}{gen}.json"
+    write_text_file(
+        spark,
+        tmp,
+        json.dumps({"gen": gen, "buckets": {str(k): v for k, v in buckets.items()}}),
+    )
+    if not fs.rename(path_cls(tmp), path_cls(final)):
+        fs.delete(path_cls(tmp), False)
+        raise IOError(
+            f"could not commit {final} (a concurrent merge may have won the race)"
+        )
+
+
+def _gc_generations(spark: SparkSession, path: str, keep_gens: int = 2) -> None:
+    """Drop bucket dirs and manifests no longer referenced by the newest
+    ``keep_gens`` manifests. The previous generation is retained so a
+    reader that resolved the old pointer just before a flip can still
+    open its files; anything older is dead."""
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    gens = _manifest_gens(fs, path_cls, base)
+    live_dirs: set[str] = set()
+    for g in gens[-keep_gens:]:
+        text = read_text_file(spark, f"{base}/{MANIFEST_PREFIX}{g}.json")
+        live_dirs |= set(json.loads(text)["buckets"].values())
+    for g in gens[:-keep_gens]:
+        fs.delete(path_cls(f"{base}/{MANIFEST_PREFIX}{g}.json"), False)
+    for s in fs.listStatus(path_cls(base)):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith("bucket_") and name not in live_dirs:
+            fs.delete(s.getPath(), True)
+
+
 def write_bucketed(
-    df: DataFrame, path: str, keys: list[str], n_buckets: int
+    df: DataFrame, path: str, keys: list[str], n_buckets: int, atomic: bool = False
 ) -> None:
     """Initial full load of a bucketed destination: write all N buckets
     (one shuffle-free partitionBy job) and commit the spec file last, so
     a half-written initial load is never mistaken for a valid bucketed
-    destination."""
+    destination.
+
+    ``atomic=True`` selects layout v2: bucket data lives in versioned
+    ``bucket_<K>_v<gen>`` dirs and a rename-committed manifest file is
+    the single pointer that publishes a generation. Merges then flip
+    ALL touched buckets in one pointer commit — a reader racing a merge
+    sees the old generation or the new one, never a mix (v1's
+    per-bucket swaps are each atomic but not jointly). v2 trades away
+    raw ``spark.read.parquet(path)`` root reads — go through
+    ``read_bucketed`` — so v1 stays the default."""
+    spark = df.sparkSession
+    if not atomic:
+        out = df.withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        write_text_file(
+            spark,
+            _spec_path(path),
+            json.dumps(
+                {"version": SPEC_VERSION, "keys": list(keys), "n_buckets": int(n_buckets)}
+            ),
+        )
+        return
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    staging = base + ".__init_staging__"
+    if fs.exists(path_cls(staging)):
+        fs.delete(path_cls(staging), True)
     out = df.withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
-    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    gen = 1
+    buckets: dict[int, str] = {}
+    for s in hadoop_fs(spark, staging)[0].listStatus(path_cls(staging)):
+        name = s.getPath().getName()
+        if not (s.isDirectory() and name.startswith(f"{BUCKET_COL}=")):
+            continue
+        b = int(name.split("=", 1)[1])
+        dirname = f"bucket_{b}_v{gen}"
+        fs.mkdirs(path_cls(base))
+        if not fs.rename(s.getPath(), path_cls(f"{base}/{dirname}")):
+            raise IOError(f"could not place {dirname} under {base}")
+        buckets[b] = dirname
+    if not buckets:
+        # zero-row initial load: keep one schema-bearing empty bucket
+        empty = df.sparkSession.createDataFrame([], df.schema)
+        empty.write.mode("overwrite").parquet(f"{base}/bucket_0_v{gen}")
+        buckets[0] = f"bucket_0_v{gen}"
+    fs.delete(path_cls(staging), True)
+    _commit_manifest(spark, path, gen, buckets)
     write_text_file(
-        df.sparkSession,
+        spark,
         _spec_path(path),
         json.dumps(
-            {"version": SPEC_VERSION, "keys": list(keys), "n_buckets": int(n_buckets)}
+            {
+                "version": SPEC_VERSION_ATOMIC,
+                "keys": list(keys),
+                "n_buckets": int(n_buckets),
+            }
         ),
     )
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
     """Read a bucketed destination as plain rows (bucket column dropped).
-    Filters on the merge key do NOT prune buckets automatically (the
-    hash is opaque to Catalyst); use ``read_buckets_for_keys`` for
-    point lookups."""
+    v2 resolves the latest committed manifest — one consistent
+    generation, even while a merge publishes. Filters on the merge key
+    do NOT prune buckets automatically (the hash is opaque to
+    Catalyst); use ``read_buckets_for_keys`` for point lookups."""
+    spec = read_bucket_spec(spark, path)
+    if spec is not None and spec["version"] == SPEC_VERSION_ATOMIC:
+        m = read_manifest(spark, path)
+        base = path.rstrip("/")
+        dirs = [f"{base}/{d}" for d in m["buckets"].values()]
+        return spark.read.parquet(*dirs)
     return spark.read.parquet(path).drop(BUCKET_COL)
 
 
@@ -114,6 +263,14 @@ def read_buckets_for_keys(
     keys = spec["keys"]
     tagged = keys_df.withColumn(BUCKET_COL, bucket_id(keys, spec["n_buckets"]))
     touched = sorted(r[0] for r in tagged.select(BUCKET_COL).distinct().collect())
+    if spec["version"] == SPEC_VERSION_ATOMIC:
+        m = read_manifest(spark, path)
+        base = path.rstrip("/")
+        dirs = [f"{base}/{m['buckets'][b]}" for b in touched if b in m["buckets"]]
+        if not dirs:
+            return read_bucketed(spark, path).limit(0)
+        dest = spark.read.parquet(*dirs)
+        return dest.join(keys_df.select(*keys), on=keys, how="left_semi")
     existing = _existing_bucket_paths(spark, path, touched)
     if not existing:
         return read_bucketed(spark, path).limit(0)
@@ -171,11 +328,104 @@ def partial_merge(
             "with io.fsutil.vacuum_dest)"
         )
     try:
+        if spec["version"] == SPEC_VERSION_ATOMIC:
+            return _partial_merge_locked_v2(
+                spark, path, increment, deleted_keys, keys, n_buckets
+            )
         return _partial_merge_locked(
             spark, path, increment, deleted_keys, keys, n_buckets
         )
     finally:
         lock_fs.delete(lock, False)
+
+
+def _partial_merge_locked_v2(
+    spark: SparkSession,
+    path: str,
+    increment: DataFrame,
+    deleted_keys: DataFrame | None,
+    keys: list[str],
+    n_buckets: int,
+) -> dict:
+    """v2 merge: write the touched buckets' NEW versions as fresh
+    ``bucket_<K>_v<gen+1>`` dirs (invisible — nothing references them),
+    then publish every touched bucket at once with ONE manifest
+    rename-commit. A crash before the commit leaves the destination
+    exactly at the old generation (orphan dirs are overwritten by the
+    re-run and collected by generation GC); a crash after the commit IS
+    the new state. Readers racing the merge resolve one committed
+    manifest — old or new, never mixed."""
+    from fastetl_spark.operators.sync import delete_sync, merge_upsert
+
+    m = read_manifest(spark, path)
+    gen, old_buckets = m["gen"], dict(m["buckets"])
+    next_gen = gen + 1
+    base = path.rstrip("/")
+    fs, path_cls = hadoop_fs(spark, path)
+
+    inc = increment.withColumn(BUCKET_COL, bucket_id(keys, n_buckets)).transform(
+        materialize
+    )
+    touched = {r[0] for r in inc.select(BUCKET_COL).distinct().collect()}
+    dels = None
+    if deleted_keys is not None:
+        dels = (
+            deleted_keys.select(*keys)
+            .withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
+            .transform(materialize)
+        )
+        touched |= {r[0] for r in dels.select(BUCKET_COL).distinct().collect()}
+    touched_ids = sorted(touched)
+    if not touched_ids:
+        return {"n_buckets": n_buckets, "buckets_touched": 0, "rows_written": 0}
+
+    live_touched = [f"{base}/{old_buckets[b]}" for b in touched_ids if b in old_buckets]
+    if live_touched:
+        dest = spark.read.parquet(*live_touched)
+        merged = merge_upsert(dest, inc.drop(BUCKET_COL).select(*dest.columns), keys)
+    else:
+        merged = inc.drop(BUCKET_COL)
+    if dels is not None:
+        merged = delete_sync(merged, dels.select(*keys), keys)
+
+    staging = base + ".__merge_staging__"
+    if fs.exists(path_cls(staging)):
+        fs.delete(path_cls(staging), True)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = merged.observe(obs, F.count(F.lit(1)).alias("n_rows")).withColumn(
+        BUCKET_COL, bucket_id(keys, n_buckets)
+    )
+    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    rows_written = int(obs.get["n_rows"])
+
+    new_buckets = {b: d for b, d in old_buckets.items() if b not in touched}
+    for b in touched_ids:
+        src = path_cls(f"{staging}/{BUCKET_COL}={b}")
+        if not fs.exists(src):
+            continue  # bucket emptied: simply not referenced anymore
+        dirname = f"bucket_{b}_v{next_gen}"
+        dst = path_cls(f"{base}/{dirname}")
+        if fs.exists(dst):  # orphan from a crashed previous attempt
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"could not place {dirname} under {base}")
+        new_buckets[b] = dirname
+    fs.delete(path_cls(staging), True)
+    if not new_buckets:
+        # destination fully emptied: keep one schema-bearing empty dir
+        dirname = f"bucket_0_v{next_gen}"
+        empty = spark.createDataFrame([], merged.schema)
+        empty.write.mode("overwrite").parquet(f"{base}/{dirname}")
+        new_buckets[0] = dirname
+    _commit_manifest(spark, path, next_gen, new_buckets)
+    _gc_generations(spark, path)
+    return {
+        "n_buckets": n_buckets,
+        "buckets_touched": len(touched_ids),
+        "rows_written": rows_written,
+    }
 
 
 def _partial_merge_locked(
@@ -320,16 +570,21 @@ def compact_buckets(
 
 
 def bucketize(
-    spark: SparkSession, path: str, keys: list[str], n_buckets: int
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    n_buckets: int,
+    atomic: bool = False,
 ) -> None:
     """Migrate an existing plain-parquet destination to the bucketed
     layout (one full rewrite — the last one it will need). Staged to a
     sibling directory and swapped, so the migration never caches the
-    destination and readers never see a partial layout."""
+    destination and readers never see a partial layout. ``atomic=True``
+    migrates to layout v2 (manifest-committed generations)."""
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__bucketize_staging__"
     fs, path_cls = hadoop_fs(spark, path)
     if fs.exists(path_cls(staging)):
         fs.delete(path_cls(staging), True)
-    write_bucketed(df, staging, keys, n_buckets)
+    write_bucketed(df, staging, keys, n_buckets, atomic=atomic)
     replace_dir(fs, path_cls, staging, path.rstrip("/"))

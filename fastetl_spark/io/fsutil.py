@@ -71,6 +71,7 @@ _LEFTOVER_SUFFIXES = (
     "__old__",
     "__merge_staging__",
     "__bucketize_staging__",
+    "__init_staging__",
     "__merge_lock__",  # stale after a crashed merge; safe once none runs
 )
 

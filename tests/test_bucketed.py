@@ -332,6 +332,131 @@ def test_engine_sync_plain_parquet_warns_about_full_rewrite(spark, tmp_path):
         eng.sync({"path": src}, {"path": dest2}, keys=["id"], watermark_col="ts")
 
 
+def test_v2_roundtrip_merge_and_key_pruning(spark, sf_dir, tmp_path):
+    """Layout v2 (manifest-committed generations): write/read round
+    trip, partial merge equivalence with the frame-level operators, and
+    bucket-pruned point lookups."""
+    from fastetl_spark.io.bucketed import read_manifest
+
+    dest = str(tmp_path / "nation_v2")
+    nation = read_table(spark, sf_dir, "nation")
+    write_bucketed(nation, dest, ["n_nationkey"], N_BUCKETS, atomic=True)
+    assert read_bucket_spec(spark, dest)["version"] == 2
+    assert read_manifest(spark, dest)["gen"] == 1
+
+    back = read_bucketed(spark, dest)
+    assert _rows(back, nation.columns) == _rows(nation, nation.columns)
+
+    inc = nation.limit(3).withColumn("n_comment", F.lit("merged"))
+    dels = nation.orderBy(F.col("n_nationkey").desc()).limit(2).select("n_nationkey")
+    stats = partial_merge(spark, dest, inc, deleted_keys=dels)
+    assert stats["buckets_touched"] >= 1
+    want = delete_sync(
+        merge_upsert(nation, inc, ["n_nationkey"]), dels, ["n_nationkey"]
+    )
+    got = read_bucketed(spark, dest)
+    assert _rows(got, nation.columns) == _rows(want, nation.columns)
+    assert read_manifest(spark, dest)["gen"] == 2
+
+    # point lookup prunes to manifest dirs of the touched buckets
+    keys_df = nation.limit(2).select("n_nationkey")
+    looked = read_buckets_for_keys(spark, dest, keys_df)
+    assert looked.count() == 2
+    dest_files = [f for f in looked.inputFiles() if dest in f]
+    assert dest_files and all("bucket_" in f for f in dest_files)
+
+
+def test_v2_crash_before_pointer_flip_leaves_old_generation(spark, sf_dir, tmp_path, monkeypatch):
+    """Kill the merge between writing new bucket dirs and the manifest
+    commit: a reader must see the ENTIRE old generation (not a mix),
+    and re-running the same increment must converge to the new state."""
+    import fastetl_spark.io.bucketed as B
+
+    dest = str(tmp_path / "dest_v2")
+    nation = read_table(spark, sf_dir, "nation")
+    write_bucketed(nation, dest, ["n_nationkey"], N_BUCKETS, atomic=True)
+    before = _rows(read_bucketed(spark, dest), nation.columns)
+
+    inc = nation.withColumn("n_name", F.lit("v2-merged"))  # touches all buckets
+
+    real_commit = B._commit_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before pointer flip")
+
+    monkeypatch.setattr(B, "_commit_manifest", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        partial_merge(spark, dest, inc)
+    monkeypatch.setattr(B, "_commit_manifest", real_commit)
+
+    # reader mid-crash: old generation, complete and unmixed
+    assert B.read_manifest(spark, dest)["gen"] == 1
+    mid = _rows(read_bucketed(spark, dest), nation.columns)
+    assert mid == before
+    assert not any("v2-merged" in r for r in mid)
+
+    # re-run converges (orphan next-gen dirs are overwritten)
+    partial_merge(spark, dest, inc)
+    after = read_bucketed(spark, dest)
+    assert after.filter(F.col("n_name") != "v2-merged").count() == 0
+    assert after.count() == nation.count()
+
+
+def test_v2_deletion_to_empty_then_sync_reloads(spark, tmp_path):
+    """Emptying a v2 destination keeps a schema-bearing generation;
+    Engine.sync reloads the full source afterwards."""
+    from fastetl_spark.api import Engine
+
+    dest = str(tmp_path / "dest")
+    rows = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, ts long"
+    )
+    write_bucketed(rows, dest, ["id"], N_BUCKETS, atomic=True)
+    partial_merge(spark, dest, rows.limit(0), deleted_keys=rows.select("id"))
+    emptied = read_bucketed(spark, dest)
+    assert emptied.count() == 0
+    assert set(emptied.columns) == {"id", "v", "ts"}
+
+    src = str(tmp_path / "src")
+    rows.write.parquet(src)
+    n = Engine(spark).sync({"path": src}, {"path": dest}, keys=["id"], watermark_col="ts")
+    assert n == 3
+    assert _rows(read_bucketed(spark, dest), ["id", "v", "ts"]) == _rows(
+        rows, ["id", "v", "ts"]
+    )
+
+
+def test_v2_generation_gc_bounds_dirs(spark, tmp_path):
+    """Repeated merges must not accumulate generations: only the live
+    and previous generation's dirs and manifests survive."""
+    import os
+
+    from fastetl_spark.io.bucketed import read_manifest
+
+    dest = str(tmp_path / "dest")
+    rows = spark.createDataFrame([(i, i * 10) for i in range(8)], "id long, v long")
+    write_bucketed(rows, dest, ["id"], 4, atomic=True)
+    for g in range(5):
+        inc = spark.createDataFrame([(i, 100 * g + i) for i in range(8)], "id long, v long")
+        partial_merge(spark, dest, inc)
+    m = read_manifest(spark, dest)
+    assert m["gen"] == 6
+    names = os.listdir(dest)
+    manifests = [n for n in names if n.startswith("_manifest_")]
+    assert sorted(manifests) == ["_manifest_5.json", "_manifest_6.json"]
+    live = set(m["buckets"].values())
+    bucket_dirs = {n for n in names if n.startswith("bucket_")}
+    # every dir is referenced by gen 6 or gen 5 (kept for in-flight readers)
+    import json as _json
+
+    with open(os.path.join(dest, "_manifest_5.json")) as fh:
+        prev_live = set(_json.load(fh)["buckets"].values())
+    assert bucket_dirs == live | prev_live
+    # the data is the last increment's
+    got = {(r.id, r.v) for r in read_bucketed(spark, dest).collect()}
+    assert got == {(i, 400 + i) for i in range(8)}
+
+
 def test_vacuum_dest_removes_leftovers_keeps_data(spark, tmp_path):
     """Stranded staging/backup dirs and old commit markers go; the live
     destination and the newest markers stay."""
