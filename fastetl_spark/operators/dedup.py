@@ -354,14 +354,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash -------------------------------------------------------------
 
 
-def simhash64_from_hashes(hashes: Column) -> Column:
-    """64-bit SimHash over pre-hashed tokens (bound column — see
+def simhash64_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash over pre-hashed tokens (bound column — see
     minhash_signature_from_hashes for why), as pure expressions: bit b
     of the result is set iff more token-hashes have bit b set than
-    unset. 64 filter/size expressions — JVM-side, no UDF."""
+    unset. ``bits`` filter/size expressions — JVM-side, no UDF. Use
+    bits=60 with md5_prefix_hash inputs (60-bit hashes; the top 4 bits
+    would always fold to 0 anyway)."""
     n = F.size(hashes)
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         mask = F.shiftleft(F.lit(1).cast("long"), b)  # 1<<63 overflows a lit
         ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
         bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -374,17 +376,58 @@ def simhash64(tokens: Column) -> Column:
     return simhash64_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)))
 
 
-@query("dedup_simhash")  # engine-hash based — rows-only check
+# 60-bit simhash (md5-prefix portable hashes), 4 segments of 15 bits:
+# any pair within Hamming distance 3 shares at least one exact segment
+# (pigeonhole). The oracle replicates signature, blocking, and distance
+# bit-for-bit, so this formerly rows-only query is now hash-gated.
+_SIMHASH_BITS = 60
+_SIMHASH_SEG = _SIMHASH_BITS // 4
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(tokens, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+  FROM toks
+), sims AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {_SIMHASH_BITS}),
+           b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                     THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sim
+  FROM hashed
+), seg AS (
+  SELECT doc_id, sim, s AS seg_id,
+         (sim >> (s * {_SIMHASH_SEG})) & {(1 << _SIMHASH_SEG) - 1} AS seg
+  FROM sims, (SELECT unnest(range(0, 4)) AS s) ss
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sim AS sim_a, b.sim AS sim_b
+  FROM seg a JOIN seg b
+    ON a.seg_id = b.seg_id AND a.seg = b.seg AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+@query("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= 3, found by
     4-segment pigeonhole blocking (any pair within distance 3 shares at
-    least one exact 16-bit segment) — join on segments, not n² pairs."""
+    least one exact {_SIMHASH_SEG}-bit segment) — join on segments, not
+    n² pairs. Portable md5-prefix token hashes (60-bit) let the DuckDB
+    oracle reproduce signatures and blocking exactly."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.array_distinct(word_tokens(F.col("text"))).alias("tokens"))
-    hashed = tok.select("doc_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("hs"))
+    hashed = tok.select(
+        "doc_id", F.transform("tokens", lambda t: md5_prefix_hash(t)).alias("hs")
+    )
     sims = hashed.select(
-        "doc_id", simhash64_from_hashes(F.col("hs")).alias("sim")
-    ).transform(materialize)  # 64-expression fold; never recompute it per join side
+        "doc_id", simhash64_from_hashes(F.col("hs"), bits=_SIMHASH_BITS).alias("sim")
+    ).transform(materialize)  # 60-expression fold; never recompute it per join side
+    seg_mask = (1 << _SIMHASH_SEG) - 1
     seg = sims.select(
         "doc_id",
         "sim",
@@ -393,7 +436,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(s).alias("seg_id"),
-                        F.shiftrightunsigned(F.col("sim"), s * 16).bitwiseAND(F.lit(0xFFFF)).alias("seg"),
+                        F.shiftrightunsigned(F.col("sim"), s * _SIMHASH_SEG)
+                        .bitwiseAND(F.lit(seg_mask))
+                        .alias("seg"),
                     )
                     for s in range(4)
                 ]
