@@ -72,7 +72,10 @@ def create_table_ddl(
     source reflection), so VARCHAR(n) survives the trip and the
     >= 4000 -> TEXT/VARCHAR(MAX) overflow rule applies per column.
     Matches the conditional semantics of the reference's
-    ``create_all`` via IF NOT EXISTS."""
+    ``create_all`` (a checkfirst metadata probe): postgresql/mysql get
+    ``IF NOT EXISTS``; T-SQL has no such clause, so mssql gets the
+    ``IF OBJECT_ID(...) IS NULL`` guard statement instead — emitting
+    IF NOT EXISTS there would be a syntax error."""
     lengths = lengths or {}
     cols = []
     for f in schema.fields:
@@ -80,8 +83,14 @@ def create_table_ddl(
         null = "" if f.nullable else " NOT NULL"
         cols.append(f"    {f.name} {frag}{null}")
     qualified = f"{schema_name}.{table}" if schema_name else table
-    ine = "IF NOT EXISTS " if if_not_exists else ""
     body = ",\n".join(cols)
+    mssql = dialect in ("mssql", "sqlserver")
+    if if_not_exists and mssql:
+        return (
+            f"IF OBJECT_ID(N'{qualified}', N'U') IS NULL\n"
+            f"CREATE TABLE {qualified} (\n{body}\n)"
+        )
+    ine = "IF NOT EXISTS " if if_not_exists and not mssql else ""
     return f"CREATE TABLE {ine}{qualified} (\n{body}\n)"
 
 
@@ -98,6 +107,11 @@ def parse_create_table_ddl(ddl: str) -> T.StructType:
     back to a Spark schema through the same type mapping — the verify
     half of the round trip, and the reader for reflect-from-DDL
     migration flows."""
+    # tolerate a leading T-SQL existence guard (IF OBJECT_ID(...) IS
+    # NULL) by parsing from the CREATE TABLE keyword on
+    start = ddl.upper().find("CREATE TABLE")
+    if start > 0:
+        ddl = ddl[start:]
     m = re.search(r"\((?P<body>.*)\)\s*;?\s*$", ddl, re.DOTALL)
     if not m:
         raise ValueError("not a CREATE TABLE statement: no column list found")

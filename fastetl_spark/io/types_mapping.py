@@ -49,6 +49,14 @@ DB_TO_SPARK: dict[str, T.DataType] = {
     "object": T.BinaryType(),
     "bytea": T.BinaryType(),
     "varbinary": T.BinaryType(),
+    # mysql family
+    "double": T.DoubleType(),
+    "tinytext": T.StringType(),
+    "mediumtext": T.StringType(),
+    "longtext": T.StringType(),
+    "blob": T.BinaryType(),
+    "mediumblob": T.BinaryType(),
+    "longblob": T.BinaryType(),
 }
 
 
@@ -66,30 +74,38 @@ def db_type_to_spark(type_name: str, precision: int | None = None, scale: int | 
 def spark_type_to_ddl(dtype: T.DataType, dialect: str = "postgresql", length: int | None = None) -> str:
     """Write-direction DDL fragment for createTableColumnTypes / CREATE TABLE.
 
-    Applies the reference's length-overflow rule: a string column with a
-    known length >= 4000 becomes TEXT (pg) / VARCHAR(MAX) (mssql)."""
+    Dialects: ``postgresql`` (default), ``mssql``/``sqlserver``,
+    ``mysql`` (the three the reference targets — its get_hook_and_engine
+    dispatches on exactly these; for mysql it also strips identifier
+    quoting, fast_etl.py:312-314 — moot here since we emit unquoted
+    identifiers everywhere). Applies the reference's length-overflow
+    rule: a string column with a known length >= 4000 becomes TEXT (pg,
+    mysql) / VARCHAR(MAX) (mssql)."""
     mssql = dialect in ("mssql", "sqlserver")
+    mysql = dialect == "mysql"
     if isinstance(dtype, T.StringType):
-        if length is None:
-            return "VARCHAR(MAX)" if mssql else "TEXT"
-        if length >= MAX_VARCHAR:
+        if length is None or length >= MAX_VARCHAR:
             return "VARCHAR(MAX)" if mssql else "TEXT"
         return f"VARCHAR({length})"
     if isinstance(dtype, T.DecimalType):
         p, s = dtype.precision, dtype.scale
         if p > 38:
             p, s = DECIMAL_OVERFLOW
-        return f"NUMERIC({p},{s})" if not mssql else f"DECIMAL({p},{s})"
+        return f"NUMERIC({p},{s})" if not (mssql or mysql) else f"DECIMAL({p},{s})"
     if isinstance(dtype, T.BooleanType):
         return "BIT" if mssql else "BOOLEAN"
     if isinstance(dtype, T.TimestampType):
-        return "DATETIME2" if mssql else "TIMESTAMP"
+        if mssql:
+            return "DATETIME2"
+        return "DATETIME" if mysql else "TIMESTAMP"
     if isinstance(dtype, T.DateType):
         return "DATE"
     if isinstance(dtype, T.FloatType):
-        return "FLOAT" if mssql else "FLOAT8"
+        return "FLOAT" if (mssql or mysql) else "FLOAT4"
     if isinstance(dtype, T.DoubleType):
-        return "FLOAT" if mssql else "FLOAT8"
+        if mssql:
+            return "FLOAT"
+        return "DOUBLE" if mysql else "FLOAT8"
     if isinstance(dtype, T.ShortType):
         return "SMALLINT"
     if isinstance(dtype, T.IntegerType):
@@ -97,7 +113,9 @@ def spark_type_to_ddl(dtype: T.DataType, dialect: str = "postgresql", length: in
     if isinstance(dtype, T.LongType):
         return "BIGINT"
     if isinstance(dtype, T.BinaryType):
-        return "VARBINARY(MAX)" if mssql else "BYTEA"
+        if mssql:
+            return "VARBINARY(MAX)"
+        return "LONGBLOB" if mysql else "BYTEA"
     return "TEXT"
 
 

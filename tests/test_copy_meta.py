@@ -442,6 +442,58 @@ def test_reflection_ddl_roundtrip_mssql_overrides():
     assert "ts DATETIME2" in ddl
     assert "blob_text VARCHAR(MAX)" in ddl
     assert "amount DECIMAL(38,8)" in ddl
+
+
+def test_reflection_ddl_mssql_guard_not_if_not_exists():
+    """T-SQL has no CREATE TABLE IF NOT EXISTS — the conditional form
+    must emit the OBJECT_ID guard instead (and stay parseable)."""
+    from fastetl_spark.io.reflection import create_table_ddl, parse_create_table_ddl
+
+    schema = T.StructType([T.StructField("id", T.LongType(), False)])
+    ddl = create_table_ddl("t", schema, "mssql", schema_name="dbo")
+    assert "IF NOT EXISTS" not in ddl
+    assert ddl.startswith("IF OBJECT_ID(N'dbo.t', N'U') IS NULL")
+    assert "CREATE TABLE dbo.t (" in ddl
+    assert parse_create_table_ddl(ddl) == schema
+
+
+def test_reflection_ddl_roundtrip_mysql():
+    """mysql dialect: DATETIME for timestamps, DOUBLE, LONGBLOB, TEXT
+    overflow, DECIMAL — and the full schema survives the parse-back
+    round trip (reference strips identifier quoting for mysql,
+    fast_etl.py:312-314; we emit unquoted identifiers everywhere)."""
+    from fastetl_spark.io.reflection import create_table_ddl, parse_create_table_ddl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("tiny", T.ShortType()),
+            T.StructField("price", T.DecimalType(38, 13)),
+            T.StructField("ratio", T.DoubleType()),
+            T.StructField("speed", T.FloatType()),
+            T.StructField("active", T.BooleanType()),
+            T.StructField("created", T.TimestampType()),
+            T.StructField("birth", T.DateType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("essay", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    ddl = create_table_ddl(
+        "t", schema, "mysql", lengths={"name": 120, "essay": 8000}
+    )
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS t (")
+    assert "created DATETIME" in ddl and "DATETIME2" not in ddl
+    assert "ratio DOUBLE" in ddl
+    assert "speed FLOAT" in ddl
+    assert "price DECIMAL(38,13)" in ddl
+    assert "name VARCHAR(120)" in ddl
+    assert "essay TEXT" in ddl
+    assert "payload LONGBLOB" in ddl
+    assert "active BOOLEAN" in ddl
+    back = parse_create_table_ddl(ddl)
+    assert back == schema
     assert parse_create_table_ddl(ddl) == schema
 
 
