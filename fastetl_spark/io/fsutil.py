@@ -23,9 +23,18 @@ def hadoop_fs(spark: SparkSession, path_str: str):
 
 
 def replace_dir(fs, path_cls, src_str: str, dst_str: str) -> None:
-    """Publish ``src`` over ``dst`` with a backup-and-rename swap: the
-    destination is either the old directory or the new one, never a
-    partial mix. On failure the old directory is restored."""
+    """Publish ``src`` over ``dst`` with a backup-and-rename swap.
+
+    CRASH-atomic, not READER-atomic: a crash at any point leaves the
+    destination as either the complete old directory or the complete
+    new one (on failure the old one is restored), but there is a
+    window between the two renames where the destination path does not
+    exist — a live reader listing the tree right then sees it missing
+    (or, under a multi-bucket merge, silently misses that bucket's
+    rows). Deployments with readers concurrent to merges should use
+    the manifest-committed bucketed layout v2 (io/bucketed,
+    ``write_bucketed(atomic=True)``) or the Delta path
+    (operators/delta_merge), both of which publish by pointer flip."""
     src = path_cls(src_str)
     dst = path_cls(dst_str)
     backup = path_cls(dst_str.rstrip("/") + ".__old__")

@@ -68,7 +68,22 @@ def zorder_write(
     """Write `df` as parquet laid out along the Z-curve of `cols`:
     range-partitioned into `n_files` splits of the Morton code and
     sorted by it within each file, so min-max stats prune on every
-    z-ordered column."""
+    z-ordered column.
+
+    ``bits`` is auto-reduced so the interleaved code fits a signed
+    64-bit long: JVM shifts wrap mod 64, so bits * len(cols) > 63
+    would silently corrupt the codes (data unharmed, pruning useless).
+    """
+    if not cols:
+        raise ValueError("zorder_write needs at least one column")
+    max_bits = 63 // len(cols)
+    if bits > max_bits:
+        bits = max_bits
+    if bits < 1:
+        raise ValueError(
+            f"cannot z-order {len(cols)} columns in a 63-bit code; "
+            "drop to at most 63 columns"
+        )
     bounds = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],

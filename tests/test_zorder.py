@@ -91,3 +91,24 @@ def test_zorder_files_are_selective_on_both_columns(spark, tmp_path):
     # 1-D sort: x tight but y ~unpruned — the gap z-order closes
     assert sy > 0.9 * global_span
     assert zy < 0.6 * sy
+
+
+def test_zorder_many_columns_auto_reduces_bits(spark, tmp_path):
+    """bits * n_cols must stay within a 63-bit long: with 6+ columns the
+    default bits=12 would shift past 64 and wrap (silently corrupt
+    codes) — zorder_write auto-reduces instead, and the layout is still
+    written and selective enough to read back intact."""
+    import pytest as _pytest
+
+    from fastetl_spark.io.zorder import zorder_write
+
+    cols = [f"c{i}" for i in range(6)]
+    df = spark.range(1000).select(
+        *[((F.col("id") * (i + 7)) % 1000).alias(c) for i, c in enumerate(cols)]
+    )
+    path = str(tmp_path / "z6")
+    zorder_write(df, path, cols, n_files=4)  # would need 72 bits unreduced
+    assert spark.read.parquet(path).count() == 1000
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_write(df, path, [f"c{i % 6}" for i in range(64)], n_files=2)
