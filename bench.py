@@ -57,6 +57,8 @@ HEADLINE = [
     "doc_distinctive_terms",
     "embedding_dim_profile",
     "curation_pipeline_stats",
+    "dedup_simhash",
+    "minhash_index_match",
 ]
 
 
@@ -79,17 +81,30 @@ def main() -> None:
     spark.range(1000).count()
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-3 per query: repeats amortize codegen/JIT, GC pauses, and
-    # ambient machine load so the figure reflects steady-state throughput
+    # best-of-N per query: repeats amortize codegen/JIT, GC pauses, and
+    # ambient machine load so the figure reflects steady-state
+    # throughput. Per-query median + spread are reported alongside so a
+    # round-over-round delta can be told apart from run jitter (a delta
+    # inside the spread band is noise, not a regression).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
-        for _ in range(3):
+        times = []
+        for _ in range(reps):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            times.append(time.perf_counter() - start)
+        times.sort()
+        best, median = times[0], times[len(times) // 2]
         timings[name] = round(best, 3)
+        stats[name] = {
+            "median": round(median, 3),
+            "spread_pct": round((times[-1] - times[0]) / median * 100, 1)
+            if median > 0
+            else 0.0,
+        }
 
     # scaling-curve guard: the heaviest queries also run at the next
     # sf down; wall-time ratio across a 10x data step should stay well
@@ -118,17 +133,83 @@ def main() -> None:
                 "ok": ratio < 25.0,
             }
 
+    # persistent-index scaling guard: hold the INCREMENT fixed (30
+    # docs), grow the CORPUS 10x, and require the index match AND
+    # append walls to stay ~flat — the sublinearity claim of the
+    # persistent dedup index, measured instead of asserted. (A corpus
+    # scan path would grow ~10x here; bucket-pruned reads of a fixed
+    # shingle set do not scale with the corpus.)
+    index_scaling: dict[str, dict] = {}
+    if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(
+        sf_dir.rstrip("/")
+    ):
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from fastetl_spark.io.readers import ensure_parallelism, read_table
+        from fastetl_spark.operators.dedup_index import (
+            append_to_shingle_index,
+            build_shingle_index,
+            match_against_index,
+        )
+
+        inc = (
+            ensure_parallelism(read_table(spark, small_dir, "documents"))
+            .filter(F.col("doc_id") % 7 == 0)
+            .limit(30)
+            .cache()
+        )
+        inc.count()
+        walls: dict[str, tuple[float, float]] = {}
+        for tag, d in (("small", small_dir), ("big", sf_dir)):
+            corpus = ensure_parallelism(read_table(spark, d, "documents")).filter(
+                F.col("doc_id") % 7 != 0
+            )
+            idx_root = tempfile.mkdtemp(prefix="fe_bench_idx_")
+            idx = os.path.join(idx_root, "idx")
+            build_shingle_index(corpus, idx, n_buckets=64)  # untimed one-off
+            best = float("inf")
+            for _ in range(3):
+                start = time.perf_counter()
+                match_against_index(spark, idx, inc).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - start)
+            start = time.perf_counter()
+            append_to_shingle_index(inc, idx)
+            append_wall = time.perf_counter() - start
+            walls[tag] = (best, append_wall)
+            shutil.rmtree(idx_root, ignore_errors=True)
+        inc.unpersist()
+        for i, op in enumerate(("match", "append")):
+            small_t, big_t = walls["small"][i], walls["big"][i]
+            ratio = big_t / small_t if small_t > 0 else float("inf")
+            index_scaling[f"shingle_index_{op}"] = {
+                "small_sec": round(small_t, 3),
+                "big_sec": round(big_t, 3),
+                "ratio": round(ratio, 2),
+                # flat means ~1.0; 1.5 leaves jitter headroom while a
+                # corpus-proportional path would land near 10
+                "ok": ratio < 1.5,
+            }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_stats": stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if scaling:
         out["scaling"] = scaling
         out["scaling_ok"] = all(s["ok"] for s in scaling.values())
+    if index_scaling:
+        out["index_scaling"] = index_scaling
+        out["index_scaling_ok"] = all(s["ok"] for s in index_scaling.values())
     print(json.dumps(out))
     spark.stop()
 

@@ -169,7 +169,12 @@ def _gc_generations(spark: SparkSession, path: str, keep_gens: int = 2) -> None:
 
 
 def write_bucketed(
-    df: DataFrame, path: str, keys: list[str], n_buckets: int, atomic: bool = False
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    n_buckets: int,
+    atomic: bool = False,
+    one_file_per_bucket: bool = False,
 ) -> None:
     """Initial full load of a bucketed destination: write all N buckets
     (one shuffle-free partitionBy job) and commit the spec file last, so
@@ -183,10 +188,21 @@ def write_bucketed(
     sees the old generation or the new one, never a mix (v1's
     per-bucket swaps are each atomic but not jointly). v2 trades away
     raw ``spark.read.parquet(path)`` root reads — go through
-    ``read_bucketed`` — so v1 stays the default."""
+    ``read_bucketed`` — so v1 stays the default.
+
+    ``one_file_per_bucket=True`` adds a repartition on the bucket id
+    before the write, so each bucket lands as one file instead of one
+    per upstream task (up to shuffle_partitions files per bucket).
+    Right for append-maintained destinations (the persistent dedup
+    indexes): a clean baseline means the append auto-compaction
+    threshold tracks genuine growth, not initial-load fragmentation.
+    Leave False for very large initial loads where a 10-50 GB bucket
+    should not funnel through a single write task."""
     spark = df.sparkSession
+    out = df.withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
+    if one_file_per_bucket:
+        out = out.repartition(n_buckets, F.col(BUCKET_COL))
     if not atomic:
-        out = df.withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
         write_text_file(
             spark,
@@ -201,7 +217,6 @@ def write_bucketed(
     staging = base + ".__init_staging__"
     if fs.exists(path_cls(staging)):
         fs.delete(path_cls(staging), True)
-    out = df.withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
     out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
     gen = 1
     buckets: dict[int, str] = {}

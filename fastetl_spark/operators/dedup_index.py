@@ -76,8 +76,15 @@ def build_shingle_index(
     shingle_n: int = _SHINGLE_N,
 ) -> None:
     """One-time index build: explode the corpus once and lay the rows
-    out bucketed by shingle hash."""
-    write_bucketed(_shingle_rows(docs, shingle_n), index_path, ["shingle"], n_buckets)
+    out bucketed by shingle hash, one clean file per bucket — the
+    append compaction threshold then tracks real increment growth."""
+    write_bucketed(
+        _shingle_rows(docs, shingle_n),
+        index_path,
+        ["shingle"],
+        n_buckets,
+        one_file_per_bucket=True,
+    )
 
 
 def _append_index_rows(
@@ -264,9 +271,14 @@ def build_minhash_index(
     portable: bool = False,
 ) -> None:
     """One-time LSH index build: the corpus's banded signature rows,
-    bucketed by (band, band_hash). One corpus pass, ever."""
+    bucketed by (band, band_hash), one clean file per bucket. One
+    corpus pass, ever."""
     write_bucketed(
-        _band_rows(docs, portable=portable), index_path, ["band", "band_hash"], n_buckets
+        _band_rows(docs, portable=portable),
+        index_path,
+        ["band", "band_hash"],
+        n_buckets,
+        one_file_per_bucket=True,
     )
 
 
