@@ -316,6 +316,48 @@ _EVENTS_NANOS_SCHEMA = T.StructType(
 )
 
 
+def _gated_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the shared events fixture. Probes the
+    batch footer for the ts physical type (same adaptive rule as
+    io.readers.read_table): TIMESTAMP(NANOS) surfaces as long under the
+    conf and needs a div-1000 repair; plain micros reads as a timestamp
+    directly. The file source needs a fixed schema up front, so the
+    probe decides which schema to stream with. The file source wants a
+    DIRECTORY; a glob selects just the events table out of the shared
+    fixture dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+        == "bigint"
+    )
+    schema = _EVENTS_NANOS_SCHEMA if ts_is_nanos else EVENTS_SCHEMA
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink and return the drained table."""
+    import uuid
+
+    name = prefix + uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
 @query("streaming_tumbling_counts", _STREAM_TUMBLING_SQL)
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Structured Streaming run under the correctness gate: the
@@ -325,31 +367,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle checks exact batch-stream equivalence, not a batch
     re-derivation. This is the equivalence the foreachBatch/production
     sinks rely on, here proven per-round by the driver itself."""
-    import uuid
-
     from fastetl_spark.functions.stable import dec
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # probe the batch footer for the ts physical type (same adaptive
-    # rule as io.readers.read_table): TIMESTAMP(NANOS) surfaces as long
-    # under the conf and needs a div-1000 repair; plain micros reads as
-    # a timestamp directly. The file source needs a fixed schema, so
-    # the probe decides which schema to stream with.
-    ts_is_nanos = (
-        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
-        == "bigint"
-    )
-    schema = _EVENTS_NANOS_SCHEMA if ts_is_nanos else EVENTS_SCHEMA
-    # the file source wants a DIRECTORY; select just the events table
-    # out of the shared fixture dir with a glob
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    e = raw
-    if ts_is_nanos:
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    e = _gated_events_stream(spark, sf_dir)
     agg = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -363,16 +383,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = "st_tumbling_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(agg, "st_tumbling_", "complete")
 
 
 _STREAM_SESSION_SQL = """
@@ -407,34 +418,177 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     length STARTS a session; the oracle's is_new uses >= to match.
     Output avoids the window end (implementation-defined last+gap) and
     keys sessions by their start."""
-    import uuid
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_nanos = (
-        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
-        == "bigint"
-    )
-    schema = _EVENTS_NANOS_SCHEMA if ts_is_nanos else EVENTS_SCHEMA
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    e = raw
-    if ts_is_nanos:
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    e = _gated_events_stream(spark, sf_dir)
     agg = (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
-    name = "st_session_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_to_memory(agg, "st_session_", "complete")
+
+
+# --- stream-stream join + streaming dedup under the gate ------------------
+
+_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@query("streaming_join_attribution", _STREAM_JOIN_SQL)
+def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stream_purchase_attribution run as a REAL stream under
+    the oracle gate: clicks and purchases are two filtered views of one
+    file-source stream, interval-joined with watermarks on both sides.
+    Append mode is exact for stream-stream INNER joins — matches emit
+    as they are found; the watermark only bounds join state — so the
+    drained sink must equal the batch interval join the DuckDB oracle
+    computes."""
+    e = _gated_events_stream(spark, sf_dir)
+    joined = stream_stream_purchase_attribution(e, attribution_window="1 hour")
+    return _drain_to_memory(joined, "st_join_", "append")
+
+
+_STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+@query("streaming_dedup_pairs", _STREAM_DEDUP_SQL)
+def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_stream (watermark + dropDuplicates) as a REAL stream under
+    the gate. dropDuplicates keeps an arbitrary first-seen row per key —
+    nondeterministic across 32 partitions — so the gated output projects
+    the KEY COLUMNS ONLY, which are deterministic: exactly the distinct
+    (user_id, event_type) set, whatever arrival order was. Proves the
+    streaming dedup state neither drops nor duplicates keys."""
+    e = _gated_events_stream(spark, sf_dir)
+    deduped = dedup_stream(e, ["user_id", "event_type"])
+    return _drain_to_memory(
+        deduped.select("user_id", "event_type"), "st_dedup_", "append"
+    )
+
+
+# --- foreachBatch sinks under the gate ------------------------------------
+
+
+def _stage_slices(df: DataFrame, root: str, in_dir: str, split_expr) -> None:
+    """Land a frame as 3 single-file parquet slices in `in_dir` so a
+    maxFilesPerTrigger=1 file source replays it as 3 micro-batches.
+    Local-FS only (scratch fixtures for the gated queries)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    os.makedirs(in_dir, exist_ok=True)
+    for i in range(3):
+        stage = f"{root}/stage_{i}"
+        df.filter(split_expr == i).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, f"{in_dir}/slice_{i}.parquet")
+
+
+def _scratch_root(sf_dir: str, kind: str) -> str:
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"{tempfile.gettempdir()}/fastetl_{kind}_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+_STREAM_UPSERT_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT e.*, row_number() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events e) t
+WHERE rn = 1
+"""
+
+
+@query("streaming_upsert_sync_state", _STREAM_UPSERT_SQL)
+def streaming_upsert_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming→bucketed-sync integration under the gate: events
+    are deterministically reduced to one winner row per (user_id,
+    event_type) — latest ts, ties to highest event_id — then landed as
+    3 slice files and streamed (maxFilesPerTrigger=1) through
+    foreach_batch_merge into a KEY-BUCKETED parquet destination, so
+    three separate micro-batches each run the touched-buckets-only
+    partial_merge with commit markers. Each key appears in exactly one
+    slice, so the final destination state is batch-order independent:
+    the per-key winner set the oracle derives with one window. Proves
+    the full §2.9-made-continuous path (file stream → foreachBatch →
+    bucketed partial merge → commit log) end-to-end, not just its
+    pieces."""
+    from pyspark.sql import Window
+
+    from fastetl_spark.io.bucketed import read_bucketed
+    from fastetl_spark.io.readers import read_table
+
+    root = _scratch_root(sf_dir, "stream_sync")
+    in_dir, dest, ckpt = f"{root}/in", f"{root}/dest", f"{root}/ckpt"
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    winners = (
+        e.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+    )
+    _stage_slices(winners, root, in_dir, F.col("user_id") % 3)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = foreach_batch_merge(
+        stream, dest, ["user_id", "event_type"], ckpt, n_buckets=8
     )
     q.awaitTermination()
-    return spark.table(name)
+    return read_bucketed(spark, dest).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+_STREAM_AGG_MAINTAIN_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+@query("streaming_agg_maintain_state", _STREAM_AGG_MAINTAIN_SQL)
+def streaming_agg_maintain_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreach_batch_agg_maintain under the gate: events stream in as 3
+    micro-batches (split by event_id % 3 — arbitrary, since COUNT/SUM
+    partials form a commutative monoid), each batch merged into the
+    materialized hourly aggregate via merge_partial_aggs. The final
+    parquet aggregate must equal the one-shot GROUP BY the oracle
+    computes — the exactness claim behind maintaining a 100 TB rollup
+    from increments instead of rescanning the base table."""
+    from fastetl_spark.io.readers import read_table
+
+    root = _scratch_root(sf_dir, "stream_agg")
+    in_dir, dest, ckpt = f"{root}/in", f"{root}/dest", f"{root}/ckpt"
+    e = read_table(spark, sf_dir, "events")
+    _stage_slices(e, root, in_dir, F.col("event_id") % 3)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = foreach_batch_agg_maintain(stream, dest, ckpt)
+    q.awaitTermination()
+    agg = spark.read.parquet(dest)
+    return agg.select(
+        "hour",
+        "n_orders",
+        F.round(F.col("total"), 2).cast("double").alias("total_value"),
+    )
