@@ -144,27 +144,74 @@ ZSCORE_SCHEMA = T.StructType(
 )
 
 
+# Quantization unit shared by the exact-sum UDAF/grouped-map operators
+# and their DuckDB oracles: stats are computed over FLOOR(v*1e6 + 0.5)
+# integers so every cross-partition/-engine reduction is exact integer
+# arithmetic; only the final scalar expression touches floats, in the
+# SAME operation shape both engines evaluate bit-identically.
+_Q_UNIT = 1_000_000
+
+
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    std = pdf["value"].std(ddof=1)
-    mean = pdf["value"].mean()
+    import math
+
+    import numpy as np
+
+    x = pdf["value"].to_numpy(dtype=np.float64)
+    q = np.floor(x * _Q_UNIT + 0.5).astype(np.int64)
+    n = len(q)
     pdf = pdf[["event_id", "user_id", "value"]].copy()
-    pdf["value_zscore"] = 0.0 if (std == 0 or pd.isna(std)) else (pdf["value"] - mean) / std
+    # exact integer moments (Python bigints: q*q sums overflow int64)
+    total = sum(int(v) for v in q)
+    sumsq = sum(int(v) * int(v) for v in q)
+    m2 = n * sumsq - total * total
+    if n < 2 or m2 <= 0:
+        pdf["value_zscore"] = 0.0
+        return pdf
+    mean = float(total) / (float(n) * _Q_UNIT)
+    std = math.sqrt(float(m2) / (float(n) * float(n - 1)) / (_Q_UNIT * _Q_UNIT))
+    pdf["value_zscore"] = (x - mean) / std
     return pdf
 
 
-@query("group_zscore_pandas")  # pandas float summation — rows-only check
+_ZSCORE_SQL = f"""
+WITH q AS (
+  SELECT event_id, user_id, value,
+         CAST(FLOOR(value * {_Q_UNIT} + 0.5) AS BIGINT) AS qv
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(qv) AS total, SUM(qv * qv) AS sumsq
+  FROM q GROUP BY user_id
+)
+SELECT q.event_id, q.user_id, q.value,
+       ROUND(CASE WHEN s.n < 2 OR (s.n * s.sumsq - s.total * s.total) <= 0
+                  THEN 0.0
+             ELSE (q.value - CAST(s.total AS DOUBLE)
+                             / (CAST(s.n AS DOUBLE) * {_Q_UNIT}))
+                  / SQRT(CAST(s.n * s.sumsq - s.total * s.total AS DOUBLE)
+                         / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE))
+                         / ({_Q_UNIT}.0 * {_Q_UNIT}.0))
+             END, 9) AS value_zscore
+FROM q JOIN s USING (user_id)
+"""
+
+
+@query("group_zscore_pandas", _ZSCORE_SQL)
 def group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: per-user z-score of event values — the
     reference's BaseDataCleaner-style plugin written as an Arrow-batched
-    group transform (pandas' pairwise float summation differs from SQL
-    engines at the last ulp, hence rows-only; numeric agreement with the
-    native expression is asserted in tests)."""
+    group transform. Promoted to an EXACT oracle: the group moments are
+    exact integer sums of 1e-6-quantized values (order-independent), and
+    mean/std/z are derived through the identical IEEE operation sequence
+    in both engines, so the DuckDB window/join re-derivation matches
+    bit-for-bit (round 9 is belt-and-braces against cast ulps)."""
     from fastetl_spark.io.readers import read_table as _rt
 
     e = _rt(spark, sf_dir, "events")
-    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+    z = e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
         _zscore_group, ZSCORE_SCHEMA
     )
+    return z.withColumn("value_zscore", F.round("value_zscore", 9))
 
 
 # --- video frame sampling -------------------------------------------------
@@ -214,28 +261,55 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- grouped-agg pandas UDF (§2.11 UDAF surface) -------------------------
 
 
-@query("gini_by_event_type")  # float-reduction order differs from SQL — rows-only
+_GINI_SQL = f"""
+WITH q AS (
+  SELECT event_type, CAST(FLOOR(value * {_Q_UNIT} + 0.5) AS BIGINT) AS qv
+  FROM events
+), ranked AS (
+  SELECT event_type, qv,
+         row_number() OVER (PARTITION BY event_type ORDER BY qv) AS r
+  FROM q
+), agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(qv) AS total, SUM(r * qv) AS rank_sum
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       ROUND(CASE WHEN n = 0 OR total = 0 THEN 0.0
+             ELSE CAST(2 * rank_sum AS DOUBLE) / CAST(n * total AS DOUBLE)
+                  - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END, 9) AS gini
+FROM agg
+"""
+
+
+@query("gini_by_event_type", _GINI_SQL)
 def gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration of event values per type via a GROUPED_AGG
     pandas UDF — the custom-UDAF surface: Arrow ships each group's
-    column to Python once, the UDAF returns one scalar per group
-    (ranked-sum formula over the sorted values, vectorized numpy).
-    Rows-only: numpy's pairwise float summation differs from any SQL
-    engine's reduction order in the last bits; the equivalence test
-    checks against the native window-formula twin at 1e-9."""
+    column to Python once, the UDAF returns one scalar per group.
+    Promoted to an EXACT oracle: rank-sum and total are exact integer
+    sums over 1e-6-quantized values (ties between equal quantized
+    values contribute a rank-invariant sum, so the arbitrary tie order
+    cannot change the result), and the closing scalar runs the same
+    IEEE operation shape as the DuckDB window re-derivation."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def gini(v: pd.Series) -> float:
-        x = np.sort(v.to_numpy(dtype=np.float64))
-        n = len(x)
-        total = x.sum()
-        if n == 0 or total == 0.0:
+        x = v.to_numpy(dtype=np.float64)
+        q = np.sort(np.floor(x * _Q_UNIT + 0.5).astype(np.int64))
+        n = len(q)
+        if n == 0:
             return 0.0
-        ranks = np.arange(1, n + 1, dtype=np.float64)
-        return float((2.0 * (ranks * x).sum()) / (n * total) - (n + 1.0) / n)
+        total = int(q.sum())
+        if total == 0:
+            return 0.0
+        if n * n * int(q[-1]) >= 2**62:  # rank_sum would overflow int64
+            rank_sum = sum((i + 1) * int(val) for i, val in enumerate(q))
+        else:
+            rank_sum = int((np.arange(1, n + 1, dtype=np.int64) * q).sum())
+        return float(2 * rank_sum) / float(n * total) - float(n + 1) / float(n)
 
     e = ensure_parallelism(read_table(spark, sf_dir, "events"))
     return (

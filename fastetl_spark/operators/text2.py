@@ -265,21 +265,43 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("doc_id", F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"))
 
 
-# --- character entropy (rows-only: libm log differs across engines) ------
+# --- character entropy ----------------------------------------------------
+
+_ENTROPY_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, '') AS cs FROM documents
+), u AS (
+  SELECT doc_id, cs, len(cs) AS n, list_sort(list_distinct(cs)) AS uniq
+  FROM t
+), p AS (
+  SELECT doc_id,
+         list_transform(uniq,
+           ch -> CAST(len(list_filter(cs, c -> c = ch)) AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS probs
+  FROM u
+)
+SELECT doc_id,
+       ROUND(-list_sum(list_transform(probs, pr -> pr * ln(pr) / ln(2.0))), 6)
+         AS char_entropy_bits
+FROM p
+"""
 
 
-@query("char_entropy")  # rows-only: Math.log last-ulp varies across libms
+@query("char_entropy", _ENTROPY_SQL)
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of the character distribution per doc — a cheap
     gibberish detector. Computed fully with array expressions: histogram
-    via aggregate over distinct chars."""
+    via aggregate over SORTED distinct chars, so both engines fold the
+    p·log p terms in the same order and the only cross-engine residue is
+    the last ulp of ln() (Math.log vs libm) — absorbed by rounding to 6
+    decimals, which promotes this from rows-only to an exact oracle."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     chars = F.split(F.col("text"), "")
     t = d.select("doc_id", chars.alias("cs")).withColumn("n", F.size("cs"))
-    uniq = F.array_distinct(F.col("cs"))
+    uniq = F.array_sort(F.array_distinct(F.col("cs")))
     counts = F.transform(uniq, lambda u: F.size(F.filter(F.col("cs"), lambda c: c == u)))
     probs = F.transform(counts, lambda k: k.cast("double") / F.col("n").cast("double"))
     entropy = -F.aggregate(
         probs, F.lit(0.0), lambda acc, p: acc + p * F.log(2.0, p)
     )
-    return t.select("doc_id", entropy.alias("char_entropy_bits"))
+    return t.select("doc_id", F.round(entropy, 6).alias("char_entropy_bits"))
