@@ -324,6 +324,24 @@ class Engine:
 
         return ingest_new_files(self.spark, src_dir, dest_path, manifest_path)
 
+    def rollback(self, path: str, to_gen: int | None = None) -> int:
+        """Undo a merge on an atomic (v2) bucketed destination: commit a
+        new manifest pointing at an earlier generation's bucket dirs —
+        an atomic pointer flip, the plain-parquet twin of Delta RESTORE.
+        Defaults to the generation before the current one; returns the
+        new generation number (io/bucketed.rollback_bucketed)."""
+        from fastetl_spark.io.bucketed import rollback_bucketed
+
+        return rollback_bucketed(self.spark, path, to_gen)
+
+    def generations(self, path: str) -> list[int]:
+        """Committed manifest generations of a v2 bucketed destination
+        (ascending); the ones inside the GC retention window can be
+        read with io/bucketed.read_bucketed_at or rolled back to."""
+        from fastetl_spark.io.bucketed import list_generations
+
+        return list_generations(self.spark, path)
+
 
 # --- operator-shaped wrappers (reference operator parity) ----------------
 

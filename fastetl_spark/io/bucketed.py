@@ -175,6 +175,7 @@ def write_bucketed(
     n_buckets: int,
     atomic: bool = False,
     one_file_per_bucket: bool = False,
+    keep_gens: int = 2,
 ) -> None:
     """Initial full load of a bucketed destination: write all N buckets
     (one shuffle-free partitionBy job) and commit the spec file last, so
@@ -197,7 +198,13 @@ def write_bucketed(
     indexes): a clean baseline means the append auto-compaction
     threshold tracks genuine growth, not initial-load fragmentation.
     Leave False for very large initial loads where a 10-50 GB bucket
-    should not funnel through a single write task."""
+    should not funnel through a single write task.
+
+    ``keep_gens`` (v2 only, recorded in the spec) is the GC retention
+    window: merge-time GC keeps the newest N generations' manifests and
+    dirs. 2 = current + previous (enough for in-flight readers and a
+    one-step ``rollback_bucketed``); raise it on destinations that need
+    deeper undo/time-travel, at the cost of retaining old bucket dirs."""
     spark = df.sparkSession
     out = df.withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
     if one_file_per_bucket:
@@ -245,6 +252,7 @@ def write_bucketed(
                 "version": SPEC_VERSION_ATOMIC,
                 "keys": list(keys),
                 "n_buckets": int(n_buckets),
+                "keep_gens": int(keep_gens),
             }
         ),
     )
@@ -263,6 +271,87 @@ def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
         dirs = [f"{base}/{d}" for d in m["buckets"].values()]
         return spark.read.parquet(*dirs)
     return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def list_generations(spark: SparkSession, path: str) -> list[int]:
+    """Committed manifest generations of a v2 destination, ascending.
+    Empty for v1 destinations (no manifests)."""
+    fs, path_cls = hadoop_fs(spark, path)
+    return _manifest_gens(fs, path_cls, path.rstrip("/"))
+
+
+def _read_manifest_gen(spark: SparkSession, path: str, gen: int) -> dict:
+    base = path.rstrip("/")
+    text = read_text_file(spark, f"{base}/{MANIFEST_PREFIX}{gen}.json")
+    m = json.loads(text)
+    m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+    return m
+
+
+def read_bucketed_at(spark: SparkSession, path: str, gen: int) -> DataFrame:
+    """Time-travel read of a v2 destination: resolve generation ``gen``'s
+    manifest instead of the latest. Only generations inside the GC
+    retention window (``keep_gens``, default 2) still have their bucket
+    dirs on disk; older gens raise here."""
+    m = _read_manifest_gen(spark, path, gen)
+    base = path.rstrip("/")
+    fs, path_cls = hadoop_fs(spark, path)
+    missing = [d for d in m["buckets"].values() if not fs.exists(path_cls(f"{base}/{d}"))]
+    if missing:
+        raise ValueError(
+            f"generation {gen} of {path} is no longer readable: bucket dirs "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''} were GC'd "
+            "(outside the keep_gens retention window)"
+        )
+    return spark.read.parquet(*[f"{base}/{d}" for d in m["buckets"].values()])
+
+
+def rollback_bucketed(spark: SparkSession, path: str, to_gen: int | None = None) -> int:
+    """Roll a v2 destination back to an earlier generation by committing
+    a NEW manifest that points at the old generation's bucket dirs —
+    the undo is itself an atomic pointer flip, so readers see the
+    pre-rollback or post-rollback state, never a mix, and the forward
+    history (one manifest per publish) stays intact for audit.
+
+    ``to_gen`` defaults to the generation before the current one (undo
+    the last merge). Returns the NEW generation number. Raises if the
+    target's bucket dirs were already GC'd, or if a concurrent merge
+    holds the destination lock. This is the plain-parquet twin of Delta's
+    RESTORE; with delta installed, prefer the transactional path."""
+    spec = read_bucket_spec(spark, path)
+    if spec is None or spec["version"] != SPEC_VERSION_ATOMIC:
+        raise ValueError(
+            f"{path} is not an atomic (v2) bucketed destination — rollback "
+            "needs the manifest-committed layout (write_bucketed(..., atomic=True))"
+        )
+    fs, path_cls = hadoop_fs(spark, path)
+    lock = path_cls(path.rstrip("/") + ".__merge_lock__")
+    if not fs.createNewFile(lock):
+        raise RuntimeError(
+            f"another merge holds {lock}: rollback racing a merge is rejected"
+        )
+    try:
+        gens = list_generations(spark, path)
+        if len(gens) < 2 and to_gen is None:
+            raise ValueError(f"{path} has no earlier generation to roll back to")
+        target = gens[-2] if to_gen is None else to_gen
+        if target not in gens:
+            raise ValueError(f"generation {target} not in committed history {gens}")
+        m = _read_manifest_gen(spark, path, target)
+        base = path.rstrip("/")
+        missing = [
+            d for d in m["buckets"].values() if not fs.exists(path_cls(f"{base}/{d}"))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot roll back {path} to gen {target}: bucket dirs "
+                f"{missing[:3]}{'...' if len(missing) > 3 else ''} were GC'd"
+            )
+        new_gen = gens[-1] + 1
+        _commit_manifest(spark, path, new_gen, m["buckets"])
+        return new_gen
+    finally:
+        fs.delete(lock, False)
 
 
 def read_buckets_for_keys(
@@ -435,7 +524,8 @@ def _partial_merge_locked_v2(
         empty.write.mode("overwrite").parquet(f"{base}/{dirname}")
         new_buckets[0] = dirname
     _commit_manifest(spark, path, next_gen, new_buckets)
-    _gc_generations(spark, path)
+    spec = read_bucket_spec(spark, path) or {}
+    _gc_generations(spark, path, keep_gens=int(spec.get("keep_gens", 2)))
     return {
         "n_buckets": n_buckets,
         "buckets_touched": len(touched_ids),
@@ -590,16 +680,18 @@ def bucketize(
     keys: list[str],
     n_buckets: int,
     atomic: bool = False,
+    keep_gens: int = 2,
 ) -> None:
     """Migrate an existing plain-parquet destination to the bucketed
     layout (one full rewrite — the last one it will need). Staged to a
     sibling directory and swapped, so the migration never caches the
     destination and readers never see a partial layout. ``atomic=True``
-    migrates to layout v2 (manifest-committed generations)."""
+    migrates to layout v2 (manifest-committed generations; ``keep_gens``
+    sets the GC retention window for rollback/time-travel)."""
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__bucketize_staging__"
     fs, path_cls = hadoop_fs(spark, path)
     if fs.exists(path_cls(staging)):
         fs.delete(path_cls(staging), True)
-    write_bucketed(df, staging, keys, n_buckets, atomic=atomic)
+    write_bucketed(df, staging, keys, n_buckets, atomic=atomic, keep_gens=keep_gens)
     replace_dir(fs, path_cls, staging, path.rstrip("/"))

@@ -457,6 +457,91 @@ def test_v2_generation_gc_bounds_dirs(spark, tmp_path):
     assert got == {(i, 400 + i) for i in range(8)}
 
 
+def test_v2_rollback_undoes_last_merge_and_history_continues(spark, tmp_path):
+    """rollback_bucketed flips the pointer back to the pre-merge
+    generation; reads see the old state, a later merge builds on the
+    rolled-back state, and time-travel reads still resolve retained
+    generations."""
+    import pytest
+
+    from fastetl_spark.io.bucketed import (
+        list_generations,
+        read_bucketed_at,
+        read_manifest,
+        rollback_bucketed,
+    )
+
+    dest = str(tmp_path / "dest")
+    rows = spark.createDataFrame([(i, "orig") for i in range(8)], "id long, v string")
+    write_bucketed(rows, dest, ["id"], 4, atomic=True)
+    inc = spark.createDataFrame([(i, "merged") for i in range(8)], "id long, v string")
+    partial_merge(spark, dest, inc)
+    assert {r.v for r in read_bucketed(spark, dest).collect()} == {"merged"}
+
+    new_gen = rollback_bucketed(spark, dest)
+    assert new_gen == 3  # history: 1 (load), 2 (merge), 3 (rollback)
+    assert {r.v for r in read_bucketed(spark, dest).collect()} == {"orig"}
+    # the rolled-back-from generation is still time-travel readable
+    assert {r.v for r in read_bucketed_at(spark, dest, 2).collect()} == {"merged"}
+    assert list_generations(spark, dest) == [1, 2, 3]
+
+    # a merge after rollback builds on the rolled-back state
+    inc2 = spark.createDataFrame([(0, "post")], "id long, v string")
+    partial_merge(spark, dest, inc2)
+    got = {(r.id, r.v) for r in read_bucketed(spark, dest).collect()}
+    assert got == {(0, "post")} | {(i, "orig") for i in range(1, 8)}
+    assert read_manifest(spark, dest)["gen"] == 4
+
+    # unknown generation raises; v1 layout raises
+    with pytest.raises(ValueError, match="not in committed history"):
+        rollback_bucketed(spark, dest, to_gen=99)
+    v1 = str(tmp_path / "v1dest")
+    write_bucketed(rows, v1, ["id"], 4)
+    with pytest.raises(ValueError, match="v2"):
+        rollback_bucketed(spark, v1)
+
+
+def test_v2_rollback_rejects_gcd_generation(spark, tmp_path):
+    """A generation whose bucket dirs were GC'd (outside keep_gens)
+    cannot be rolled back to — the failure is loud, not a silent
+    partial read."""
+    import pytest
+
+    from fastetl_spark.io.bucketed import rollback_bucketed
+
+    dest = str(tmp_path / "dest")
+    rows = spark.createDataFrame([(i, 0) for i in range(8)], "id long, v long")
+    write_bucketed(rows, dest, ["id"], 4, atomic=True)
+    for g in range(3):
+        inc = spark.createDataFrame([(i, g + 1) for i in range(8)], "id long, v long")
+        partial_merge(spark, dest, inc)
+    # gens 1..4 committed; GC keeps the last 2 manifests (3, 4)
+    with pytest.raises(ValueError, match="not in committed history|GC'd"):
+        rollback_bucketed(spark, dest, to_gen=1)
+
+
+def test_v2_keep_gens_widens_rollback_window(spark, tmp_path):
+    """A destination written with keep_gens=4 retains enough history to
+    roll back past the previous generation."""
+    from fastetl_spark.io.bucketed import (
+        list_generations,
+        read_bucketed_at,
+        rollback_bucketed,
+    )
+
+    dest = str(tmp_path / "dest")
+    rows = spark.createDataFrame([(i, 0) for i in range(8)], "id long, v long")
+    write_bucketed(rows, dest, ["id"], 4, atomic=True, keep_gens=4)
+    for g in range(3):
+        inc = spark.createDataFrame([(i, g + 1) for i in range(8)], "id long, v long")
+        partial_merge(spark, dest, inc)
+    assert list_generations(spark, dest) == [1, 2, 3, 4]
+    assert {r.v for r in read_bucketed_at(spark, dest, 2).collect()} == {1}
+    new_gen = rollback_bucketed(spark, dest, to_gen=1)
+    assert new_gen == 5
+    assert {r.v for r in read_bucketed(spark, dest).collect()} == {0}
+
+
 def test_vacuum_dest_removes_leftovers_keeps_data(spark, tmp_path):
     """Stranded staging/backup dirs and old commit markers go; the live
     destination and the newest markers stay."""
