@@ -182,7 +182,6 @@ def main() -> None:
             append_wall = time.perf_counter() - start
             walls[tag] = (best, append_wall)
             shutil.rmtree(idx_root, ignore_errors=True)
-        inc.unpersist()
         for i, op in enumerate(("match", "append")):
             small_t, big_t = walls["small"][i], walls["big"][i]
             ratio = big_t / small_t if small_t > 0 else float("inf")
@@ -194,6 +193,45 @@ def main() -> None:
                 # corpus-proportional path would land near 10
                 "ok": ratio < 1.5,
             }
+
+        # same guard for the MinHash-LSH index — the documented 100 TB
+        # dedup DEFAULT: probe cost must track the increment's band
+        # set, not the corpus (fast xxhash64 variant, as production
+        # would run; build untimed)
+        from fastetl_spark.operators.dedup_index import (
+            build_minhash_index,
+            match_minhash_index,
+        )
+
+        mh_walls: dict[str, float] = {}
+        for tag, d in (("small", small_dir), ("big", sf_dir)):
+            corpus = ensure_parallelism(read_table(spark, d, "documents")).filter(
+                F.col("doc_id") % 7 != 0
+            )
+            idx_root = tempfile.mkdtemp(prefix="fe_bench_mhidx_")
+            idx = os.path.join(idx_root, "idx")
+            build_minhash_index(corpus, idx, n_buckets=64)  # untimed one-off
+            best = float("inf")
+            for _ in range(3):
+                start = time.perf_counter()
+                match_minhash_index(spark, idx, inc).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - start)
+            mh_walls[tag] = best
+            shutil.rmtree(idx_root, ignore_errors=True)
+        inc.unpersist()
+        ratio = (
+            mh_walls["big"] / mh_walls["small"]
+            if mh_walls["small"] > 0
+            else float("inf")
+        )
+        index_scaling["minhash_index_match"] = {
+            "small_sec": round(mh_walls["small"], 3),
+            "big_sec": round(mh_walls["big"], 3),
+            "ratio": round(ratio, 2),
+            "ok": ratio < 1.5,
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

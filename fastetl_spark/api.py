@@ -233,6 +233,16 @@ class Engine:
 
     # --- data-quality / maintenance surface -------------------------------
 
+    def expectations(self, df: DataFrame, rules: list) -> DataFrame:
+        """Table-level contract report: one row per rule with
+        (n_rows, n_violations, passed), ONE scan for any number of
+        rules (plans/expectations). Shares the (name, predicate) rule
+        shape with validate_split, so one suite serves both the
+        row-level reject channel and the aggregate contract check."""
+        from fastetl_spark.plans.expectations import expectations_report
+
+        return expectations_report(df, rules)
+
     def validate_split(self, df: DataFrame, rules: list) -> tuple[DataFrame, DataFrame]:
         """Row-level validate-and-quarantine (plans/quarantine): rules
         are (name, Column-predicate) pairs, True = valid. Returns

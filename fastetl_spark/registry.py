@@ -66,4 +66,5 @@ def load_all() -> None:
     import fastetl_spark.plans.curation_pipeline  # noqa: F401
     import fastetl_spark.streaming.stream_ops  # noqa: F401
     import fastetl_spark.plans.patch  # noqa: F401
+    import fastetl_spark.plans.expectations  # noqa: F401
     import fastetl_spark.plans.quarantine  # noqa: F401

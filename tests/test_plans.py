@@ -182,3 +182,36 @@ def test_variant_parse_once_single_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan  # aggregation stays map-side partial
+
+
+def test_expectations_report_semantics_and_single_scan(spark):
+    """One scan, k rules: violation counts are exact, NULL predicate
+    results count as violations, and the plan reads the source once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.plans.expectations import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (3, None, "A"), (4, 0.0, None)],
+        "id long, amount double, grp string",
+    )
+    rules = [
+        ("amount_positive", F.col("amount") > 0),       # rows 2,3(null),4 fail
+        ("grp_known", F.col("grp").isin("A", "B")),      # row 4 fails
+        ("id_not_null", F.col("id").isNotNull()),        # none fail
+    ]
+    rep = {r.rule: r for r in expectations_report(df, rules).collect()}
+    assert rep["amount_positive"].n_violations == 3  # NULL counts as violation
+    assert rep["grp_known"].n_violations == 1
+    assert rep["id_not_null"].n_violations == 0 and rep["id_not_null"].passed
+    assert all(r.n_rows == 4 for r in rep.values())
+    assert not rep["amount_positive"].passed
+
+    plan = expectations_report(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 1  # k rules share ONE pass
+
+    with pytest.raises(ValueError, match="duplicate"):
+        expectations_report(df, [("r", F.lit(True)), ("r", F.lit(True))])
+    with pytest.raises(ValueError, match="at least one"):
+        expectations_report(df, [])
