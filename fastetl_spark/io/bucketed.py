@@ -674,6 +674,34 @@ def compact_buckets(
     return compacted
 
 
+def advise_n_buckets(
+    spark: SparkSession,
+    path: str,
+    target_bucket_bytes: int = 32 << 30,
+    power_of_two: bool = True,
+) -> int:
+    """Recommend a bucket count for migrating `path` to the bucketed
+    layout: ceil(on-disk bytes / target), optionally rounded UP to a
+    power of two. One filesystem content-summary call — no data scan.
+
+    The default 32 GiB target sits in the RUNBOOK's 10-50 GB band
+    (one bucket ≈ one comfortable merge task's working set). Note the
+    measure is COMPRESSED parquet bytes — if downstream processing
+    explodes rows (arrays, joins), size the target down accordingly.
+    Power-of-two counts are a convention, not a requirement; two
+    destinations only join bucket-to-bucket when their counts are
+    EQUAL, so standardizing on powers of two makes accidental
+    co-location matches more likely across tables."""
+    import math
+
+    fs, path_cls = hadoop_fs(spark, path)
+    total = fs.getContentSummary(path_cls(path.rstrip("/"))).getLength()
+    n = max(1, math.ceil(total / target_bucket_bytes))
+    if power_of_two:
+        n = 1 << (n - 1).bit_length()
+    return n
+
+
 def bucketize(
     spark: SparkSession,
     path: str,

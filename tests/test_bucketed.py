@@ -520,6 +520,28 @@ def test_v2_rollback_rejects_gcd_generation(spark, tmp_path):
         rollback_bucketed(spark, dest, to_gen=1)
 
 
+def test_advise_n_buckets_sizes_from_disk_bytes(spark, tmp_path):
+    from fastetl_spark.io.bucketed import advise_n_buckets
+
+    p = str(tmp_path / "t")
+    spark.range(50_000).selectExpr("id", "uuid() AS payload").write.parquet(p)
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    )
+    # target = half the table -> ceil gives 2 buckets (power of two kept)
+    assert advise_n_buckets(spark, p, target_bucket_bytes=total // 2 + 1) == 2
+    # tiny target: count rounds UP to the next power of two
+    n = advise_n_buckets(spark, p, target_bucket_bytes=total // 5)
+    assert n == 8  # ceil(5.x) -> 5..6 -> next pow2 is 8
+    assert advise_n_buckets(spark, p, target_bucket_bytes=total // 5, power_of_two=False) in (5, 6)
+    # huge target collapses to one bucket
+    assert advise_n_buckets(spark, p, target_bucket_bytes=10 << 40) == 1
+
+
 def test_v2_keep_gens_widens_rollback_window(spark, tmp_path):
     """A destination written with keep_gens=4 retains enough history to
     roll back past the previous generation."""
