@@ -59,6 +59,7 @@ HEADLINE = [
     "curation_pipeline_stats",
     "dedup_simhash",
     "minhash_index_match",
+    "dq_expectations_report",
 ]
 
 

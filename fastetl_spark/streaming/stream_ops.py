@@ -556,6 +556,68 @@ def streaming_upsert_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_QUARANTINE_SQL = """
+WITH tagged AS (
+  SELECT event_id,
+         list_sort(list_filter([
+           CASE WHEN NOT coalesce(value > 0.0, FALSE) THEN 'value_pos' END,
+           CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup'), FALSE)
+                THEN 'type_known' END
+         ], x -> x IS NOT NULL)) AS failed
+  FROM events
+)
+SELECT event_id,
+       len(failed) = 0 AS is_valid,
+       to_json(failed) AS failed_rules
+FROM tagged
+"""
+
+
+@query("streaming_quarantine_split", _STREAM_QUARANTINE_SQL)
+def streaming_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreach_batch_quarantine under the gate: the events stream is
+    split per micro-batch into valid/reject parquet appends; the final
+    union of both sinks (tagged with which side each row landed on and
+    the reject's failed-rule list) must equal the batch rule evaluation
+    the oracle computes — no row lost, none duplicated, every reject
+    tagged with exactly its failing rules."""
+    from fastetl_spark.plans.quarantine import FAILED_COL
+
+    root = _scratch_root(sf_dir, "stream_quar")
+    in_dir, valid_p, reject_p, ckpt = (
+        f"{root}/in",
+        f"{root}/valid",
+        f"{root}/rej",
+        f"{root}/ckpt",
+    )
+    from fastetl_spark.io.readers import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    _stage_slices(e, root, in_dir, F.col("event_id") % 3)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    rules = [
+        ("value_pos", F.col("value") > 0.0),
+        ("type_known", F.col("event_type").isin("click", "view", "purchase", "signup")),
+    ]
+    q = foreach_batch_quarantine(stream, rules, valid_p, reject_p, ckpt)
+    q.awaitTermination()
+    valid = spark.read.parquet(valid_p).select(
+        "event_id",
+        F.lit(True).alias("is_valid"),
+        F.lit("[]").alias("failed_rules"),
+    )
+    rejects = spark.read.parquet(reject_p).select(
+        "event_id",
+        F.lit(False).alias("is_valid"),
+        F.to_json(F.col(FAILED_COL)).alias("failed_rules"),
+    )
+    return valid.unionByName(rejects)
+
+
 _STREAM_AGG_MAINTAIN_SQL = """
 SELECT date_trunc('hour', ts) AS hour,
        COUNT(*) AS n_orders,
