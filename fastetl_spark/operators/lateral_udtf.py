@@ -1,0 +1,93 @@
+"""LATERAL joins and the Python UDTF surface (§2.11 completion).
+
+The reference's extension points are row-wise pandas apply and the
+BaseDataCleaner plugin class (patchwork.py:264-345); SURVEY §2.11 maps
+those to cleaner callables and pandas UDFs and notes no UDTF is needed
+for parity. This module adds the remaining Spark-4 extension surface
+anyway, because a training-data pipeline grows table-valued transforms
+(one doc in, many chunks out) and correlated per-key lookups:
+
+- ``token_windows`` — a registered Python UDTF consumed through
+  ``FROM docs, LATERAL token_windows(text, N)``. The UDTF is the
+  SURFACE demo: row-wise Python, so it is NOT the hot path — the
+  native-expression twin (operators/text doc_chunking /
+  curation.pack_context_windows) is what production runs; the gated
+  query proves the UDTF's lateral expansion matches a pure-SQL
+  re-derivation exactly.
+- ``lateral_topk_recent_events`` — a correlated LATERAL subquery with
+  ORDER BY ... LIMIT k per outer row: the "top-k per key without a
+  self-join" shape. Catalyst decorrelates it; the same text runs in
+  DuckDB, so the oracle is the identical query on the other engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.registry import query
+
+_WINDOW = 40
+
+_UDTF_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(g AS INT) AS win_id,
+       CAST(g * {_WINDOW} AS INT) AS start_tok,
+       CAST(len(toks[g*{_WINDOW}+1 : (g+1)*{_WINDOW}]) AS INT) AS n_toks,
+       array_to_string(toks[g*{_WINDOW}+1 : (g+1)*{_WINDOW}], ' ') AS chunk
+FROM t, LATERAL (
+  SELECT unnest(range(0, CAST(ceil(len(toks) / {_WINDOW}.0) AS BIGINT))) AS g
+) w
+"""
+
+
+def _register_token_windows(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_id: int, start_tok: int, n_toks: int, chunk: string")
+    class TokenWindows:
+        def eval(self, text: str, window: int):
+            toks = (text or "").split(" ")
+            for w in range(0, len(toks), window):
+                sl = toks[w : w + window]
+                yield (w // window, w, len(sl), " ".join(sl))
+
+    spark.udtf.register("token_windows", TokenWindows)
+
+
+@query("udtf_token_windows", _UDTF_SQL)
+def udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF under the gate: every document laterally expands to
+    its fixed-size token windows; the DuckDB oracle re-derives the
+    windows from list slices. See module docstring: surface demo with
+    an exact oracle, not the hot chunking path."""
+    _register_token_windows(spark)
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    d.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        f"SELECT doc_id, w.* FROM udtf_docs_v, LATERAL token_windows(text, {_WINDOW}) AS w"
+    )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT u.user_id, l.ts, l.event_id, l.event_type
+FROM (SELECT DISTINCT user_id FROM events) u,
+LATERAL (
+  SELECT ts, event_id, event_type FROM events e
+  WHERE e.user_id = u.user_id
+  ORDER BY ts DESC, event_id DESC LIMIT 2
+) l
+"""
+
+
+@query("lateral_topk_recent_events", _LATERAL_TOPK_SQL)
+def lateral_topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-key ORDER BY + LIMIT — the
+    top-k-per-key shape written as the SQL a user would reach for;
+    Catalyst decorrelates it into the same window-rank plan
+    topn_orders_per_customer builds explicitly. The oracle is the
+    IDENTICAL query text on DuckDB."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    e.createOrReplaceTempView("events")
+    return spark.sql(_LATERAL_TOPK_SQL)
