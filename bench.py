@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_simhash",
     "minhash_index_match",
     "dq_expectations_report",
+    "similarity_ivf_index",
 ]
 
 

@@ -334,6 +334,35 @@ class Engine:
 
         return ingest_new_files(self.spark, src_dir, dest_path, manifest_path)
 
+    def build_ann_index(
+        self, vectors: DataFrame, index_path: str, id_col: str, vec_col: str,
+        n_cells: int | None = None,
+    ) -> None:
+        """Materialize the IVF ANN structure once (operators/ann_index):
+        corpus partitioned by coarse cell + quantizer metadata; probes
+        then read nprobe/n_cells of the corpus."""
+        from fastetl_spark.operators.ann_index import build_ivf_index
+        from fastetl_spark.operators.similarity import IVF_K
+
+        build_ivf_index(vectors, index_path, id_col, vec_col, n_cells or IVF_K)
+
+    def search_ann(self, index_path: str, queries: DataFrame, k: int = 5,
+                   nprobe: int | None = None) -> DataFrame:
+        """Probe-only ANN search against a persisted IVF index."""
+        from fastetl_spark.operators.ann_index import search_ivf_index
+        from fastetl_spark.operators.similarity import IVF_NPROBE
+
+        return search_ivf_index(
+            self.spark, index_path, queries, k=k, nprobe=nprobe or IVF_NPROBE
+        )
+
+    def index_new_vectors(self, index_path: str, new_vecs: DataFrame) -> None:
+        """O(|increment|) IVF maintenance: assign with stored centroids,
+        append to touched cells, auto-compact crept file counts."""
+        from fastetl_spark.operators.ann_index import append_to_ivf_index
+
+        append_to_ivf_index(new_vecs, index_path)
+
     def rollback(self, path: str, to_gen: int | None = None) -> int:
         """Undo a merge on an atomic (v2) bucketed destination: commit a
         new manifest pointing at an earlier generation's bucket dirs —

@@ -1,0 +1,122 @@
+"""Persistent IVF index: equality with the one-shot path, partition
+pruning, appended-vector findability, and bounded file counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import read_table
+from fastetl_spark.operators.ann_index import (
+    append_to_ivf_index,
+    build_ivf_index,
+    read_ivf_meta,
+    search_ivf_index,
+)
+from fastetl_spark.operators.similarity import QUERY_STRIDE, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_index_search_equals_one_shot_ivf(spark, sf_dir, embeddings, tmp_path_factory):
+    """Same corpus, same params: the persisted index's probe-only search
+    must return EXACTLY the one-shot ivf_topk frame (the index changes
+    where the work happens, never the answer)."""
+    idx = str(tmp_path_factory.mktemp("ivf") / "idx")
+    build_ivf_index(embeddings, idx, "vec_id", "embedding")
+    queries = embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in search_ivf_index(spark, idx, queries).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(embeddings, queries, "vec_id", "embedding").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_index_search_prunes_to_probed_cells(spark, embeddings, tmp_path):
+    """The search plan's input files must come ONLY from probed cell
+    dirs — and fewer than the index's total files (real pruning, not a
+    full scan plus a filter)."""
+    idx = str(tmp_path / "idx")
+    build_ivf_index(embeddings, idx, "vec_id", "embedding")
+    one_query = embeddings.orderBy("vec_id").limit(1)
+    res = search_ivf_index(spark, idx, one_query, nprobe=2)
+    read_files = [f for f in res.inputFiles() if "cell=" in f]
+    assert read_files
+    touched_cells = {f.split("cell=")[1].split("/")[0] for f in read_files}
+    assert len(touched_cells) <= 2  # nprobe
+    all_files = [f for f in spark.read.parquet(idx).inputFiles() if "cell=" in f]
+    assert len(read_files) < len(all_files)
+
+
+def test_append_finds_planted_twin_and_bounds_files(spark, embeddings, tmp_path):
+    """Append a near-duplicate of an existing vector: the search must
+    surface the original as the twin's top neighbor. 20 appends keep
+    per-cell file counts bounded by the compaction threshold."""
+    idx = str(tmp_path / "idx")
+    base = embeddings.filter(F.col("vec_id") < 400)
+    build_ivf_index(base, idx, "vec_id", "embedding")
+    target = base.orderBy("vec_id").limit(1).collect()[0]
+    twin_id = 1_000_000
+    twin = spark.createDataFrame(
+        [(twin_id, [float(x) * 1.0001 for x in target["embedding"]], "twin")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    append_to_ivf_index(twin.select("vec_id", "embedding"), idx)
+    res = search_ivf_index(
+        spark, idx, twin.select("vec_id", "embedding"), k=1
+    ).collect()
+    assert res and res[0].neighbor_id == target["vec_id"]
+
+    # file-count bound under repeated appends (threshold 3 to force it)
+    from fastetl_spark.io.fsutil import hadoop_fs
+
+    for i in range(20):
+        inc = spark.createDataFrame(
+            [(2_000_000 + i, [float(x) for x in target["embedding"]], "x")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        append_to_ivf_index(
+            inc.select("vec_id", "embedding"), idx, compact_threshold=3
+        )
+    fs, path_cls = hadoop_fs(spark, idx)
+    target_cell_dirs = [
+        s.getPath()
+        for s in fs.listStatus(path_cls(idx))
+        if s.isDirectory() and s.getPath().getName().startswith("cell=")
+    ]
+    for d in target_cell_dirs:
+        n = sum(
+            1
+            for s in fs.listStatus(d)
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        )
+        assert n <= 4  # threshold 3 + at most one fresh append file
+
+    # index still answers correctly after all the compactions
+    res2 = search_ivf_index(
+        spark, idx, twin.select("vec_id", "embedding"), k=1
+    ).collect()
+    assert res2 and res2[0].neighbor_id == target["vec_id"]
+
+
+def test_incomplete_index_is_rejected(spark, embeddings, tmp_path):
+    idx = str(tmp_path / "idx")
+    # data written but meta missing = incomplete build
+    embeddings.limit(10).select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vec"),
+        F.lit(1.0).alias("norm"),
+        F.lit(0).alias("cell"),
+    ).write.partitionBy("cell").parquet(idx)
+    assert read_ivf_meta(spark, idx) is None
+    with pytest.raises(ValueError, match="not a complete IVF index"):
+        search_ivf_index(spark, idx, embeddings.limit(1))
+    with pytest.raises(ValueError, match="not a complete IVF index"):
+        append_to_ivf_index(embeddings.limit(1), idx)
