@@ -61,6 +61,7 @@ HEADLINE = [
     "minhash_index_match",
     "dq_expectations_report",
     "similarity_ivf_index",
+    "similarity_ivfpq_index",
 ]
 
 

@@ -96,6 +96,33 @@ def build_ivf_index(
     )
 
 
+def _append_cell_partitioned(
+    assigned: DataFrame, path: str, compact_threshold: int | None
+) -> None:
+    """Append cell-tagged rows into a ``cell=K``-partitioned dir, then
+    compact any TOUCHED cell whose data-file count crept past the
+    threshold (one coalesce + atomic swap per crept cell). The distinct
+    cell set collected on the driver is bounded by n_cells."""
+    spark = assigned.sparkSession
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    if compact_threshold is None:
+        return
+    from fastetl_spark.io.writers import compact_parquet_dir
+
+    touched = sorted(r[0] for r in assigned.select("cell").distinct().collect())
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    for cell in touched:
+        cell_dir = f"{base}/cell={cell}"
+        n_files = sum(
+            1
+            for s in fs.listStatus(path_cls(cell_dir))
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        )
+        if n_files > compact_threshold:
+            compact_parquet_dir(spark, cell_dir)
+
+
 def append_to_ivf_index(
     new_vecs: DataFrame,
     index_path: str,
@@ -112,23 +139,7 @@ def append_to_ivf_index(
     assigned = _assign_cells(
         new_vecs, meta["centroids"], meta["id_col"], meta["vec_col"]
     ).transform(materialize)
-    assigned.write.mode("append").partitionBy("cell").parquet(index_path)
-    if compact_threshold is None:
-        return
-    from fastetl_spark.io.writers import compact_parquet_dir
-
-    touched = sorted(r[0] for r in assigned.select("cell").distinct().collect())
-    fs, path_cls = hadoop_fs(spark, index_path)
-    base = index_path.rstrip("/")
-    for cell in touched:
-        cell_dir = f"{base}/cell={cell}"
-        n_files = sum(
-            1
-            for s in fs.listStatus(path_cls(cell_dir))
-            if s.isFile() and s.getPath().getName().endswith(".parquet")
-        )
-        if n_files > compact_threshold:
-            compact_parquet_dir(spark, cell_dir)
+    _append_cell_partitioned(assigned, index_path, compact_threshold)
 
 
 def search_ivf_index(
@@ -173,6 +184,190 @@ def search_ivf_index(
     )
 
 
+# --- IVF-PQ persistence ---------------------------------------------------
+
+PQ_META_FILE = "_ivfpq_meta.json"
+
+
+def read_ivfpq_meta(spark: SparkSession, path: str) -> dict | None:
+    text = read_text_file(spark, f"{path.rstrip('/')}/{PQ_META_FILE}")
+    return None if text is None else json.loads(text)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    n_cells: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
+    vec_buckets: int = 16,
+) -> None:
+    """The memory-scale ANN layout persisted: ``codes/`` holds
+    (vid, cell, m PQ codes) partitioned by cell — ~m bytes per vector,
+    the part that must stay hot — and ``vectors/`` holds the raw
+    vectors in a vid-bucketed layout touched only by the final
+    point-lookup rerank (the same bucket-pruned fetch the dedup
+    indexes use for candidate texts). Quantizer + codebooks + params
+    land in meta, committed LAST (completeness marker)."""
+    from fastetl_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        _pq_encode_udf,
+        pq_train_codebooks,
+    )
+
+    n_cells, m, ksub = n_cells or IVF_K, m or PQ_M, ksub or PQ_KSUB
+    spark = corpus.sparkSession
+    base = index_path.rstrip("/")
+    centroids = ivf_train_centroids(corpus, vec_col, k=n_cells, id_col=id_col)
+    books = pq_train_codebooks(corpus, vec_col, id_col, m=m, ksub=ksub)
+    raw = (
+        corpus.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+        )
+        .withColumn("norm", l2_norm(F.col("vec")))
+        .transform(materialize)
+    )
+    assign1 = _probe_cells_udf(centroids, 1)
+    encode = _pq_encode_udf(books)
+    codes = (
+        raw.select("vid", "vec")
+        .withColumn("cell", F.element_at(assign1("vec"), 1))
+        .withColumn("codes", encode("vec"))
+        .drop("vec")
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{base}/codes")
+    from fastetl_spark.io.bucketed import write_bucketed
+
+    write_bucketed(raw, f"{base}/vectors", ["vid"], vec_buckets)
+    write_text_file(
+        spark,
+        f"{base}/{PQ_META_FILE}",
+        json.dumps(
+            {
+                "version": 1,
+                "n_cells": int(n_cells),
+                "m": int(m),
+                "ksub": int(ksub),
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "vec_buckets": int(vec_buckets),
+                "centroids": centroids,
+                "codebooks": books,
+            }
+        ),
+    )
+
+
+def append_to_ivfpq_index(
+    new_vecs: DataFrame,
+    index_path: str,
+    compact_threshold: int | None = ANN_MAX_FILES_PER_CELL,
+) -> None:
+    """O(|increment|) maintenance for both halves: encode with the
+    STORED models, append codes into touched cell dirs and raw vectors
+    into their vid-buckets (both auto-compacting crept file counts)."""
+    from fastetl_spark.operators.dedup_index import _append_index_rows
+    from fastetl_spark.operators.similarity import _pq_encode_udf
+
+    spark = new_vecs.sparkSession
+    meta = read_ivfpq_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"{index_path} is not a complete IVF-PQ index (no {PQ_META_FILE})"
+        )
+    base = index_path.rstrip("/")
+    raw = (
+        new_vecs.select(
+            F.col(meta["id_col"]).alias("vid"),
+            as_double(F.col(meta["vec_col"])).alias("vec"),
+        )
+        .withColumn("norm", l2_norm(F.col("vec")))
+        .transform(materialize)
+    )
+    assign1 = _probe_cells_udf(meta["centroids"], 1)
+    encode = _pq_encode_udf(meta["codebooks"])
+    codes = (
+        raw.select("vid", "vec")
+        .withColumn("cell", F.element_at(assign1("vec"), 1))
+        .withColumn("codes", encode("vec"))
+        .drop("vec")
+        .transform(materialize)
+    )
+    _append_cell_partitioned(codes, f"{base}/codes", compact_threshold)
+    _append_index_rows(
+        raw, f"{base}/vectors", ["vid"], meta["vec_buckets"], compact_threshold
+    )
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    refine: int | None = None,
+) -> DataFrame:
+    """ADC search against the persisted layout: probed cells' CODE
+    partitions only -> asymmetric PQ scoring -> top-`refine` shortlist
+    -> bucket-pruned point-lookup of the raw vectors -> exact rerank.
+    Returns the same (query_id, neighbor_id, rank) frame ivfpq_topk
+    builds in one job (equality-tested)."""
+    from fastetl_spark.io.bucketed import read_buckets_for_keys
+    from fastetl_spark.operators.similarity import PQ_REFINE, _pq_approx_sim_udf
+
+    refine = refine or PQ_REFINE
+    meta = read_ivfpq_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"{index_path} is not a complete IVF-PQ index (no {PQ_META_FILE})"
+        )
+    base = index_path.rstrip("/")
+    probe_n = _probe_cells_udf(meta["centroids"], nprobe)
+    q = (
+        queries.select(
+            F.col(meta["id_col"]).alias("query_id"),
+            as_double(F.col(meta["vec_col"])).alias("qv"),
+        )
+        .withColumn("qn", l2_norm(F.col("qv")))
+        .withColumn("probe", F.explode(probe_n("qv")))
+        .transform(materialize)
+    )
+    probed = sorted(r[0] for r in q.select("probe").distinct().collect())
+    codes = spark.read.option("basePath", f"{base}/codes").parquet(
+        *[f"{base}/codes/cell={c}" for c in probed]
+    )
+    approx = _pq_approx_sim_udf(meta["codebooks"])
+    cand = codes.join(
+        broadcast(q),
+        (F.col("cell") == F.col("probe")) & (F.col("vid") != F.col("query_id")),
+    ).withColumn("asim", approx("qv", "codes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("asim"), F.asc("vid"))
+    shortlist = (
+        cand.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= refine)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "qv", "qn")
+        .transform(materialize)
+    )
+    wanted = shortlist.select(F.col("neighbor_id").alias("vid")).distinct()
+    vecs = read_buckets_for_keys(spark, f"{base}/vectors", wanted)
+    rerank = shortlist.join(
+        vecs, shortlist.neighbor_id == vecs.vid
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("vec")) / (F.col("qn") * F.col("norm"))).alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 # --- registered form ------------------------------------------------------
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table  # noqa: E402
@@ -195,5 +390,20 @@ def similarity_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if read_ivf_meta(spark, idx) is None:
         build_ivf_index(e, idx, "vec_id", "embedding")
     return search_ivf_index(
+        spark, idx, e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    )
+
+
+@query("similarity_ivfpq_index")  # approximate ANN — rows-only check
+def similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ path: codes+vectors layouts built once in
+    scratch (meta committed last, reused when complete), then ADC
+    search with bucket-pruned exact rerank. Equality with the one-shot
+    ivfpq_topk is asserted in tests."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    idx = _scratch_index_path(sf_dir, "ivfpq_idx")
+    if read_ivfpq_meta(spark, idx) is None:
+        build_ivfpq_index(e, idx, "vec_id", "embedding")
+    return search_ivfpq_index(
         spark, idx, e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     )

@@ -120,3 +120,52 @@ def test_incomplete_index_is_rejected(spark, embeddings, tmp_path):
         search_ivf_index(spark, idx, embeddings.limit(1))
     with pytest.raises(ValueError, match="not a complete IVF index"):
         append_to_ivf_index(embeddings.limit(1), idx)
+
+
+def test_ivfpq_index_search_equals_one_shot(spark, sf_dir, embeddings, tmp_path):
+    """Persisted codes+vectors layout + ADC search must return EXACTLY
+    the one-shot ivfpq_topk frame for the same corpus/params."""
+    from fastetl_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from fastetl_spark.operators.similarity import ivfpq_topk
+
+    idx = str(tmp_path / "pqidx")
+    build_ivfpq_index(embeddings, idx, "vec_id", "embedding")
+    queries = embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in search_ivfpq_index(spark, idx, queries).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(embeddings, queries, "vec_id", "embedding").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_append_twin_found_and_incomplete_rejected(spark, embeddings, tmp_path):
+    from fastetl_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        read_ivfpq_meta,
+        search_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "pqidx")
+    base = embeddings.filter(F.col("vec_id") < 400)
+    build_ivfpq_index(base, idx, "vec_id", "embedding")
+    target = base.orderBy("vec_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(1_000_000, [float(x) * 1.0001 for x in target["embedding"]])],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivfpq_index(twin, idx)
+    res = search_ivfpq_index(spark, idx, twin, k=1).collect()
+    assert res and res[0].neighbor_id == target["vec_id"]
+
+    bad = str(tmp_path / "bad")
+    assert read_ivfpq_meta(spark, bad) is None
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        search_ivfpq_index(spark, bad, twin)
