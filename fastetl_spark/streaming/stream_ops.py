@@ -261,6 +261,39 @@ def foreach_batch_agg_maintain(
     )
 
 
+def foreach_batch_ann_ingest(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming embedding ingestion into a persisted IVF index
+    (operators/ann_index): each micro-batch is assigned with the STORED
+    quantizer and appended into the touched cell dirs (auto-compacting
+    crept file counts) — new vectors become searchable one trigger
+    after they land, and maintenance stays O(|batch|). The index must
+    exist (build_ivf_index) before the stream starts: the quantizer is
+    frozen at build time, so a batch can never shift existing cells."""
+    from fastetl_spark.operators.ann_index import append_to_ivf_index, read_ivf_meta
+
+    if read_ivf_meta(stream.sparkSession, index_path) is None:
+        raise ValueError(
+            f"{index_path} is not a complete IVF index — run build_ivf_index "
+            "before wiring the ingest stream"
+        )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_ivf_index(batch_df, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_quarantine(
     stream: DataFrame,
     rules,

@@ -169,3 +169,48 @@ def test_ivfpq_append_twin_found_and_incomplete_rejected(spark, embeddings, tmp_
     assert read_ivfpq_meta(spark, bad) is None
     with pytest.raises(ValueError, match="IVF-PQ"):
         search_ivfpq_index(spark, bad, twin)
+
+
+def test_streaming_ann_ingest_appends_searchable_vectors(spark, embeddings, tmp_path):
+    """Embeddings streamed in micro-batches land in the persisted index
+    and are immediately searchable: a planted twin streamed through the
+    ingest path surfaces its original as top neighbor."""
+    from fastetl_spark.operators.ann_index import build_ivf_index, search_ivf_index
+    from fastetl_spark.streaming.stream_ops import foreach_batch_ann_ingest
+
+    idx = str(tmp_path / "idx")
+    base = embeddings.filter(F.col("vec_id") < 400)
+    build_ivf_index(base, idx, "vec_id", "embedding")
+    target = base.orderBy("vec_id").limit(1).collect()[0]
+
+    stream_in = str(tmp_path / "in")
+    twin = spark.createDataFrame(
+        [(1_000_000 + i, [float(x) * (1.0 + 0.0001 * (i + 1)) for x in target["embedding"]])
+         for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    twin.repartition(3).write.parquet(stream_in)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+    )
+    q = foreach_batch_ann_ingest(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    res = search_ivf_index(
+        spark, idx, twin.filter(F.col("vec_id") == 1_000_000), k=1
+    ).collect()
+    assert res and res[0].neighbor_id == target["vec_id"]
+    # all three streamed vectors are present in the index
+    got_ids = {
+        r.vid
+        for r in spark.read.parquet(idx).filter(F.col("vid") >= 1_000_000).collect()
+    }
+    assert got_ids == {1_000_000, 1_000_001, 1_000_002}
+
+    # un-built index is rejected at wiring time, not first batch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="build_ivf_index"):
+        foreach_batch_ann_ingest(stream, str(tmp_path / "nope"), str(tmp_path / "c2"))
