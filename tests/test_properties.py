@@ -276,3 +276,85 @@ def test_partial_merge_equals_full_merge_property(spark, tmp_path_factory, data)
     expected_df = delete_sync(merge_upsert(base, inc, ["id"]), dels, ["id"])
     expected = sorted(tuple(r) for r in expected_df.collect())
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                           min_value=-1e6, max_value=1e6)),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=-50, max_value=50),
+)
+@settings(**SETTINGS)
+def test_expectations_report_matches_python_recount(spark, rows, threshold):
+    """For ANY data and ANY threshold rule set, the single-scan report's
+    violation counts equal a plain Python recount (NULL = violation)."""
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.plans.expectations import expectations_report
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    rules = [
+        ("v_above", F.col("v") > float(threshold)),
+        ("k_nonneg", F.col("k") >= 0),
+        ("v_not_null", F.col("v").isNotNull()),
+    ]
+    rep = {r.rule: r.n_violations for r in expectations_report(df, rules).collect()}
+    assert rep["v_above"] == sum(1 for _, v in rows if v is None or not v > threshold)
+    assert rep["k_nonneg"] == sum(1 for k, _ in rows if not k >= 0)
+    assert rep["v_not_null"] == sum(1 for _, v in rows if v is None)
+
+
+@given(
+    st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=1000),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_v2_merge_history_and_rollback_agree_with_python_model(
+    spark, tmp_path_factory, increments
+):
+    """Apply a random sequence of keyed upsert increments to a v2
+    bucketed destination; at every point the destination equals a plain
+    Python dict model, and rolling back one generation equals the
+    model one step earlier."""
+    from fastetl_spark.io.bucketed import (
+        partial_merge,
+        read_bucketed,
+        rollback_bucketed,
+        write_bucketed,
+    )
+
+    dest = str(tmp_path_factory.mktemp("prop") / "dest")
+    model: dict[int, int] = {0: 0}
+    write_bucketed(
+        spark.createDataFrame([(0, 0)], "id long, v long"), dest, ["id"], 4,
+        atomic=True, keep_gens=10,
+    )
+    states = [dict(model)]
+    for inc in increments:
+        model.update(inc)
+        partial_merge(
+            spark, dest,
+            spark.createDataFrame(list(inc.items()), "id long, v long"),
+        )
+        states.append(dict(model))
+        got = {r.id: r.v for r in read_bucketed(spark, dest).collect()}
+        assert got == model
+
+    if len(states) >= 2:
+        rollback_bucketed(spark, dest)
+        got = {r.id: r.v for r in read_bucketed(spark, dest).collect()}
+        assert got == states[-2]
