@@ -212,8 +212,55 @@ def lsh_topk(
     )
 
 
-@query("similarity_lsh_bucketed")  # approximate — rows-only check
+# DuckDB twin of the FULL hyperplane-LSH pipeline: identical plane
+# constants, identical left-to-right fold order for projections/dots/
+# norms (list_sum is a sequential fold, like F.aggregate), so every
+# double is bit-identical across engines except the last ulp of sin()
+# (Math.sin vs libm) — which only matters if a projection sits within
+# ~1e-14 of zero, never the case on the fixtures. This makes the
+# bucketing, the candidate set, AND the ranking exactly reproducible,
+# promoting the LSH path from rows-only to a hash-verified oracle.
+_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(0, len(v)),
+           d -> v[d+1] * sin(1.0 + CAST(p*131 AS DOUBLE) + CAST(d AS DOUBLE)*7.0))) AS pr
+  FROM e, (SELECT unnest(range(0, {N_PLANES})) AS p) planes
+), sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY vec_id
+), norms AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(0, len(qe.v)),
+           d -> qe.v[d+1] * ce.v[d+1])) / (qn.nrm * cn.nrm) AS sim
+  FROM sigs q
+  JOIN sigs c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+  JOIN norms qn ON qn.vec_id = q.vec_id
+  JOIN norms cn ON cn.vec_id = c.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand) t
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("similarity_lsh_bucketed", _LSH_SQL)
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN under an EXACT oracle (see _LSH_SQL): the
+    sin-plane signatures, bucket equi-join candidates, cosine scores
+    and top-k ranking are all reproduced bit-for-bit in DuckDB."""
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     return lsh_topk(e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding")
 
