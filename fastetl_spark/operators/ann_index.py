@@ -60,6 +60,16 @@ def read_ivf_meta(spark: SparkSession, path: str) -> dict | None:
     return None if text is None else json.loads(text)
 
 
+def _existing_cell_dirs(
+    spark: SparkSession, path: str, cells: list[int]
+) -> list[str]:
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    return [
+        f"{base}/cell={c}" for c in cells if fs.exists(path_cls(f"{base}/cell={c}"))
+    ]
+
+
 def _assign_cells(df: DataFrame, centroids, id_col: str, vec_col: str) -> DataFrame:
     assign1 = _probe_cells_udf(centroids, 1)
     out = df.select(
@@ -164,10 +174,18 @@ def search_ivf_index(
     ).withColumn("qn", l2_norm(F.col("qv")))
     q = q.withColumn("probe", F.explode(probe_n("qv"))).transform(materialize)
     probed = sorted(r[0] for r in q.select("probe").distinct().collect())
-    cells = (
-        spark.read.option("basePath", index_path)
-        .parquet(*[f"{index_path.rstrip('/')}/cell={c}" for c in probed])
-    )
+    # a probed cell that received no vectors at build/append time has no
+    # dir — skip it (it can contribute no candidates) instead of failing
+    # the scan on a missing path
+    dirs = _existing_cell_dirs(spark, index_path, probed)
+    if not dirs:
+        return (
+            q.select("query_id")
+            .limit(0)
+            .withColumn("neighbor_id", F.lit(None).cast("long"))
+            .withColumn("rank", F.lit(None).cast("int"))
+        )
+    cells = spark.read.option("basePath", index_path).parquet(*dirs)
     scored = cells.join(
         broadcast(q),
         (F.col("cell") == F.col("probe")) & (F.col("vid") != F.col("query_id")),
@@ -336,9 +354,15 @@ def search_ivfpq_index(
         .transform(materialize)
     )
     probed = sorted(r[0] for r in q.select("probe").distinct().collect())
-    codes = spark.read.option("basePath", f"{base}/codes").parquet(
-        *[f"{base}/codes/cell={c}" for c in probed]
-    )
+    dirs = _existing_cell_dirs(spark, f"{base}/codes", probed)
+    if not dirs:
+        return (
+            q.select("query_id")
+            .limit(0)
+            .withColumn("neighbor_id", F.lit(None).cast("long"))
+            .withColumn("rank", F.lit(None).cast("int"))
+        )
+    codes = spark.read.option("basePath", f"{base}/codes").parquet(*dirs)
     approx = _pq_approx_sim_udf(meta["codebooks"])
     cand = codes.join(
         broadcast(q),

@@ -214,3 +214,17 @@ def test_streaming_ann_ingest_appends_searchable_vectors(spark, embeddings, tmp_
 
     with _pytest.raises(ValueError, match="build_ivf_index"):
         foreach_batch_ann_ingest(stream, str(tmp_path / "nope"), str(tmp_path / "c2"))
+
+
+def test_search_skips_probed_cells_with_no_dir(spark, embeddings, tmp_path):
+    """A tiny corpus leaves most cells empty (no cell= dir on disk);
+    probing an empty cell must contribute nothing, not fail the scan."""
+    from fastetl_spark.operators.ann_index import build_ivf_index, search_ivf_index
+
+    idx = str(tmp_path / "idx")
+    tiny = embeddings.orderBy("vec_id").limit(20)  # 16 cells, most empty
+    build_ivf_index(tiny, idx, "vec_id", "embedding")
+    queries = embeddings.orderBy("vec_id").limit(5)
+    # high nprobe guarantees empty cells are probed
+    res = search_ivf_index(spark, idx, queries, k=3, nprobe=16).collect()
+    assert len(res) > 0  # no missing-path failure, neighbors still found
