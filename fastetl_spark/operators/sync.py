@@ -414,6 +414,89 @@ def snapshot_diff(
     return joined.select(*keys, status.alias("status"))
 
 
+def make_change_feed(
+    old: DataFrame, new: DataFrame, keys: list[str], op_col: str = "op"
+) -> DataFrame:
+    """Debezium-style change feed between two snapshots: one row per
+    key whose state changed — op 'U' carrying the NEW payload for
+    added/changed keys, op 'D' (null payload) for removed keys;
+    unchanged keys emit nothing. One full-outer join, same shuffle
+    shape as snapshot_diff. ``apply_change_feed(old, feed) == new`` by
+    construction — the round trip is oracle-gated (cdc_apply_roundtrip)
+    and is what makes a feed REPLAYABLE: ship the feed, not the
+    snapshot."""
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in payload]).withColumn(
+        "__o_present", F.lit(1)
+    )
+    n = new.select(*keys, *payload).withColumn("__n_present", F.lit(1))
+    joined = o.join(n, on=keys, how="full_outer")
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(c))
+    op = (
+        F.when(F.col("__n_present").isNull(), F.lit("D"))
+        .when(F.col("__o_present").isNull() | changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*keys, *payload, op_col)
+    )
+
+
+def apply_change_feed(
+    dest: DataFrame, feed: DataFrame, keys: list[str], op_col: str = "op"
+) -> DataFrame:
+    """Consume an op-coded change feed (I/U rows carry the new payload,
+    D rows delete by key): upsert the I/U rows, anti-join out the D
+    keys — §2.9's merge + delete steps driven by an explicit feed
+    instead of a source diff. For bucketed/Delta destinations the same
+    feed splits into partial_merge(increment, deleted_keys) /
+    MERGE WHEN MATCHED DELETE."""
+    ups = feed.filter(F.col(op_col) != "D").drop(op_col)
+    dels = feed.filter(F.col(op_col) == "D").select(*keys)
+    return delete_sync(
+        merge_upsert(dest, ups.select(*dest.columns), keys), dels, keys
+    )
+
+
+_CDC_ROUNDTRIP_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % {_DIFF_MOD} = 0
+            THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus
+FROM orders
+WHERE o_orderkey % 7 != 3
+"""
+
+
+@query("cdc_apply_roundtrip", _CDC_ROUNDTRIP_SQL)
+def cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-feed round-trip theorem under the gate:
+    apply_change_feed(old, make_change_feed(old, new)) must equal `new`
+    EXACTLY — the oracle is simply the `new` snapshot, so any feed
+    generation bug (missed delete, stale payload, phantom op) or apply
+    bug (wrong precedence, lost row) fails the hash compare. old drops
+    keys % 7 == 1 (those become adds) and new drops keys % 7 == 3
+    (removals) with every {_DIFF_MOD}th price restated (changes), so
+    all three op kinds are exercised."""
+    from fastetl_spark.io.readers import ensure_parallelism
+
+    orders = ensure_parallelism(read_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 1)
+    new = orders.filter(F.col("o_orderkey") % 7 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % _DIFF_MOD == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    feed = make_change_feed(old, new, ["o_orderkey"])
+    return apply_change_feed(old, feed, ["o_orderkey"])
+
+
 @query("snapshot_diff_orders", _SNAPSHOT_DIFF_SQL)
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form: 'old' = orders at the {_SNAPSHOT_CUTOFF}

@@ -529,3 +529,32 @@ def test_source_to_dest_ddl_from_dataframe(spark):
     back = parse_create_table_ddl(ddl)
     assert [f.name for f in back.fields] == ["id", "name", "score"]
     assert back["score"].dataType == T.DoubleType()
+
+
+def test_change_feed_apply_explicit_ops(spark):
+    """apply_change_feed consumes an explicit op-coded feed: U upserts
+    (update or insert), D deletes by key, unchanged keys untouched."""
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.operators.sync import apply_change_feed, make_change_feed
+
+    dest = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    feed = spark.createDataFrame(
+        [(2, "B", "U"), (4, "d", "U"), (3, None, "D")],
+        "id long, v string, op string",
+    )
+    got = {r.id: r.v for r in apply_change_feed(dest, feed, ["id"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+    # feed generation: only changed state is emitted, with the right ops
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+    )
+    f = {(r.id, r.op): r.v for r in make_change_feed(dest, new, ["id"]).collect()}
+    assert f == {(2, "U"): "B", (4, "U"): "d", (3, "D"): None}
+    # and the round trip reproduces `new` exactly
+    rt = {r.id: r.v for r in apply_change_feed(
+        dest, make_change_feed(dest, new, ["id"]), ["id"]).collect()}
+    assert rt == {r.id: r.v for r in new.collect()}
