@@ -196,7 +196,26 @@ class Engine:
                         table_name or dest.get("path", ""), "incremental", n
                     )
                 return n
-        dest_df = self.read(dest)
+        if is_parquet:
+            # first run against a not-yet-created destination: the
+            # initial full load IS the sync (mirrors the delta branch's
+            # is_delta_table probe — ADVICE r3)
+            from fastetl_spark.io.writers import read_parquet_if_exists
+
+            dest_df = read_parquet_if_exists(self.spark, dest["path"])
+            if dest_df is None:
+                n = atomic_overwrite(src_df, dest["path"])
+                if self.watermark_store is not None:
+                    wm = src_df.agg(F.max(watermark_col)).first()[0]
+                    if wm is not None:
+                        self.watermark_store.set(table_name or dest["path"], wm)
+                if self.load_info:
+                    self.load_info.save(
+                        table_name or dest.get("path", ""), "full", n
+                    )
+                return n
+        else:
+            dest_df = self.read(dest)
         merged = incremental_sync(dest_df, src_df, keys, watermark_col, deleted_keys)
         if is_parquet:
             # A parquet destination without a bucket spec takes the
@@ -232,6 +251,40 @@ class Engine:
         return CleaningPipeline(cleaners).run(df)
 
     # --- data-quality / maintenance surface -------------------------------
+
+    def sync_many(self, tables: list[dict], fail_fast: bool = False) -> DataFrame:
+        """Sync a LIST of table configs (each: ``{"name", "source",
+        "dest", "keys", "watermark_col"}``) and return a load report
+        frame (table, rows_merged, status, error) — the engine twin of
+        the reference's table-loop DAGs, with per-table isolation: one
+        failing table is recorded and the rest continue (``fail_fast``
+        re-raises instead). Tables run sequentially by design — each
+        sync is itself a parallel job, and serializing tables keeps
+        cluster resources predictable; use separate Engine calls from
+        an orchestrator for genuine inter-table parallelism."""
+        rows = []
+        for t in tables:
+            name = str(
+                t.get("name")
+                or t["dest"].get("path")
+                or t["dest"].get("table", "?")
+            )
+            try:
+                n = self.sync(
+                    t["source"],
+                    t["dest"],
+                    keys=t["keys"],
+                    watermark_col=t["watermark_col"],
+                    table_name=name,
+                )
+                rows.append((name, n, "ok", None))
+            except Exception as e:  # noqa: BLE001 - per-table isolation
+                if fail_fast:
+                    raise
+                rows.append((name, None, "error", f"{type(e).__name__}: {e}"))
+        return self.spark.createDataFrame(
+            rows, "table string, rows_merged long, status string, error string"
+        )
 
     def expectations(self, df: DataFrame, rules: list) -> DataFrame:
         """Table-level contract report: one row per rule with

@@ -164,3 +164,40 @@ def test_engine_dedup_index_facade(spark, sf_dir, tmp_path):
         for r in again.filter(F.col("new_doc") == F.col("corpus_doc")).collect()
     }
     assert self_pairs == {(i, i) for i in ids}
+
+
+def test_sync_many_reports_per_table_and_isolates_failures(spark, tmp_path):
+    from fastetl_spark.api import Engine
+
+    import pytest
+
+    rows = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, v string, ts long"
+    )
+    src_a, src_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    rows.write.parquet(src_a)
+    rows.write.parquet(src_b)
+    dest_a = str(tmp_path / "da")
+
+    eng = Engine(spark)
+    tables = [
+        {"name": "t_a", "source": {"path": src_a}, "dest": {"path": dest_a},
+         "keys": ["id"], "watermark_col": "ts"},
+        # missing source path -> this table errors, the run continues
+        {"name": "t_bad", "source": {"path": str(tmp_path / "nope")},
+         "dest": {"path": str(tmp_path / "db")}, "keys": ["id"],
+         "watermark_col": "ts"},
+    ]
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # plain-parquet full-rewrite warning
+        rep = {r.table: (r.status, r.rows_merged) for r in eng.sync_many(tables).collect()}
+    assert rep["t_a"] == ("ok", 2)
+    assert rep["t_bad"][0] == "error"
+    assert spark.read.parquet(dest_a).count() == 2
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(Exception):
+            eng.sync_many(tables[1:], fail_fast=True)
