@@ -40,9 +40,18 @@ trade: v2 roots are not raw-readable with ``spark.read.parquet(path)``
 
 Reads stay one-call: ``spark.read.parquet(path)`` discovers the bucket
 column as a normal Hive partition (``read_bucketed`` drops it). The
-bucket id is ``pmod(hash(keys), n_buckets)`` — Spark's Murmur3 — so
-the layout also serves as a co-location hint: two destinations
-bucketed the same way join bucket-to-bucket without a full shuffle.
+bucket id is ``pmod(hash(keys), n_buckets)`` — Spark's Murmur3, the
+same function Spark's managed bucketing uses. Note the limit: a plain
+parquet scan cannot REPORT that partitioning to Catalyst (only
+saveAsTable bucketing or a JVM DataSource V2 can), so a join of two
+identically-bucketed destinations still plans a shuffle. What equal
+specs DO buy: maintenance and reconciliation can process bucket PAIRS
+independently (diff/checksum/merge one bucket at a time, each pair a
+small self-contained job), and any per-bucket operator (partial_merge,
+read_buckets_for_keys, compact_buckets) lines up one-to-one across the
+two tables. For genuinely Exchange-free recurring joins, write through
+operators/partitioning.write_bucketed (saveAsTable bucketing,
+plan-asserted shuffle-free in tests).
 """
 
 from __future__ import annotations
