@@ -327,3 +327,77 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _DISTINCT_TERMS_K)
         .select("doc_id", "term", "tf", "df", "rank")
     )
+
+
+# --- HTML -> text extraction (web-corpus ingestion) ----------------------
+
+
+def html_to_text(html):
+    """Plain-text extraction from an HTML column, entirely as native
+    regexp expressions (JVM-side, RE2-compatible patterns so the DuckDB
+    oracle can run the SAME regexes): drop script/style blocks whole,
+    turn every remaining tag into a space, decode the common entities,
+    collapse whitespace. The web-pipeline ingestion step that precedes
+    every text-quality/dedup operator when the corpus arrives as HTML.
+    (Real-world extraction adds DOM heuristics — this is the scalable
+    regex tier, not a DOM parser.)"""
+    out = F.regexp_replace(html, r"(?s)<script\b.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?s)<style\b.*?</style>", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, ch in [
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&copy;", "©"),
+        ("&nbsp;", " "),
+    ]:
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+_HTML_EXTRACT_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><script>var x = 1 &amp;&amp; 2;</script>'
+         || '<style>.nav { color: red; }</style></head>'
+         || '<body><nav>Home | About</nav><p>' || text
+         || '</p><footer>&copy; 2024 Example &amp; Co.</footer></body></html>'
+           AS html
+  FROM documents
+), s1 AS (
+  SELECT doc_id, regexp_replace(html, '(?s)<script\b.*?</script>', ' ', 'g') AS t FROM pages
+), s2 AS (
+  SELECT doc_id, regexp_replace(t, '(?s)<style\b.*?</style>', ' ', 'g') AS t FROM s1
+), s3 AS (
+  SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2
+), s4 AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(t,
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&copy;', chr(169)), '&nbsp;', ' ') AS t
+  FROM s3
+)
+SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+FROM s4
+"""
+
+
+@query("html_text_extract", _HTML_EXTRACT_SQL)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html_to_text under the gate: each document is wrapped in a
+    deterministic HTML shell (title + script + style + nav/footer
+    boilerplate with entities — the fixture has no real HTML, so the
+    wrapping IS the fixture, like video_frame_sample's durations), then
+    extracted back to plain text. The DuckDB oracle runs the same
+    regex/entity chain, so tag-stripping, block-removal and entity
+    decoding are all hash-verified."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1 &amp;&amp; 2;</script>"),
+        F.lit("<style>.nav { color: red; }</style></head>"),
+        F.lit("<body><nav>Home | About</nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>&copy; 2024 Example &amp; Co.</footer></body></html>"),
+    )
+    return d.select("doc_id", html_to_text(html).alias("extracted"))
