@@ -401,3 +401,111 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p><footer>&copy; 2024 Example &amp; Co.</footer></body></html>"),
     )
     return d.select("doc_id", html_to_text(html).alias("extracted"))
+
+
+# --- URL hygiene: normalize, domain extraction, per-domain caps ----------
+
+_DOMAIN_CAP = 120  # max docs kept per domain in the gated query
+
+
+def url_normalize(url):
+    """Canonical URL for dedup/grouping: lowercase the scheme+host,
+    drop the fragment, strip tracking parameters (utm_*, fbclid,
+    gclid), and drop a trailing '?' left behind — regex-only
+    (RE2-compatible), shared verbatim with the DuckDB oracle."""
+    out = F.regexp_replace(url, r"#.*$", "")
+    # kill tracking params wherever they sit in the query string
+    out = F.regexp_replace(out, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "?")
+    out = F.regexp_replace(out, r"\?&", "?")
+    out = F.regexp_replace(out, r"[?&]+$", "")
+    # lowercase scheme://host only (path/query stay case-sensitive)
+    host = F.lower(F.regexp_extract(out, r"^(https?://[^/]+)", 1))
+    rest = F.regexp_replace(out, r"^https?://[^/]+", "")
+    return F.concat(host, rest)
+
+
+def url_domain(url):
+    """Registered domain-ish key: the host with a leading 'www.'
+    stripped (true eTLD+1 needs the public-suffix list — out of scope;
+    the cap/grouping mechanics are identical)."""
+    host = F.lower(F.regexp_extract(url, r"https?://([^/]+)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+_URL_CAPS_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://WWW.' || upper(source) || '.example.com/docs/'
+         || CAST(doc_id AS VARCHAR)
+         || '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+         || '#sec' AS url
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         lower(regexp_extract(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             url, '#.*$', ''), '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '?'),
+             '\\?&', '?'), '[?&]+$', ''),
+           '^(https?://[^/]+)', 1))
+         || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             url, '#.*$', ''), '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '?'),
+             '\\?&', '?'), '[?&]+$', '')[len(regexp_extract(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             url, '#.*$', ''), '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '?'),
+             '\\?&', '?'), '[?&]+$', ''),
+           '^(https?://[^/]+)', 1))+1:] AS norm_url
+  FROM pages
+), dom AS (
+  SELECT doc_id, norm_url,
+         regexp_replace(regexp_extract(norm_url, 'https?://([^/]+)', 1),
+                        '^www\\.', '') AS domain
+  FROM norm
+), ranked AS (
+  SELECT doc_id, norm_url, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY domain) AS domain_docs
+  FROM dom
+)
+SELECT doc_id, norm_url, domain, CAST(domain_docs AS BIGINT) AS domain_docs,
+       rn <= {_DOMAIN_CAP} AS kept
+FROM ranked
+"""
+
+
+@query("url_domain_caps", _URL_CAPS_SQL)
+def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene under the gate: deterministic synthetic URLs (the
+    fixture has none — the construction IS the fixture, as in
+    html_text_extract), normalized (fragment + tracking params gone,
+    host lowercased), grouped by www-stripped domain, and capped at
+    {_DOMAIN_CAP} docs per domain by deterministic doc_id order — the
+    per-domain quota every web-crawl curation pass applies so one host
+    cannot dominate the corpus. Oracle re-derives normalization,
+    domain, counts and the keep flag."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#sec"),
+    )
+    from pyspark.sql.window import Window
+
+    pages = d.select("doc_id", url_normalize(url).alias("norm_url"))
+    pages = pages.withColumn("domain", url_domain(F.col("norm_url")))
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    wc = Window.partitionBy("domain")
+    return (
+        pages.withColumn("rn", F.row_number().over(w))
+        .withColumn("domain_docs", F.count(F.lit(1)).over(wc))
+        .select(
+            "doc_id",
+            "norm_url",
+            "domain",
+            "domain_docs",
+            (F.col("rn") <= _DOMAIN_CAP).alias("kept"),
+        )
+    )
