@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
@@ -508,4 +509,75 @@ def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "domain_docs",
             (F.col("rn") <= _DOMAIN_CAP).alias("kept"),
         )
+    )
+
+
+# --- unigram surprisal (perplexity-proxy quality score) ------------------
+
+_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) t
+  WHERE term != ''
+), counts AS (
+  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts
+), j AS (
+  SELECT t.doc_id, t.pos, ln(CAST(c.cnt AS DOUBLE)) AS lnc
+  FROM tok t JOIN counts c USING (term)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         list_sum(list(lnc ORDER BY pos)) AS sum_lnc
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(ln((SELECT total FROM tot)) - sum_lnc / n_tokens, 6)
+         AS avg_surprisal_nats
+FROM agg
+"""
+
+
+@query("unigram_surprisal", _SURPRISAL_SQL)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from the corpus's OWN unigram
+    model: avg per-token surprisal ln(total) - mean(ln(count)) — high
+    = rare-token-heavy (gibberish or niche), low = stopword soup. The
+    KenLM-filter pattern with the n-gram LM replaced by the exact
+    corpus unigram table, so it runs as two aggregations and a join at
+    any scale. Oracle-exact despite the floats: per-token ln() values
+    are folded in POSITION order on both engines (array_sort fold here,
+    list(... ORDER BY pos) there), so the only cross-engine residue is
+    the last ulp of ln(), absorbed by round-6 (the char_entropy
+    technique)."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+        .filter(F.col("term") != "")
+        .transform(materialize)  # feeds counts AND the join: tokenize once
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    j = tok.join(counts, "term").select(
+        "doc_id", "pos", F.log(F.col("cnt").cast("double")).alias("lnc")
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "lnc"))),
+            F.lit(0.0),
+            lambda a, s: a + s["lnc"],
+        ).alias("sum_lnc"),
+    )
+    return agg.crossJoin(_bc(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("total")) - F.col("sum_lnc") / F.col("n_tokens"), 6
+        ).alias("avg_surprisal_nats"),
     )
