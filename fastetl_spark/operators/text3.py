@@ -581,3 +581,69 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("total")) - F.col("sum_lnc") / F.col("n_tokens"), 6
         ).alias("avg_surprisal_nats"),
     )
+
+
+# --- link extraction (link-graph ingestion) -------------------------------
+
+_LINKS_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         '<p>' || text || '</p>'
+         || '<a href="https://' || source || '.example.com/docs/'
+         || CAST((doc_id + 1) % 1000 AS VARCHAR) || '">next</a>'
+         || $a$<a href='https://partner.org/ref?id=$a$
+         || CAST(doc_id % 97 AS VARCHAR) || $a$'>partner</a>$a$ AS html,
+         source
+  FROM documents
+), links AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(html, $re$<a[^>]*href=["']([^"']+)["']$re$, 1)) AS href,
+         generate_subscripts(regexp_extract_all(html, $re$<a[^>]*href=["']([^"']+)["']$re$, 1), 1) AS ord1
+  FROM pages
+)
+SELECT doc_id, CAST(ord1 - 1 AS INT) AS ord, href,
+       regexp_extract(href, 'https?://([^/]+)', 1) AS link_domain,
+       regexp_extract(href, 'https?://([^/]+)', 1)
+         = source || '.example.com' AS is_internal
+FROM links
+"""
+
+
+@query("html_link_extract", _LINKS_SQL)
+def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction under the gate — the step that turns a crawled
+    page into link-graph edges (feeding CC/PageRank-style analyses and
+    per-domain outlink policies). regexp_extract_all pulls every href
+    (single- or double-quoted), posexplode keeps the in-page order, and
+    each edge is tagged with its target domain and whether it stays on
+    the page's own host. Deterministic synthetic anchors wrap the
+    fixture docs (which have no HTML), as in html_text_extract."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="https://'), F.col("source"),
+        F.lit(".example.com/docs/"),
+        ((F.col("doc_id") + 1) % 1000).cast("string"),
+        F.lit('">next</a>'),
+        F.lit("<a href='https://partner.org/ref?id="),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("'>partner</a>"),
+    )
+    pattern = """<a[^>]*href=["']([^"']+)["']"""
+    links = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.regexp_extract_all(html, F.lit(pattern), F.lit(1))).alias(
+            "ord", "href"
+        ),
+    )
+    domain = F.regexp_extract(F.col("href"), r"https?://([^/]+)", 1)
+    return links.select(
+        "doc_id",
+        "ord",
+        "href",
+        domain.alias("link_domain"),
+        (domain == F.concat(F.col("source"), F.lit(".example.com"))).alias(
+            "is_internal"
+        ),
+    )
