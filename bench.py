@@ -62,6 +62,10 @@ HEADLINE = [
     "dq_expectations_report",
     "similarity_ivf_index",
     "similarity_ivfpq_index",
+    "cdc_apply_roundtrip",
+    "html_text_extract",
+    "unigram_surprisal",
+    "url_domain_caps",
 ]
 
 
