@@ -25,24 +25,41 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# State keeps the value sum as EXACT 1e-6-quantized integer units (the
+# same trick as the promoted UDAFs): pandas float summation order would
+# vary with arrow batch order, but integer sums are order-independent,
+# so the emitted totals are deterministic (and DuckDB-verifiable —
+# streaming_stateful_totals). int64 headroom: ~9e18 units = ~9e12 in
+# value terms per key.
+_Q_UNIT = 1_000_000
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_q", T.LongType()),
     ]
 )
+
+
+def _batch_q_sum(pdf: pd.DataFrame) -> int:
+    import numpy as np
+
+    v = pdf["value"].to_numpy(dtype="float64")
+    return int(np.floor(v * _Q_UNIT + 0.5).astype("int64").sum())
 
 
 def _update_user_totals(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total_q = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+        total_q += _batch_q_sum(pdf)
+    state.update((n, total_q))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total_q / _Q_UNIT]}
+    )
 
 
 def running_user_totals(stream: DataFrame) -> DataFrame:
@@ -90,13 +107,17 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
             self._state = handle.getValueState("totals", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            n, total_q = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, total))
+                total_q += _batch_q_sum(pdf)
+            self._state.update((n, total_q))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_q / _Q_UNIT],
+                }
             )
 
         def close(self) -> None:

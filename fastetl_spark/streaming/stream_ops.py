@@ -506,6 +506,29 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+@query("streaming_stateful_totals", _STREAM_STATEFUL_SQL)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState (arbitrary per-key state) under the gate:
+    running per-user totals drained in update mode from ONE availableNow
+    micro-batch (single parquet file, no maxFilesPerTrigger → one batch
+    → exactly one emitted row per user). The state accumulates the
+    value sum as exact 1e-6-quantized integers (streaming/stateful),
+    so the totals are order-independent and the DuckDB oracle verifies
+    the custom stateful operator's arithmetic bit-for-bit."""
+    from fastetl_spark.streaming.stateful import running_user_totals
+
+    e = _gated_events_stream(spark, sf_dir)
+    return _drain_to_memory(running_user_totals(e), "st_stateful_", "update")
+
+
 # --- foreachBatch sinks under the gate ------------------------------------
 
 
