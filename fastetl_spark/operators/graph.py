@@ -1,0 +1,137 @@
+"""Distributed PageRank with an exact cross-engine oracle.
+
+Connected components (operators/dedup) covered the fixpoint-iteration
+pattern; PageRank adds the weighted-propagation pattern a link graph
+(html_link_extract's edge table) feeds: per-iteration, every node
+scatters pr/outdeg along its out-edges and gathers the damped sum.
+
+Determinism is the hard part — a plain groupBy SUM over doubles folds
+in partition order, which varies run to run and engine to engine. Here
+each node's incoming contributions are folded in SOURCE-NODE order on
+both engines (array_sort fold in Spark, ``list(... ORDER BY src)`` in
+DuckDB), so every double of every iteration is bit-identical and the
+3-iteration result hash-matches. The ordered fold gathers a node's
+in-neighbor list — bounded by in-degree, fine for link graphs (heavy
+hubs exist but a list of (src, contrib) pairs is tiny per row); a
+throughput-first variant would swap the fold for groupBy(SUM) and give
+up oracle-exactness, changing results only in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.checkpointing import materialize
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.registry import query
+
+_DAMPING = 0.85
+_ITERATIONS = 3
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = _ITERATIONS,
+    damping: float = _DAMPING,
+) -> DataFrame:
+    """(node, pr) after `iterations` damped propagation rounds over
+    (src, dst) edges. Multi-edges contribute once per occurrence;
+    dangling nodes keep the teleport term only. Deterministic: see
+    module docstring."""
+    n_nodes = nodes.count()  # one scalar, driver-side by design
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
+    teleport = F.lit(1.0 - damping) / F.lit(float(n_nodes))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(pr, edges.src == pr.node)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                "src",
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+        )
+        acc = contribs.groupBy("node").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda a, s: a + s["c"],
+            ).alias("acc")
+        )
+        pr = (
+            nodes.join(acc, "node", "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .transform(materialize)
+        )
+    return pr
+
+
+def _doc_graph(d: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """Deterministic synthetic link graph over contiguous doc ids: each
+    doc links to (id+1) mod n (a ring, keeps the graph connected) and
+    (id*id+3) mod n (squares are NOT a permutation, so in-degrees vary
+    — without this the stationary distribution is exactly uniform and
+    proves nothing). Self-loops/multi-edges kept as-is (the oracle
+    builds the identical multiset)."""
+    nodes = d.select(F.col("doc_id").alias("node"))
+    e1 = nodes.select(F.col("node").alias("src"), ((F.col("node") + 1) % n).alias("dst"))
+    e2 = nodes.select(
+        F.col("node").alias("src"),
+        ((F.col("node") * F.col("node") + 3) % n).alias("dst"),
+    )
+    return nodes, e1.unionAll(e2)
+
+
+def _iter_sql(k: int) -> str:
+    return f"""pr{k} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE) * COALESCE(a.acc, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes n CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node,
+           list_sum(list(p.pr / od.outdeg ORDER BY e.src)) AS acc
+    FROM edges e
+    JOIN pr{k - 1} p ON p.node = e.src
+    JOIN outdeg od ON od.src = e.src
+    GROUP BY e.dst) a ON a.node = n.node
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), edges AS (
+  SELECT node AS src, (node + 1) % (SELECT COUNT(*) FROM nodes) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 3) % (SELECT COUNT(*) FROM nodes) FROM nodes
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), pr0 AS (
+  SELECT n.node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes n CROSS JOIN nn
+), {_iter_sql(1)}, {_iter_sql(2)}, {_iter_sql(3)}
+SELECT node, ROUND(pr, 9) AS pr FROM pr{_ITERATIONS}
+"""
+
+
+@query("pagerank_doc_graph", _PAGERANK_SQL)
+def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the synthetic doc link graph, checked
+    against a DuckDB re-derivation that unrolls the same three
+    iterations with the same source-ordered contribution folds — an
+    ITERATIVE distributed algorithm under the exact oracle gate."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    nodes, edges = _doc_graph(d, n)
+    pr = pagerank(nodes, edges)
+    return pr.select("node", F.round("pr", 9).alias("pr"))

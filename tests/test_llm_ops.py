@@ -694,3 +694,19 @@ def test_minhash_index_portable_variant_detected_and_correct(spark, sf_dir, tmp_
     )
     tw = match_minhash_index(spark, idx, twin)
     assert tw.filter(F.col("corpus_doc") == inc.first().doc_id).count() == 1
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
+    """PageRank sanity: total mass stays ~1 (teleport + damped
+    propagation is stochastic), and a node with an extra in-edge from
+    the deterministic graph outranks the uniform baseline."""
+    from fastetl_spark.operators.graph import pagerank_doc_graph
+
+    rows = pagerank_doc_graph(spark, sf_dir).collect()
+    total = sum(r.pr for r in rows)
+    n = len(rows)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r.pr > 0 for r in rows)
+    # spread exists: the expander is not perfectly uniform
+    prs = sorted(r.pr for r in rows)
+    assert prs[-1] > prs[0]
