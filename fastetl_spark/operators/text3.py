@@ -647,3 +647,101 @@ def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_internal"
         ),
     )
+
+
+# --- bigram conditional surprisal (2-gram LM score) -----------------------
+
+_BIGRAM_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) t
+  WHERE term != ''
+), big AS (
+  SELECT doc_id, pos, term,
+         LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+), pairs AS (
+  SELECT doc_id, pos, prev || ' ' || term AS bigram, prev
+  FROM big WHERE prev IS NOT NULL
+), bcnt AS (
+  SELECT bigram, COUNT(*) AS bc FROM pairs GROUP BY bigram
+), ucnt AS (
+  SELECT term, COUNT(*) AS uc FROM tok GROUP BY term
+), j AS (
+  SELECT p.doc_id, p.pos,
+         ln(CAST(u.uc AS DOUBLE)) - ln(CAST(b.bc AS DOUBLE)) AS nats
+  FROM pairs p
+  JOIN bcnt b USING (bigram)
+  JOIN ucnt u ON u.term = p.prev
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_sum(list(nats ORDER BY pos)) AS sum_nats
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(sum_nats / n_bigrams, 6) AS avg_cond_surprisal_nats
+FROM agg
+"""
+
+
+@query("bigram_surprisal", _BIGRAM_SURPRISAL_SQL)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram conditional surprisal: mean over positions of
+    -ln(count(w_{i-1} w_i) / count(w_{i-1})) — the corpus's own backoff-
+    free bigram LM, sharpening unigram_surprisal with word-order
+    signal (shuffled text scores high here even when its unigram mix is
+    normal). Same exactness recipe: counts are exact integers, the
+    per-position ln() differences fold in POSITION order on both
+    engines, round-6 absorbs the last ulp of ln()."""
+    from pyspark.sql.window import Window
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+        .filter(F.col("term") != "")
+        .transform(materialize)  # feeds unigram counts, bigram pairs, join
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", "prev", "term").alias("bigram"),
+            "prev",
+        )
+        .transform(materialize)  # feeds bigram counts AND the join
+    )
+    bcnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    ucnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("uc"))
+    j = (
+        pairs.join(bcnt, "bigram")
+        .join(ucnt, pairs.prev == ucnt.term)
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.log(F.col("uc").cast("double"))
+                - F.log(F.col("bc").cast("double"))
+            ).alias("nats"),
+        )
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "nats"))),
+            F.lit(0.0),
+            lambda a, s: a + s["nats"],
+        ).alias("sum_nats"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("sum_nats") / F.col("n_bigrams"), 6).alias(
+            "avg_cond_surprisal_nats"
+        ),
+    )
