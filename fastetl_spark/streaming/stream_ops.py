@@ -422,13 +422,13 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, ts,
-         date_diff('second',
+         date_diff('microsecond',
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
-                   ts) AS gap_s
+                   ts) AS gap_us
   FROM events
 ), flagged AS (
   SELECT user_id, ts,
-         CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1 ELSE 0 END AS is_new
+         CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ), numbered AS (
   SELECT user_id, ts,
@@ -449,6 +449,10 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     an event into a session only while its start is strictly BEFORE
     the current end (last ts + gap), so a gap of exactly the gap
     length STARTS a session; the oracle's is_new uses >= to match.
+    The gap is compared in MICROSECONDS: session_window has sub-second
+    semantics, and date_diff('second', ...) counts whole-second
+    boundary crossings, so a 1799.3 s gap would read as 1800 and split
+    a session Spark merges (first observed at sf0.1).
     Output avoids the window end (implementation-defined last+gap) and
     keys sessions by their start."""
     e = _gated_events_stream(spark, sf_dir)
