@@ -17,5 +17,15 @@ pruning, join selection, and AQE; Python UDFs are avoided in hot paths.
 
 from fastetl_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def engine(spark=None, **kwargs):
+    """Convenience constructor for the high-level facade:
+    ``fastetl_spark.engine()`` -> api.Engine on a default session.
+    Imported lazily so ``import fastetl_spark`` stays cheap."""
+    from fastetl_spark.api import Engine
+
+    return Engine(spark or get_spark(), **kwargs)
+
+
+__all__ = ["engine", "get_spark"]
 __version__ = "0.1.0"
