@@ -277,7 +277,15 @@ def minhash_signature_from_hashes(base: Column, k: int = _MINHASH_K) -> Column:
     running-minimum accumulator (zip_with against a constant coefficient
     array), instead of k separate transform+array_min passes — same
     values (equality asserted in tests), ~12% faster on the signature
-    stage and k-1 fewer intermediate array allocations per row."""
+    stage and k-1 fewer intermediate array allocations per row.
+
+    A doc with ZERO shingles gets a NULL signature (not the untouched
+    sentinel accumulator): the sentinel would give every too-short doc
+    one shared well-defined signature and deterministically band them
+    all together, while the portable oracle emits no signature rows for
+    such docs. NULL preserves the original per-i transform+array_min
+    contract (array_min over empty → NULL) and lsh_candidate_pairs
+    filters NULL signatures out before banding."""
     acc0 = F.array_repeat(F.lit(_M31).cast("long"), k)
     params = F.array(
         *[
@@ -288,13 +296,14 @@ def minhash_signature_from_hashes(base: Column, k: int = _MINHASH_K) -> Column:
             for i in range(k)
         ]
     )
-    return F.aggregate(
+    sig = F.aggregate(
         base,
         acc0,
         lambda acc, h: F.zip_with(
             acc, params, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % _M31)
         ),
     )
+    return F.when(F.size(base) > 0, sig)
 
 
 def minhash_signature(shingles: Column, k: int = _MINHASH_K) -> Column:
@@ -306,10 +315,11 @@ def minhash_signature(shingles: Column, k: int = _MINHASH_K) -> Column:
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str, bands: int = _MINHASH_BANDS) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidate
-    pairs. groupBy on (band, bucket) — cost scales with collisions, not n²."""
+    pairs. groupBy on (band, bucket) — cost scales with collisions, not n².
+    NULL signatures (zero-shingle docs) are dropped before banding."""
     k = _MINHASH_K
     rows = k // bands
-    banded = df.select(
+    banded = df.filter(F.col(sig_col).isNotNull()).select(
         id_col,
         F.explode(
             F.array(

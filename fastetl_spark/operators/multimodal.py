@@ -281,6 +281,30 @@ FROM agg
 """
 
 
+def gini_scalar(x) -> float:
+    """Exact Gini over 1e-6-quantized values — the scalar the UDAF
+    applies per group. Kept module-level so tests can hit the overflow
+    guard directly. The int64 fast path is taken only when the rank-sum
+    magnitude bound n^2 * max(|min|,|max|) fits; otherwise Python
+    bigints keep the sum exact (matching DuckDB's HUGEINT)."""
+    import numpy as np
+
+    q = np.sort(np.floor(np.asarray(x, dtype=np.float64) * _Q_UNIT + 0.5).astype(np.int64))
+    n = len(q)
+    if n == 0:
+        return 0.0
+    total = int(q.sum())
+    if total == 0:
+        return 0.0
+    # overflow guard must consider NEGATIVE values too: the rank-sum
+    # magnitude is bounded by n^2 * max(|min|, |max|), not n^2 * max
+    if n * n * max(abs(int(q[0])), abs(int(q[-1]))) >= 2**62:
+        rank_sum = sum((i + 1) * int(val) for i, val in enumerate(q))
+    else:
+        rank_sum = int((np.arange(1, n + 1, dtype=np.int64) * q).sum())
+    return float(2 * rank_sum) / float(n * total) - float(n + 1) / float(n)
+
+
 @query("gini_by_event_type", _GINI_SQL)
 def gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration of event values per type via a GROUPED_AGG
@@ -297,19 +321,7 @@ def gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def gini(v: pd.Series) -> float:
-        x = v.to_numpy(dtype=np.float64)
-        q = np.sort(np.floor(x * _Q_UNIT + 0.5).astype(np.int64))
-        n = len(q)
-        if n == 0:
-            return 0.0
-        total = int(q.sum())
-        if total == 0:
-            return 0.0
-        if n * n * int(q[-1]) >= 2**62:  # rank_sum would overflow int64
-            rank_sum = sum((i + 1) * int(val) for i, val in enumerate(q))
-        else:
-            rank_sum = int((np.arange(1, n + 1, dtype=np.int64) * q).sum())
-        return float(2 * rank_sum) / float(n * total) - float(n + 1) / float(n)
+        return gini_scalar(v.to_numpy(dtype=np.float64))
 
     e = ensure_parallelism(read_table(spark, sf_dir, "events"))
     return (

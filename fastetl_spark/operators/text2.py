@@ -281,7 +281,7 @@ WITH t AS (
   FROM u
 )
 SELECT doc_id,
-       ROUND(-list_sum(list_transform(probs, pr -> pr * ln(pr) / ln(2.0))), 6)
+       ROUND(-list_sum(list_transform(probs, pr -> pr * (ln(pr) / ln(2.0)))), 6)
          AS char_entropy_bits
 FROM p
 """

@@ -415,9 +415,10 @@ def url_normalize(url):
     gclid), and drop a trailing '?' left behind — regex-only
     (RE2-compatible), shared verbatim with the DuckDB oracle."""
     out = F.regexp_replace(url, r"#.*$", "")
-    # kill tracking params wherever they sit in the query string
-    out = F.regexp_replace(out, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "?")
-    out = F.regexp_replace(out, r"\?&", "?")
+    # tracking params after the first parameter: drop them with their '&'
+    out = F.regexp_replace(out, r"&(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    # tracking param in first position: drop it, promoting the next param
+    out = F.regexp_replace(out, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "?")
     out = F.regexp_replace(out, r"[?&]+$", "")
     # lowercase scheme://host only (path/query stay case-sensitive)
     host = F.lower(F.regexp_extract(out, r"^(https?://[^/]+)", 1))
@@ -438,24 +439,26 @@ WITH pages AS (
   SELECT doc_id,
          'https://WWW.' || upper(source) || '.example.com/docs/'
          || CAST(doc_id AS VARCHAR)
-         || '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+              THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+                   || '&utm_medium=mail&gclid=g' || CAST(doc_id % 3 AS VARCHAR)
+            END
          || '#sec' AS url
   FROM documents
+), s1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           url, '#.*$', '', 'g'),
+           '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+           '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '?', 'g'),
+           '[?&]+$', '', 'g') AS u
+  FROM pages
 ), norm AS (
   SELECT doc_id,
-         lower(regexp_extract(
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             url, '#.*$', ''), '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '?'),
-             '\\?&', '?'), '[?&]+$', ''),
-           '^(https?://[^/]+)', 1))
-         || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             url, '#.*$', ''), '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '?'),
-             '\\?&', '?'), '[?&]+$', '')[len(regexp_extract(
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             url, '#.*$', ''), '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '?'),
-             '\\?&', '?'), '[?&]+$', ''),
-           '^(https?://[^/]+)', 1))+1:] AS norm_url
-  FROM pages
+         lower(regexp_extract(u, '^(https?://[^/]+)', 1))
+         || u[len(regexp_extract(u, '^(https?://[^/]+)', 1))+1:] AS norm_url
+  FROM s1
 ), dom AS (
   SELECT doc_id, norm_url,
          regexp_replace(regexp_extract(norm_url, 'https?://([^/]+)', 1),
@@ -484,13 +487,23 @@ def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot dominate the corpus. Oracle re-derives normalization,
     domain, counts and the keep flag."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    qs = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("?utm_source=feed&ref="), (F.col("doc_id") % 7).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("?ref="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_medium=mail&gclid=g"),
+            (F.col("doc_id") % 3).cast("string"),
+        )
+    )
     url = F.concat(
         F.lit("https://WWW."),
         F.upper(F.col("source")),
         F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
-        F.lit("?utm_source=feed&ref="),
-        (F.col("doc_id") % 7).cast("string"),
+        qs,
         F.lit("#sec"),
     )
     from pyspark.sql.window import Window
