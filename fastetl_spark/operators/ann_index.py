@@ -431,3 +431,61 @@ def similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivfpq_index(
         spark, idx, e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     )
+
+
+# --- exhaustive-probe configs: the SEARCH machinery under the exact gate --
+#
+# IVF search with nprobe = n_cells probes every cell, so the candidate
+# set is the whole corpus and the exact-cosine rerank makes the result
+# IDENTICAL to brute-force cosine top-k — which already has an exact
+# DuckDB oracle (similarity._TOPK_SQL). Registering that config puts the
+# probe -> partition-prune -> rerank -> top-k code path itself under the
+# hash gate, leaving only the quantizer TRAINING approximate-by-design.
+# Same for IVF-PQ with refine >= |corpus|: every ADC candidate survives
+# the shortlist, and the exact rerank over the bucket-fetched raw
+# vectors determines the ranking alone.
+
+from fastetl_spark.operators.similarity import _TOPK_SQL  # noqa: E402
+
+
+@query("similarity_ivf_exhaustive", _TOPK_SQL)
+def similarity_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_ivf_index at nprobe=n_cells — exhaustive probing, so the
+    persisted-index search path (cell pruning included, trivially all
+    cells) must hash-match the brute-force cosine top-k oracle. Reuses
+    the same scratch index as similarity_ivf_index."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    idx = _scratch_index_path(sf_dir, "ivf_idx")
+    meta = read_ivf_meta(spark, idx)
+    if meta is None:
+        build_ivf_index(e, idx, "vec_id", "embedding")
+        meta = read_ivf_meta(spark, idx)
+    return search_ivf_index(
+        spark,
+        idx,
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+        nprobe=meta["n_cells"],
+    )
+
+
+@query("similarity_ivfpq_exhaustive", _TOPK_SQL)
+def similarity_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_ivfpq_index at nprobe=n_cells and refine=|corpus| — every
+    candidate survives the ADC shortlist, so the bucket-pruned raw-vector
+    fetch + exact rerank alone determine the ranking and the persisted
+    IVF-PQ search path must hash-match the brute-force oracle. Reuses
+    similarity_ivfpq_index's scratch layout."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    idx = _scratch_index_path(sf_dir, "ivfpq_idx")
+    meta = read_ivfpq_meta(spark, idx)
+    if meta is None:
+        build_ivfpq_index(e, idx, "vec_id", "embedding")
+        meta = read_ivfpq_meta(spark, idx)
+    n = read_table(spark, sf_dir, "embeddings").count()
+    return search_ivfpq_index(
+        spark,
+        idx,
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+        nprobe=meta["n_cells"],
+        refine=n,
+    )

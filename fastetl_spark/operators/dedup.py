@@ -379,6 +379,99 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("id_a", "id_b", "shared", "jaccard")
 
 
+# The portable twin of the one-shot LSH path: md5-prefix shingle hashes
+# + decimal band keys make the ENTIRE pipeline — signatures, banding,
+# candidate generation, exact-Jaccard verify — reproducible in DuckDB
+# bit-for-bit, so LSH recall AND precision are both hash-gated (same
+# construction the persistent index's minhash_index_match uses, here
+# over all intra-corpus pairs instead of increment-vs-corpus).
+_MINHASH_LSH_PORTABLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= {_SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tokens) - {_SHINGLE_N - 1}),
+                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+              ELSE [] END AS shingles
+  FROM toks
+), hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_M31}) AS hs
+  FROM shingled WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, {_MINHASH_K}),
+           i -> list_min(list_transform(hs,
+                  h -> (h * (2*i + 1) + i * 7919) % {_M31}))) AS sig
+  FROM hashed
+), banded AS (
+  SELECT doc_id, b AS band,
+         array_to_string(list_transform(
+           range(b*{_MINHASH_K // _MINHASH_BANDS},
+                 (b+1)*{_MINHASH_K // _MINHASH_BANDS}),
+           r -> CAST(sig[r + 1] AS VARCHAR)), '_') AS band_key
+  FROM sigs, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) bands
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT cand.id_a, cand.id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS shared,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cand
+  JOIN hashed sa ON sa.doc_id = cand.id_a
+  JOIN hashed sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, shared,
+       shared * 1.0 / (n_a + n_b - shared) AS jaccard
+FROM verified
+WHERE shared * 1.0 / (n_a + n_b - shared) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh_portable", _MINHASH_LSH_PORTABLE_SQL)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh with the portable hash pair (md5-prefix shingle
+    hash, decimal band keys) instead of xxhash64 — identical pipeline
+    shape, every stage DuckDB-reproducible, so the one-shot LSH path is
+    hash-proven end to end (production keeps the faster xxhash64 form
+    above; recall equivalence between the two hash families is covered
+    by the planted-twin tests)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens")).filter(
+        F.size(F.col("tokens")) >= _SHINGLE_N
+    )
+    sh = tok.select(
+        "doc_id", word_shingles(F.col("tokens"), _SHINGLE_N).alias("shingles")
+    )
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            "shingles", lambda s: F.pmod(md5_prefix_hash(s), F.lit(_M31))
+        ).alias("hs"),
+    ).transform(materialize)
+    sigs = hashed.select(
+        "doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig")
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
+    shn = hashed.select(
+        "doc_id", F.col("shingles").alias("sh"), F.size("shingles").alias("n_sh")
+    )
+    verified = (
+        cands.join(shn.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(shn.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return verified.select("id_a", "id_b", "shared", "jaccard")
+
+
 # --- SimHash -------------------------------------------------------------
 
 
