@@ -142,14 +142,24 @@ def append_to_ivf_index(
     append into the touched cell dirs; touched cells past
     ``compact_threshold`` data files are rewritten with one coalesce +
     atomic swap (None disables)."""
+    from fastetl_spark.operators.dedup_index import (
+        increment_already_applied,
+        increment_fingerprint,
+        mark_increment_applied,
+    )
+
     spark = new_vecs.sparkSession
     meta = read_ivf_meta(spark, index_path)
     if meta is None:
         raise ValueError(f"{index_path} is not a complete IVF index (no {META_FILE})")
+    fp = increment_fingerprint(new_vecs, meta["id_col"])
+    if increment_already_applied(spark, index_path, fp):
+        return
     assigned = _assign_cells(
         new_vecs, meta["centroids"], meta["id_col"], meta["vec_col"]
     ).transform(materialize)
     _append_cell_partitioned(assigned, index_path, compact_threshold)
+    mark_increment_applied(spark, index_path, fp)
 
 
 def search_ivf_index(
@@ -287,7 +297,12 @@ def append_to_ivfpq_index(
     """O(|increment|) maintenance for both halves: encode with the
     STORED models, append codes into touched cell dirs and raw vectors
     into their vid-buckets (both auto-compacting crept file counts)."""
-    from fastetl_spark.operators.dedup_index import _append_index_rows
+    from fastetl_spark.operators.dedup_index import (
+        _append_index_rows,
+        increment_already_applied,
+        increment_fingerprint,
+        mark_increment_applied,
+    )
     from fastetl_spark.operators.similarity import _pq_encode_udf
 
     spark = new_vecs.sparkSession
@@ -297,6 +312,14 @@ def append_to_ivfpq_index(
             f"{index_path} is not a complete IVF-PQ index (no {PQ_META_FILE})"
         )
     base = index_path.rstrip("/")
+    # one marker per HALF: a retry after codes committed but vectors
+    # crashed re-runs only the vectors append — neither half can
+    # double-insert
+    fp = increment_fingerprint(new_vecs, meta["id_col"])
+    codes_done = increment_already_applied(spark, f"{base}/codes", fp)
+    vecs_done = increment_already_applied(spark, f"{base}/vectors", fp)
+    if codes_done and vecs_done:
+        return
     raw = (
         new_vecs.select(
             F.col(meta["id_col"]).alias("vid"),
@@ -314,10 +337,14 @@ def append_to_ivfpq_index(
         .drop("vec")
         .transform(materialize)
     )
-    _append_cell_partitioned(codes, f"{base}/codes", compact_threshold)
-    _append_index_rows(
-        raw, f"{base}/vectors", ["vid"], meta["vec_buckets"], compact_threshold
-    )
+    if not codes_done:
+        _append_cell_partitioned(codes, f"{base}/codes", compact_threshold)
+        mark_increment_applied(spark, f"{base}/codes", fp)
+    if not vecs_done:
+        _append_index_rows(
+            raw, f"{base}/vectors", ["vid"], meta["vec_buckets"], compact_threshold
+        )
+        mark_increment_applied(spark, f"{base}/vectors", fp)
 
 
 def search_ivfpq_index(

@@ -87,6 +87,43 @@ def build_shingle_index(
     )
 
 
+def increment_fingerprint(rows: DataFrame, id_col: str) -> str:
+    """Content fingerprint of an increment: row count + order-free
+    bit_xor of the ids' xxhash64 — one tiny aggregate, two driver
+    scalars. Used as the replay-idempotency marker name so a crashed-
+    then-retried append of the SAME rows is detected and skipped."""
+    r = rows.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+    ).collect()[0]
+    return f"{int(r['n'])}_{int(r['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _marker_path(index_path: str, fp: str) -> str:
+    return f"{index_path.rstrip('/')}/_increments/{fp}"
+
+
+def increment_already_applied(
+    spark: SparkSession, index_path: str, fp: str
+) -> bool:
+    from fastetl_spark.io.fsutil import read_text_file
+
+    return read_text_file(spark, _marker_path(index_path, fp)) is not None
+
+
+def mark_increment_applied(spark: SparkSession, index_path: str, fp: str) -> None:
+    """Write the increment's marker AFTER its files committed. The
+    marker closes the replay-duplication hole: a retry of a failed
+    append job sees the marker of any fully-committed earlier attempt
+    and skips, so band/shingle rows cannot double-insert and inflate
+    `shared` in the match joins. (The residual window — crash between
+    job commit and this one-file write — is a single filesystem create,
+    orders of magnitude smaller than the append job itself.)"""
+    from fastetl_spark.io.fsutil import write_text_file
+
+    write_text_file(spark, _marker_path(index_path, fp), fp)
+
+
 def _append_index_rows(
     rows: DataFrame,
     index_path: str,
@@ -125,8 +162,12 @@ def append_to_shingle_index(
     spec = read_bucket_spec(spark, index_path)
     if spec is None:
         raise ValueError(f"{index_path} is not a shingle index (no bucket spec)")
+    fp = increment_fingerprint(docs, "doc_id")
+    if increment_already_applied(spark, index_path, fp):
+        return
     rows = _shingle_rows(docs, _SHINGLE_N)
     _append_index_rows(rows, index_path, ["shingle"], spec["n_buckets"], compact_threshold)
+    mark_increment_applied(spark, index_path, fp)
 
 
 def match_against_index(
@@ -295,10 +336,14 @@ def append_to_minhash_index(
     spec = read_bucket_spec(spark, index_path)
     if spec is None:
         raise ValueError(f"{index_path} is not a minhash index (no bucket spec)")
+    fp = increment_fingerprint(docs, "doc_id")
+    if increment_already_applied(spark, index_path, fp):
+        return
     rows = _band_rows(docs, portable=_index_is_portable(spark, index_path))
     _append_index_rows(
         rows, index_path, ["band", "band_hash"], spec["n_buckets"], compact_threshold
     )
+    mark_increment_applied(spark, index_path, fp)
 
 
 def match_minhash_index(
