@@ -35,11 +35,20 @@ def pagerank(
     edges: DataFrame,
     iterations: int = _ITERATIONS,
     damping: float = _DAMPING,
+    exact: bool = True,
 ) -> DataFrame:
     """(node, pr) after `iterations` damped propagation rounds over
     (src, dst) edges. Multi-edges contribute once per occurrence;
-    dangling nodes keep the teleport term only. Deterministic: see
-    module docstring."""
+    dangling nodes keep the teleport term only.
+
+    ``exact=True`` (default) folds each node's incoming contributions
+    in source-node order — bit-identical across runs and engines (the
+    oracle-gated form; see module docstring) at the cost of gathering a
+    per-node in-neighbor list. ``exact=False`` is the throughput form
+    for billion-edge graphs with heavy hubs: a plain partial-aggregated
+    groupBy(SUM) — no list materialization, map-side combine — whose
+    results differ from the exact form only in the last ulp of the
+    double sum (equivalence-tested at 1e-9)."""
     n_nodes = nodes.count()  # one scalar, driver-side by design
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     pr = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
@@ -54,13 +63,16 @@ def pagerank(
                 (F.col("pr") / F.col("outdeg")).alias("c"),
             )
         )
-        acc = contribs.groupBy("node").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("src", "c"))),
-                F.lit(0.0),
-                lambda a, s: a + s["c"],
-            ).alias("acc")
-        )
+        if exact:
+            acc = contribs.groupBy("node").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.lit(0.0),
+                    lambda a, s: a + s["c"],
+                ).alias("acc")
+            )
+        else:
+            acc = contribs.groupBy("node").agg(F.sum("c").alias("acc"))
         pr = (
             nodes.join(acc, "node", "left")
             .select(
@@ -135,3 +147,90 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, edges = _doc_graph(d, n)
     pr = pagerank(nodes, edges)
     return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
+# --- PageRank over the REAL link graph (html_link_extract edges) ----------
+
+
+def resolved_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style edge resolution: parse html_link_extract's hrefs,
+    keep same-host anchors, extract the target doc id from the URL
+    path, and resolve it against the documents table (the target must
+    EXIST and live on the href's domain — the link fixture's 'next'
+    anchor points at (doc_id+1) % 1000 on the page's own host, so links
+    crossing a source boundary or past the id range stay dangling).
+    Returns (src, dst) doc-id edges."""
+    from fastetl_spark.operators.text3 import html_link_extract
+
+    links = html_link_extract(spark, sf_dir).filter(F.col("is_internal"))
+    cand = links.select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract(F.col("href"), r"/docs/(\d+)$", 1).cast("long").alias("tid"),
+        F.col("link_domain").alias("dom"),
+    )
+    d = read_table(spark, sf_dir, "documents")
+    targets = d.select(
+        F.col("doc_id").alias("tid"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("dom"),
+    )
+    return cand.join(targets, ["tid", "dom"]).select(
+        "src", F.col("tid").alias("dst")
+    )
+
+
+# The oracle re-derives the resolved edge set arithmetically (the link
+# fixture is deterministic: a 'next' anchor at (doc_id+1) % 1000 and a
+# 'hub' anchor at doc_id % 20, both on the page's own host — only
+# anchors whose target doc EXISTS with that source resolve) and unrolls
+# the same three source-ordered-fold iterations as _PAGERANK_SQL.
+_LINK_PAGERANK_SQL = f"""
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = (a.doc_id + 1) % 1000 AND b.source = a.source
+  UNION ALL
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id % 20 AND b.source = a.source
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), pr0 AS (
+  SELECT n.node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes n CROSS JOIN nn
+), {_iter_sql(1)}, {_iter_sql(2)}, {_iter_sql(3)}
+SELECT node, ROUND(pr, 9) AS pr FROM pr{_ITERATIONS}
+"""
+
+
+@query("pagerank_link_graph", _LINK_PAGERANK_SQL)
+def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl pipeline under the exact gate: href extraction ->
+    same-host filter -> target-id resolution against the corpus ->
+    3-iteration ordered-fold PageRank. Unlike pagerank_doc_graph's
+    synthetic ring, the edge table here comes from parsing the anchor
+    strings themselves, so a regression anywhere in extract/resolve/rank
+    fails the hash compare."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = resolved_link_edges(spark, sf_dir)
+    pr = pagerank(nodes, edges)
+    return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
+@query("pagerank_throughput")  # groupBy-SUM fold — last-ulp nondeterministic
+def pagerank_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-edge form on the same resolved link graph: plain
+    partial-aggregated groupBy(SUM) instead of the in-neighbor-list
+    ordered fold. The double sum's fold order follows partitioning, so
+    the last ulp is run-dependent and no hash oracle can gate it —
+    equivalence with the exact form at 1e-9 is asserted in tests
+    (test_graph_throughput); registered rows-only so the driver still
+    executes the code path."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = resolved_link_edges(spark, sf_dir)
+    pr = pagerank(nodes, edges, exact=False)
+    return pr.select("node", F.round("pr", 6).alias("pr"))

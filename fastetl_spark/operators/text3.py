@@ -604,6 +604,8 @@ WITH pages AS (
          '<p>' || text || '</p>'
          || '<a href="https://' || source || '.example.com/docs/'
          || CAST((doc_id + 1) % 1000 AS VARCHAR) || '">next</a>'
+         || '<a href="https://' || source || '.example.com/docs/'
+         || CAST(doc_id % 20 AS VARCHAR) || '">hub</a>'
          || $a$<a href='https://partner.org/ref?id=$a$
          || CAST(doc_id % 97 AS VARCHAR) || $a$'>partner</a>$a$ AS html,
          source
@@ -638,6 +640,14 @@ def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example.com/docs/"),
         ((F.col("doc_id") + 1) % 1000).cast("string"),
         F.lit('">next</a>'),
+        # the hub anchor: doc_id % 20 shares the page's source class, so
+        # it RESOLVES against the corpus — it is what gives the
+        # downstream link graph (graph.resolved_link_edges) real edges
+        # with hub-skewed in-degrees
+        F.lit('<a href="https://'), F.col("source"),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit('">hub</a>'),
         F.lit("<a href='https://partner.org/ref?id="),
         (F.col("doc_id") % 97).cast("string"),
         F.lit("'>partner</a>"),
