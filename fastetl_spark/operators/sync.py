@@ -515,3 +515,58 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+# --- time-travel read of a v2 bucketed destination (gated) ----------------
+
+# gen1 = the plain orders projection; gen2 doubles every 5th price and
+# inserts synthetic keys. The gated query reads AT gen1 after gen2 has
+# been committed, so the manifest-resolution logic (not the latest
+# pointer) must produce the baseline — if resolution ever leaked gen2
+# data, the %5 keys' doubled prices or the synthetic keys would break
+# the hash compare. The oracle is simply gen1's construction SQL.
+_TIME_TRAVEL_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+"""
+
+
+@query("bucketed_time_travel", _TIME_TRAVEL_SQL)
+def bucketed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 generations under the oracle gate: initial atomic load (gen1),
+    partial_merge of updates + inserts (gen2, the latest), then a
+    read_bucketed_at(gen=1) time-travel read that must reproduce the
+    baseline byte-for-byte. The scratch destination is rebuilt only
+    when absent/incomplete (two committed generations = complete),
+    mirroring the persistent-index scratch reuse."""
+    from fastetl_spark.io.bucketed import (
+        list_generations,
+        partial_merge,
+        read_bucket_spec,
+        read_bucketed_at,
+        write_bucketed,
+    )
+    from fastetl_spark.io.readers import ensure_parallelism
+    from fastetl_spark.operators.dedup_index import _scratch_index_path
+
+    orders = ensure_parallelism(read_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dest = _scratch_index_path(sf_dir, "ttravel")
+    complete = (
+        read_bucket_spec(spark, dest) is not None
+        and len(list_generations(spark, dest)) >= 2
+    )
+    if not complete:
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        write_bucketed(orders, dest, ["o_orderkey"], 8, atomic=True)
+        inc = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2.0
+        )
+        inserts = orders.filter(F.col("o_orderkey") % 5 == 1).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 100_000_000
+        )
+        partial_merge(spark, dest, inc.unionByName(inserts))
+    return read_bucketed_at(spark, dest, 1)
