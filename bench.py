@@ -66,6 +66,8 @@ HEADLINE = [
     "html_text_extract",
     "unigram_surprisal",
     "url_domain_caps",
+    "pagerank_link_graph",
+    "bucketed_time_travel",
 ]
 
 

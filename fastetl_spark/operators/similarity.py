@@ -634,3 +634,57 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding"
     )
+
+
+# --- fixed-centroid assignment: the cell-assignment UDF under the gate ----
+
+_N_FIXED_CENTROIDS = 16
+
+# For each vector: cosine against the first-16 embeddings as FIXED
+# centroids, argmax with ties to the lower centroid index. The only
+# cross-engine residue is the last-ulp of the two dot/normalize shapes
+# (numpy matmul vs sequential fold) — argmax flips only on sims within
+# ~1e-15 of each other, far below the ~1e-2 separation of cosines to
+# distinct random centroids (same promotion argument as the sin-based
+# LSH oracle).
+_ASSIGN_SQL = f"""
+WITH cents AS (
+  SELECT embedding::DOUBLE[] AS cv,
+         row_number() OVER (ORDER BY vec_id) - 1 AS i
+  FROM embeddings WHERE vec_id < {_N_FIXED_CENTROIDS}
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), sims AS (
+  SELECT v.vec_id, c.i,
+         list_dot_product(ev, cv) / sqrt(list_dot_product(ev, ev)) AS sim
+  FROM v CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, i,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, i) AS rn
+  FROM sims
+)
+SELECT vec_id, CAST(i AS INT) AS cell FROM best WHERE rn = 1
+"""
+
+
+@query("ivf_assign_fixed_centroids", _ASSIGN_SQL)
+def ivf_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched cell-assignment UDF (_probe_cells_udf — the
+    step every IVF build/append/search runs) under the exact gate:
+    with the first-{_N_FIXED_CENTROIDS} embeddings as FIXED centroids
+    there is no k-means training left, so the UDF's normalized-matmul
+    argmax must agree with DuckDB's per-pair cosine argmax exactly.
+    Together with the exhaustive-probe entries this leaves Lloyd
+    training as the only unhashed ANN component."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < _N_FIXED_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assign1 = _probe_cells_udf(cents, 1)
+    return e.select(
+        "vec_id",
+        F.element_at(assign1(as_double(F.col("embedding"))), 1).alias("cell"),
+    )
