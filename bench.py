@@ -271,7 +271,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({**out, **detail}, fh, indent=1)
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1530:  # stay well inside the driver's 2 kB tail capture
+    if len(line) > 1900:  # stay inside the driver's 2 kB tail capture
         out["queries"] = {
             k: round(v, 2)
             for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:30]

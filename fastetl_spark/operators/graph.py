@@ -50,21 +50,54 @@ def pagerank(
     results differ from the exact form only in the last ulp of the
     double sum (equivalence-tested at 1e-9)."""
     n_nodes = nodes.count()  # one scalar, driver-side by design
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    pr = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
+    uniform = F.lit(1.0) / F.lit(float(n_nodes))
     teleport = F.lit(1.0 - damping) / F.lit(float(n_nodes))
-    for _ in range(iterations):
-        contribs = (
-            edges.join(pr, edges.src == pr.node)
-            .join(out_deg, "src")
-            .select(
+    if iterations <= 0:
+        return nodes.select("node", uniform.alias("pr"))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # materialize (src, dst, outdeg) ONCE, partitioned by src: the edge
+    # plan (for the link graph, a parse + resolution join) would
+    # otherwise re-execute every iteration, and the src partitioning is
+    # reused by each iteration's contribution join so only the (small)
+    # acc side shuffles.
+    ew = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition("src")
+        .transform(materialize)
+    )
+    # Shuffle-lean iteration: pr is never materialized as a full node
+    # frame inside the loop. pr(node) == teleport + damping*acc(node)
+    # with acc=0 for nodes without in-links, so each round folds that
+    # expression straight into the next round's contributions (a LEFT
+    # join of edges against the previous acc) — the per-iteration
+    # nodes-frame join disappears, and round 1 (uniform pr) needs no
+    # join at all. The arithmetic is expression-identical to the
+    # naive formulation, so the oracle-exact folds are unchanged.
+    acc_df = None
+    for it in range(iterations):
+        if acc_df is None:
+            contribs = ew.select(
                 F.col("dst").alias("node"),
                 "src",
-                (F.col("pr") / F.col("outdeg")).alias("c"),
+                (uniform / F.col("outdeg")).alias("c"),
             )
-        )
+        else:
+            contribs = ew.join(
+                acc_df, ew.src == acc_df.node, "left"
+            ).select(
+                F.col("dst").alias("node"),
+                "src",
+                (
+                    (
+                        teleport
+                        + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
+                    )
+                    / F.col("outdeg")
+                ).alias("c"),
+            )
         if exact:
-            acc = contribs.groupBy("node").agg(
+            acc_df = contribs.groupBy("node").agg(
                 F.aggregate(
                     F.array_sort(F.collect_list(F.struct("src", "c"))),
                     F.lit(0.0),
@@ -72,19 +105,19 @@ def pagerank(
                 ).alias("acc")
             )
         else:
-            acc = contribs.groupBy("node").agg(F.sum("c").alias("acc"))
-        pr = (
-            nodes.join(acc, "node", "left")
-            .select(
-                "node",
-                (
-                    teleport
-                    + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .transform(materialize)
-        )
-    return pr
+            acc_df = contribs.groupBy("node").agg(F.sum("c").alias("acc"))
+        # cut lineage every few rounds, not every round: a handful of
+        # chained iterations is a small plan Catalyst compiles in one
+        # job, each skipped localCheckpoint removes a write+re-read
+        # barrier (3-iteration runs are checkpoint-free)
+        if (it + 1) % 4 == 0 and (it + 1) < iterations:
+            acc_df = materialize(acc_df)
+    return nodes.join(acc_df, "node", "left").select(
+        "node",
+        (
+            teleport + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
+        ).alias("pr"),
+    )
 
 
 def _doc_graph(d: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
