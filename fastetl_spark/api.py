@@ -429,10 +429,29 @@ class Engine:
     def generations(self, path: str) -> list[int]:
         """Committed manifest generations of a v2 bucketed destination
         (ascending); the ones inside the GC retention window can be
-        read with io/bucketed.read_bucketed_at or rolled back to."""
+        read with read_at or rolled back to."""
         from fastetl_spark.io.bucketed import list_generations
 
         return list_generations(self.spark, path)
+
+    def read_at(self, path: str, gen: int) -> DataFrame:
+        """Time-travel read of a v2 bucketed destination at generation
+        ``gen`` (must be inside the keep_gens retention window) —
+        resolves that generation's manifest instead of the latest
+        (gated by the `bucketed_time_travel` query)."""
+        from fastetl_spark.io.bucketed import read_bucketed_at
+
+        return read_bucketed_at(self.spark, path, gen)
+
+    def pagerank(self, nodes: DataFrame, edges: DataFrame,
+                 iterations: int = 3, exact: bool = True) -> DataFrame:
+        """Damped PageRank over (src, dst) edges (operators/graph):
+        exact=True uses source-ordered contribution folds (bit-exact,
+        oracle-gated); exact=False is the groupBy-SUM throughput fold
+        for billion-edge hub graphs (last-ulp difference only)."""
+        from fastetl_spark.operators.graph import pagerank
+
+        return pagerank(nodes, edges, iterations=iterations, exact=exact)
 
 
 # --- operator-shaped wrappers (reference operator parity) ----------------

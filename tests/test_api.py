@@ -201,3 +201,28 @@ def test_sync_many_reports_per_table_and_isolates_failures(spark, tmp_path):
         warnings.simplefilter("ignore")
         with pytest.raises(Exception):
             eng.sync_many(tables[1:], fail_fast=True)
+
+
+def test_engine_read_at_and_pagerank(spark, tmp_path):
+    from fastetl_spark.api import Engine
+    from fastetl_spark.io.bucketed import partial_merge, write_bucketed
+    import pyspark.sql.functions as F
+
+    eng = Engine(spark)
+    dest = str(tmp_path / "d")
+    base = spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long")
+    write_bucketed(base, dest, ["k"], 4, atomic=True)
+    partial_merge(spark, dest, base.withColumn("v", F.col("v") + 1))
+    assert eng.generations(dest) == [1, 2]
+    # read_at(1) = the original values, latest = incremented
+    at1 = {r.k: r.v for r in eng.read_at(dest, 1).collect()}
+    assert at1 == {i: i * 10 for i in range(20)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    pr_e = {r.node: r.pr for r in eng.pagerank(nodes, edges).collect()}
+    pr_f = {r.node: r.pr for r in eng.pagerank(nodes, edges, exact=False).collect()}
+    assert abs(sum(pr_e.values()) - 1.0) < 1e-9  # ring conserves mass
+    assert max(abs(pr_e[n] - pr_f[n]) for n in pr_e) < 1e-12
