@@ -444,3 +444,82 @@ def value_hour_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(denom != 0, slope), 9).alias("slope"),
         F.round(F.when(denom != 0, (sy - slope * sx) / n), 9).alias("intercept"),
     )
+
+
+# --- join-skew diagnosis (shuffle-sizing ops report) ----------------------
+
+_SALT_CAP = 64
+
+# All-integer profile (one ROUND-6 ratio aside): heavy keys are counted
+# by the cross-multiplied comparison cnt * n_keys > 2 * n_rows (i.e.
+# cnt > 2*avg without ever forming the float average), and the salt
+# recommendation is an integer ceil-division — no percentile functions,
+# whose discrete-tie indexing differs between engines at high p.
+_SKEW_SQL = f"""
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+), tot AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+  FROM c GROUP BY event_type
+), heavy AS (
+  SELECT c.event_type,
+         CAST(SUM(CASE WHEN c.cnt * t.n_keys > 2 * t.n_rows
+                       THEN 1 ELSE 0 END) AS BIGINT) AS heavy_keys
+  FROM c JOIN tot t USING (event_type) GROUP BY c.event_type
+)
+SELECT t.event_type, t.n_rows, t.n_keys, t.max_key_rows, h.heavy_keys,
+       ROUND(t.max_key_rows * 1.0 / (t.n_rows * 1.0 / t.n_keys), 6)
+         AS skew_ratio,
+       CAST(LEAST({_SALT_CAP}, GREATEST(1,
+         (t.max_key_rows * t.n_keys + t.n_rows - 1) // t.n_rows))
+         AS BIGINT) AS recommended_salt
+FROM tot t JOIN heavy h USING (event_type)
+"""
+
+
+@query("join_skew_diagnosis", _SKEW_SQL)
+def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a 100 TB operator runs BEFORE sizing a shuffle: per
+    join key (event_type, user_id here) count rows, then per group
+    report total rows, distinct keys, the hottest key, how many keys
+    exceed 2x the average (cross-multiplied — stays in exact integer
+    arithmetic), the max/avg skew ratio, and a salt-bucket
+    recommendation ceil(max_key_rows / avg_rows_per_key) capped at
+    {_SALT_CAP} — the factor skewed_agg_salted-style salting would use.
+    Two partial-aggregated shuffles plus a broadcast of the per-type
+    totals; nothing driver-side."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+    )
+    heavy = (
+        c.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows")).cast("long")
+            ).alias("heavy_keys")
+        )
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    salt = F.expr(
+        "(max_key_rows * n_keys + n_rows - 1) div n_rows"
+    )
+    return tot.join(heavy, "event_type").select(
+        "event_type",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "heavy_keys",
+        F.round(F.col("max_key_rows").cast("double") / avg, 6).alias("skew_ratio"),
+        F.least(F.lit(_SALT_CAP).cast("long"), F.greatest(F.lit(1).cast("long"), salt)).alias(
+            "recommended_salt"
+        ),
+    )
