@@ -267,3 +267,76 @@ def pagerank_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = resolved_link_edges(spark, sf_dir)
     pr = pagerank(nodes, edges, exact=False)
     return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+# --- triangle counting (third classic graph op: CC, PageRank, triangles) --
+
+_TRIANGLE_SQL = """
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), e0 AS (
+  SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node + 2) % (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 3) % (SELECT n FROM nn) FROM nodes
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e0 WHERE src <> dst
+)
+SELECT ab.u AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM und ab
+JOIN und bc ON bc.u = ab.v
+JOIN und ac ON ac.u = ab.u AND ac.v = bc.v
+GROUP BY ab.u
+"""
+
+
+@query("triangle_count_doc_graph", _TRIANGLE_SQL)
+def triangle_count_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation (counted at the triangle's least
+    node) over the ring + skip-2 + squares doc graph — the standard
+    node-ordered two-join enumeration: canonicalize each undirected
+    edge as (u < v), then a triangle u<v<w is exactly one (ab, bc, ac)
+    join match, so nothing is double-counted and no post-dedup pass is
+    needed. All-integer output, exact oracle.
+
+    Scale shape: both joins key on a node column (shuffle by node);
+    the classic refinement at 100 TB orders nodes by DEGREE instead of
+    id so high-degree hubs sit on the small side of the joins —
+    the id-ordering here keeps the oracle deterministic."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    e0 = (
+        nodes.select(F.col("node").alias("src"), ((F.col("node") + 1) % n).alias("dst"))
+        .unionAll(
+            nodes.select(
+                F.col("node").alias("src"), ((F.col("node") + 2) % n).alias("dst")
+            )
+        )
+        .unionAll(
+            nodes.select(
+                F.col("node").alias("src"),
+                ((F.col("node") * F.col("node") + 3) % n).alias("dst"),
+            )
+        )
+    )
+    und = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    ab = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
