@@ -492,8 +492,14 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SALT_CAP} — the factor skewed_agg_salted-style salting would use.
     Two partial-aggregated shuffles plus a broadcast of the per-type
     totals; nothing driver-side."""
+    from fastetl_spark.checkpointing import materialize
+
     e = ensure_parallelism(read_table(spark, sf_dir, "events"))
-    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # the per-key counts feed three consumers (totals, heavy-key count,
+    # final join) — materialize once so events is scanned once, not 3x
+    c = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).transform(materialize)
     tot = c.groupBy("event_type").agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
