@@ -688,3 +688,42 @@ def ivf_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.element_at(assign1(as_double(F.col("embedding"))), 1).alias("cell"),
     )
+
+
+# --- exhaustive configs of the ONE-SHOT paths (same idea as the
+# ann_index exhaustive entries: nprobe=n_cells / refine=|corpus| makes
+# the approximate path identical to exact top-k, so the one-shot
+# probe/score/rerank code itself sits under the brute-force oracle) ---
+
+
+@query("similarity_ivf_oneshot_exhaustive", _TOPK_SQL)
+def similarity_ivf_oneshot_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk at nprobe=n_cells: every cell probed, exact rerank over
+    the full corpus — must hash-match the brute-force oracle."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+        "vec_id",
+        "embedding",
+        nprobe=IVF_K,
+    )
+
+
+@query("similarity_ivfpq_oneshot_exhaustive", _TOPK_SQL)
+def similarity_ivfpq_oneshot_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ivfpq_topk at nprobe=n_cells and refine=|corpus|: the ADC
+    shortlist passes everything, the exact rerank alone ranks — the
+    one-shot PQ path under the brute-force oracle."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    n = read_table(spark, sf_dir, "embeddings").count()
+    return ivfpq_topk(
+        e,
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+        "vec_id",
+        "embedding",
+        nprobe=IVF_K,
+        refine=n,
+    )
