@@ -443,6 +443,16 @@ class Engine:
 
         return read_bucketed_at(self.spark, path, gen)
 
+    def vacuum(self, path: str, keep_commit_markers: int = 1000) -> dict:
+        """Maintenance sweep of a swap-published destination: drop
+        stranded staging/backup dirs and trim old streaming commit
+        markers (io/fsutil.vacuum_dest; also clears a stale merge lock's
+        leftovers after a crash). Never run concurrently with an
+        in-flight merge on the same destination."""
+        from fastetl_spark.io.fsutil import vacuum_dest
+
+        return vacuum_dest(self.spark, path, keep_commit_markers)
+
     def pagerank(self, nodes: DataFrame, edges: DataFrame,
                  iterations: int = 3, exact: bool = True) -> DataFrame:
         """Damped PageRank over (src, dst) edges (operators/graph):

@@ -226,3 +226,19 @@ def test_engine_read_at_and_pagerank(spark, tmp_path):
     pr_f = {r.node: r.pr for r in eng.pagerank(nodes, edges, exact=False).collect()}
     assert abs(sum(pr_e.values()) - 1.0) < 1e-9  # ring conserves mass
     assert max(abs(pr_e[n] - pr_f[n]) for n in pr_e) < 1e-12
+
+
+def test_engine_vacuum_removes_stranded_staging(spark, tmp_path):
+    import os
+
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+    dest = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "a long").write.parquet(dest)
+    stranded = dest + ".__staging__"
+    os.makedirs(stranded, exist_ok=True)
+    open(os.path.join(stranded, "part-junk"), "w").write("x")
+    report = eng.vacuum(dest)
+    assert not os.path.exists(stranded)
+    assert any(s.endswith(".__staging__") for s in report["dirs_removed"])
