@@ -560,7 +560,13 @@ def bucketed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not complete:
         import shutil
 
+        from fastetl_spark.io.fsutil import vacuum_dest
+
         shutil.rmtree(dest, ignore_errors=True)
+        # an interrupted previous build can strand the merge lock and
+        # staging dirs as SIBLINGS of dest — without this sweep a stale
+        # lock would make every rebuild's partial_merge raise
+        vacuum_dest(spark, dest)
         write_bucketed(orders, dest, ["o_orderkey"], 8, atomic=True)
         inc = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") * 2.0
