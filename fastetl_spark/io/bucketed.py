@@ -292,6 +292,12 @@ def list_generations(spark: SparkSession, path: str) -> list[int]:
 def _read_manifest_gen(spark: SparkSession, path: str, gen: int) -> dict:
     base = path.rstrip("/")
     text = read_text_file(spark, f"{base}/{MANIFEST_PREFIX}{gen}.json")
+    if text is None:
+        raise ValueError(
+            f"generation {gen} of {path} has no manifest (never committed, "
+            f"or GC'd past the keep_gens window); available: "
+            f"{list_generations(spark, path)}"
+        )
     m = json.loads(text)
     m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
     return m

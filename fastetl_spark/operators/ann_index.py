@@ -152,7 +152,7 @@ def append_to_ivf_index(
     meta = read_ivf_meta(spark, index_path)
     if meta is None:
         raise ValueError(f"{index_path} is not a complete IVF index (no {META_FILE})")
-    fp = increment_fingerprint(new_vecs, meta["id_col"])
+    fp = increment_fingerprint(new_vecs)
     if increment_already_applied(spark, index_path, fp):
         return
     assigned = _assign_cells(
@@ -315,7 +315,7 @@ def append_to_ivfpq_index(
     # one marker per HALF: a retry after codes committed but vectors
     # crashed re-runs only the vectors append — neither half can
     # double-insert
-    fp = increment_fingerprint(new_vecs, meta["id_col"])
+    fp = increment_fingerprint(new_vecs)
     codes_done = increment_already_applied(spark, f"{base}/codes", fp)
     vecs_done = increment_already_applied(spark, f"{base}/vectors", fp)
     if codes_done and vecs_done:
@@ -328,16 +328,18 @@ def append_to_ivfpq_index(
         .withColumn("norm", l2_norm(F.col("vec")))
         .transform(materialize)
     )
-    assign1 = _probe_cells_udf(meta["centroids"], 1)
-    encode = _pq_encode_udf(meta["codebooks"])
-    codes = (
-        raw.select("vid", "vec")
-        .withColumn("cell", F.element_at(assign1("vec"), 1))
-        .withColumn("codes", encode("vec"))
-        .drop("vec")
-        .transform(materialize)
-    )
     if not codes_done:
+        # built only when this half is actually missing — a retry with
+        # codes already committed must not pay the encode job
+        assign1 = _probe_cells_udf(meta["centroids"], 1)
+        encode = _pq_encode_udf(meta["codebooks"])
+        codes = (
+            raw.select("vid", "vec")
+            .withColumn("cell", F.element_at(assign1("vec"), 1))
+            .withColumn("codes", encode("vec"))
+            .drop("vec")
+            .transform(materialize)
+        )
         _append_cell_partitioned(codes, f"{base}/codes", compact_threshold)
         mark_increment_applied(spark, f"{base}/codes", fp)
     if not vecs_done:
@@ -508,6 +510,9 @@ def similarity_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     if meta is None:
         build_ivfpq_index(e, idx, "vec_id", "embedding")
         meta = read_ivfpq_meta(spark, idx)
+    # a bare parquet-scan count collapses to footer row counts —
+    # deliberately NOT e.count(), which would execute the
+    # ensure_parallelism repartition just to count
     n = read_table(spark, sf_dir, "embeddings").count()
     return search_ivfpq_index(
         spark,

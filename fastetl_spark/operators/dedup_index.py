@@ -87,16 +87,26 @@ def build_shingle_index(
     )
 
 
-def increment_fingerprint(rows: DataFrame, id_col: str) -> str:
+def increment_fingerprint(rows: DataFrame) -> str:
     """Content fingerprint of an increment: row count + order-free
-    bit_xor of the ids' xxhash64 — one tiny aggregate, two driver
-    scalars. Used as the replay-idempotency marker name so a crashed-
-    then-retried append of the SAME rows is detected and skipped."""
+    bit_xor AND mod-sum of a hash over ALL columns — one tiny
+    aggregate, three driver scalars. Used as the replay-idempotency
+    marker name so a crashed-then-retried append of the SAME rows is
+    detected and skipped, while a re-ingested increment with the same
+    ids but CHANGED content hashes differently (full-row hash, not
+    id-only) and duplicate rows cannot XOR-cancel into a prior
+    fingerprint (the mod-2^31-1 sum term breaks cancellation; it
+    cannot overflow a long below ~4e9 rows per increment)."""
+    cols = ", ".join(f"`{c}`" for c in rows.columns)
     r = rows.select(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+        F.expr(f"bit_xor(xxhash64({cols}))").alias("x"),
+        F.expr(f"sum(pmod(xxhash64({cols}), 2147483647))").alias("s"),
     ).collect()[0]
-    return f"{int(r['n'])}_{int(r['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    return (
+        f"{int(r['n'])}_{int(r['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+        f"_{int(r['s'] or 0):x}"
+    )
 
 
 def _marker_path(index_path: str, fp: str) -> str:
@@ -111,6 +121,9 @@ def increment_already_applied(
     return read_text_file(spark, _marker_path(index_path, fp)) is not None
 
 
+MAX_INCREMENT_MARKERS = 1024  # retained replay markers per index
+
+
 def mark_increment_applied(spark: SparkSession, index_path: str, fp: str) -> None:
     """Write the increment's marker AFTER its files committed. The
     marker closes the replay-duplication hole: a retry of a failed
@@ -118,10 +131,27 @@ def mark_increment_applied(spark: SparkSession, index_path: str, fp: str) -> Non
     and skips, so band/shingle rows cannot double-insert and inflate
     `shared` in the match joins. (The residual window — crash between
     job commit and this one-file write — is a single filesystem create,
-    orders of magnitude smaller than the append job itself.)"""
-    from fastetl_spark.io.fsutil import write_text_file
+    orders of magnitude smaller than the append job itself.)
+
+    Retention: only the newest MAX_INCREMENT_MARKERS markers are kept
+    (one listStatus + deletes of the overflow, mtime order), so a
+    daily-increment index cannot grow an unbounded marker listing.
+    Replay protection therefore covers the last ~1k increments — far
+    beyond any real retry window, which spans one job."""
+    from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
 
     write_text_file(spark, _marker_path(index_path, fp), fp)
+    fs, path_cls = hadoop_fs(spark, index_path)
+    inc_dir = path_cls(f"{index_path.rstrip('/')}/_increments")
+    statuses = [
+        (s.getModificationTime(), s.getPath())
+        for s in fs.listStatus(inc_dir)
+        if s.isFile()
+    ]
+    if len(statuses) > MAX_INCREMENT_MARKERS:
+        statuses.sort()  # oldest first
+        for _, p in statuses[: len(statuses) - MAX_INCREMENT_MARKERS]:
+            fs.delete(p, False)
 
 
 def _append_index_rows(
@@ -162,7 +192,7 @@ def append_to_shingle_index(
     spec = read_bucket_spec(spark, index_path)
     if spec is None:
         raise ValueError(f"{index_path} is not a shingle index (no bucket spec)")
-    fp = increment_fingerprint(docs, "doc_id")
+    fp = increment_fingerprint(docs)
     if increment_already_applied(spark, index_path, fp):
         return
     rows = _shingle_rows(docs, _SHINGLE_N)
@@ -336,7 +366,7 @@ def append_to_minhash_index(
     spec = read_bucket_spec(spark, index_path)
     if spec is None:
         raise ValueError(f"{index_path} is not a minhash index (no bucket spec)")
-    fp = increment_fingerprint(docs, "doc_id")
+    fp = increment_fingerprint(docs)
     if increment_already_applied(spark, index_path, fp):
         return
     rows = _band_rows(docs, portable=_index_is_portable(spark, index_path))

@@ -54,6 +54,16 @@ def pagerank(
     teleport = F.lit(1.0 - damping) / F.lit(float(n_nodes))
     if iterations <= 0:
         return nodes.select("node", uniform.alias("pr"))
+    # restrict edge SOURCES to the node set up front — the pre-refactor
+    # loop did this implicitly via the inner join against pr, and
+    # without it a phantom src outside `nodes` would inject
+    # teleport-derived mass. Destinations stay unrestricted, exactly as
+    # before: outdeg counts every out-edge (mass sent to a phantom dst
+    # leaks, the standard subgraph semantics), phantom-dst acc rows
+    # never match a src and are dropped by the final nodes join.
+    edges = edges.join(
+        nodes.select(F.col("node").alias("src")), "src", "left_semi"
+    )
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # materialize (src, dst, outdeg) ONCE, partitioned by src: the edge
     # plan (for the link graph, a parse + resolution join) would
@@ -164,7 +174,7 @@ WITH nodes AS (
   SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
 ), pr0 AS (
   SELECT n.node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes n CROSS JOIN nn
-), {_iter_sql(1)}, {_iter_sql(2)}, {_iter_sql(3)}
+), {", ".join(_iter_sql(i) for i in range(1, _ITERATIONS + 1))}
 SELECT node, ROUND(pr, 9) AS pr FROM pr{_ITERATIONS}
 """
 
@@ -233,7 +243,7 @@ WITH nodes AS (
   SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
 ), pr0 AS (
   SELECT n.node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes n CROSS JOIN nn
-), {_iter_sql(1)}, {_iter_sql(2)}, {_iter_sql(3)}
+), {", ".join(_iter_sql(i) for i in range(1, _ITERATIONS + 1))}
 SELECT node, ROUND(pr, 9) AS pr FROM pr{_ITERATIONS}
 """
 

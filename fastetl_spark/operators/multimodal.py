@@ -293,12 +293,18 @@ def gini_scalar(x) -> float:
     n = len(q)
     if n == 0:
         return 0.0
-    total = int(q.sum())
+    # overflow guards must consider NEGATIVE values too: |total| is
+    # bounded by n * max(|min|, |max|) and |rank_sum| by n^2 * that —
+    # numpy int64 sums wrap silently, so route each to Python bigints
+    # when its bound approaches 2^62
+    maxabs = max(abs(int(q[0])), abs(int(q[-1])))
+    if n * maxabs >= 2**62:
+        total = sum(int(val) for val in q)
+    else:
+        total = int(q.sum())
     if total == 0:
         return 0.0
-    # overflow guard must consider NEGATIVE values too: the rank-sum
-    # magnitude is bounded by n^2 * max(|min|, |max|), not n^2 * max
-    if n * n * max(abs(int(q[0])), abs(int(q[-1]))) >= 2**62:
+    if n * n * maxabs >= 2**62:
         rank_sum = sum((i + 1) * int(val) for i, val in enumerate(q))
     else:
         rank_sum = int((np.arange(1, n + 1, dtype=np.int64) * q).sum())

@@ -718,6 +718,9 @@ def similarity_ivfpq_oneshot_exhaustive(
     shortlist passes everything, the exact rerank alone ranks — the
     one-shot PQ path under the brute-force oracle."""
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    # a bare parquet-scan count collapses to footer row counts —
+    # deliberately NOT e.count(), which would execute the
+    # ensure_parallelism repartition just to count
     n = read_table(spark, sf_dir, "embeddings").count()
     return ivfpq_topk(
         e,

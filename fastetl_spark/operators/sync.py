@@ -553,10 +553,15 @@ def bucketed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     dest = _scratch_index_path(sf_dir, "ttravel")
-    complete = (
-        read_bucket_spec(spark, dest) is not None
-        and len(list_generations(spark, dest)) >= 2
+    gens = (
+        list_generations(spark, dest)
+        if read_bucket_spec(spark, dest) is not None
+        else []
     )
+    # gen 1 must still be PRESENT, not merely implied by a length — if
+    # extra generations ever appeared, GC (keep_gens=2) would drop gen
+    # 1's manifest and a read-at would fail; rebuild instead
+    complete = len(gens) >= 2 and 1 in gens
     if not complete:
         import shutil
 

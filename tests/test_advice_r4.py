@@ -88,3 +88,13 @@ def test_gini_negative_overflow_guard():
         np_ * sum(qp)
     ) - (np_ + 1) / np_
     assert abs(gini_scalar(pos) - exp_pos) < 1e-12
+    # TOTAL can overflow int64 even when values are positive: three
+    # 3.2e12 values quantize to 3.2e18 each, sum 9.6e18 > 2^63-1 wraps
+    # in numpy — the guard must route the total to bigints too
+    big = [3.2e12, 3.2e12, 3.2e12]
+    qb = sorted(int(math.floor(v * _Q_UNIT + 0.5)) for v in big)
+    nb = len(qb)
+    exp_big = 2 * sum((i + 1) * v for i, v in enumerate(qb)) / (
+        nb * sum(qb)
+    ) - (nb + 1) / nb
+    assert abs(gini_scalar(big) - exp_big) < 1e-12

@@ -109,7 +109,7 @@ def test_ivfpq_append_replays_only_missing_half(spark, sf_dir, tmp_path):
     # simulate the half-committed crash for a NEW increment: pre-mark
     # the codes half as applied, then run the append — only vectors grow
     inc2 = e.filter((F.col("vec_id") >= 210) & (F.col("vec_id") < 215))
-    fp2 = increment_fingerprint(inc2, "vec_id")
+    fp2 = increment_fingerprint(inc2)
     mark_increment_applied(spark, f"{idx}/codes", fp2)
     append_to_ivfpq_index(inc2, idx)
     assert spark.read.parquet(f"{idx}/codes").count() == codes_once
@@ -122,5 +122,5 @@ def test_fingerprint_is_order_free_and_content_sensitive(spark):
     a = spark.createDataFrame([(3,), (1,), (2,)], "doc_id long")
     b = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
     c = spark.createDataFrame([(1,), (2,), (4,)], "doc_id long")
-    assert increment_fingerprint(a, "doc_id") == increment_fingerprint(b, "doc_id")
-    assert increment_fingerprint(a, "doc_id") != increment_fingerprint(c, "doc_id")
+    assert increment_fingerprint(a) == increment_fingerprint(b)
+    assert increment_fingerprint(a) != increment_fingerprint(c)
