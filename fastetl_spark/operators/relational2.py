@@ -304,3 +304,43 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
     )
+
+
+# --- VariantType extraction (Spark 4 semi-structured path) ---------------
+
+
+@query(
+    "variant_props_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 semi-structured path: props parsed ONCE into a
+    VariantType column (binary-encoded, JVM-side traversal — the
+    modern replacement for per-path get_json_object re-parsing),
+    then typed variant_get extraction feeds an exact integer rollup;
+    try_variant_get on a missing path must yield NULL, not an error.
+    Oracle re-derives with DuckDB's JSON functions."""
+    e = read_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            "event_type",
+            F.try_variant_get(F.col("v"), "$.k", "int").alias("k"),
+            F.try_variant_get(F.col("v"), "$.absent", "int").alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.col("absent").isNull().cast("long")).alias("n_missing"),
+        )
+    )
