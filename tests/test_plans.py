@@ -7,6 +7,9 @@ broadcast, and aggregations have a partial (map-side) phase.
 from __future__ import annotations
 
 import __spark_entry__ as entry_mod
+import pyspark.sql.functions as F
+
+from fastetl_spark.io.readers import read_table
 
 QUERIES = entry_mod.queries()
 
@@ -215,3 +218,66 @@ def test_expectations_report_semantics_and_single_scan(spark):
         expectations_report(df, [("r", F.lit(True)), ("r", F.lit(True))])
     with pytest.raises(ValueError, match="at least one"):
         expectations_report(df, [])
+
+
+def test_time_travel_reads_only_target_generation_dirs(spark, tmp_path):
+    """read_bucketed_at(gen) must scan ONLY that generation's bucket
+    dirs — none of the newer generation's files may appear in the
+    scan's input, even though they sit beside them on disk."""
+    from fastetl_spark.io.bucketed import (
+        _read_manifest_gen,
+        partial_merge,
+        read_bucketed_at,
+        write_bucketed,
+    )
+
+    dest = str(tmp_path / "d")
+    base = spark.createDataFrame([(i, i) for i in range(40)], "k long, v long")
+    write_bucketed(base, dest, ["k"], 4, atomic=True)
+    partial_merge(spark, dest, base.withColumn("v", F.col("v") + 7))
+    m1 = _read_manifest_gen(spark, dest, 1)
+    allowed = {d for d in m1["buckets"].values()}
+    files = read_bucketed_at(spark, dest, 1).inputFiles()
+    assert files
+    for f in files:
+        dirname = f.rstrip("/").rsplit("/", 2)[-2]
+        assert dirname in allowed, f"scan touched non-gen-1 dir: {f}"
+
+
+def test_skew_diagnosis_single_scan_and_broadcast(spark, sf_dir):
+    from fastetl_spark.operators.analytics import join_skew_diagnosis
+
+    df = join_skew_diagnosis(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per-key counts are checkpointed once: the events table must not
+    # be re-scanned per consumer
+    assert plan.count("Scan parquet") == 0  # post-checkpoint plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_exhaustive_ivf_matches_exact_topk(spark, sf_dir, tmp_path):
+    """nprobe=n_cells probing == brute-force cosine top-k, row for row
+    (the claim behind the exhaustive gate entries, checked in-process)."""
+    from fastetl_spark.operators.ann_index import (
+        build_ivf_index,
+        read_ivf_meta,
+        search_ivf_index,
+    )
+    from fastetl_spark.operators.similarity import cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, idx, "vec_id", "embedding", n_cells=8)
+    meta = read_ivf_meta(spark, idx)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    got = sorted(
+        map(
+            tuple,
+            search_ivf_index(spark, idx, q, k=5, nprobe=meta["n_cells"]).collect(),
+        )
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    )
+    assert got == want and got
