@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Release gate: the one command that must be green before shipping.
+
+Runs, in order, and prints a one-page PASS/FAIL summary:
+  1. full pytest suite            (tests/)
+  2. oracle sweep at sf0.01       (the driver's correctness gate)
+  3. oracle sweep at sf0.1        (the hardening sweep — engine-boundary
+                                   semantics that only diverge at scale,
+                                   e.g. DuckDB date_diff boundary counting,
+                                   have historically surfaced ONLY here)
+  4. bench at sf0.1               (wall + scaling guards; detail JSON)
+
+Usage: python tools/release_gate.py [--skip-tests] [--skip-bench]
+Exit code 0 iff every stage passed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(tag: str, cmd: list[str], timeout: int) -> tuple[bool, float, str]:
+    start = time.perf_counter()
+    try:
+        p = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
+        )
+        ok = p.returncode == 0
+        tail = (p.stdout or "").strip().splitlines()[-1:] or [""]
+        return ok, time.perf_counter() - start, tail[0]
+    except subprocess.TimeoutExpired:
+        return False, time.perf_counter() - start, "TIMEOUT"
+
+
+def main() -> int:
+    skip_tests = "--skip-tests" in sys.argv
+    skip_bench = "--skip-bench" in sys.argv
+    stages: list[tuple[str, bool, float, str]] = []
+
+    if not skip_tests:
+        ok, wall, tail = run(
+            "pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], 1800
+        )
+        stages.append(("pytest", ok, wall, tail))
+
+    for sf in ("0.01", "0.1"):
+        ok, wall, tail = run(
+            f"sweep sf{sf}",
+            [sys.executable, "tools/oracle_sweep.py", f"/root/testdata/sf{sf}"],
+            2400,
+        )
+        stages.append((f"oracle sweep sf{sf}", ok, wall, tail))
+
+    if not skip_bench:
+        ok, wall, tail = run("bench", [sys.executable, "bench.py"], 1800)
+        if ok:
+            try:
+                d = json.loads(tail)
+                guards = d.get("scaling_ok", True) and d.get(
+                    "index_scaling_ok", True
+                )
+                ok = ok and guards
+                tail = (
+                    f"total={d.get('value')}s queries={len(d.get('queries', {}))}"
+                    f" scaling_ok={d.get('scaling_ok')}"
+                    f" index_scaling_ok={d.get('index_scaling_ok')}"
+                )
+            except (json.JSONDecodeError, TypeError):
+                ok = False
+                tail = f"unparseable bench line: {tail[:120]}"
+        stages.append(("bench sf0.1", ok, wall, tail))
+
+    print("\n=== release gate ===")
+    all_ok = True
+    for tag, ok, wall, tail in stages:
+        all_ok &= ok
+        print(f"{'PASS' if ok else 'FAIL':4} {tag:18} {wall:7.1f}s  {tail}")
+    print("=== " + ("ALL GREEN" if all_ok else "GATE FAILED") + " ===")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
