@@ -1,0 +1,44 @@
+"""Partitioning/AQE invariance: every float-bearing gated query claims
+its doubles are reproducible across partitionings (ordered folds /
+exact-decimal routing). Pin that claim directly: run the same query
+under two deliberately different execution layouts — default shuffle
+partitions with AQE on vs. 7 partitions with AQE off — and require
+BIT-IDENTICAL sorted rows, not approximate agreement."""
+
+from __future__ import annotations
+
+import pytest
+
+QUERIES = [
+    "q1_pricing_summary",     # exact-decimal aggregate routing
+    "gini_by_event_type",     # quantized-integer UDAF
+    "char_entropy",           # sorted p*log2(p) fold
+    "skewed_agg_salted",      # two-phase salted aggregation
+    "pagerank_doc_graph",     # iterative ordered folds
+    "unigram_surprisal",      # position-ordered ln() fold
+    "join_skew_diagnosis",    # integer profile + one ratio
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_results_identical_across_layouts(spark, sf_dir, name):
+    from fastetl_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES[name]
+
+    defaults = {
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    try:
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        for k, v in defaults.items():
+            spark.conf.set(k, v)
+    assert a == b and a  # bit-identical, non-empty
