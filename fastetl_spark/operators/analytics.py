@@ -475,7 +475,8 @@ SELECT t.event_type, t.n_rows, t.n_keys, t.max_key_rows, h.heavy_keys,
        ROUND(t.max_key_rows * 1.0 / (t.n_rows * 1.0 / t.n_keys), 6)
          AS skew_ratio,
        CAST(LEAST({_SALT_CAP}, GREATEST(1,
-         (t.max_key_rows * t.n_keys + t.n_rows - 1) // t.n_rows))
+         (t.max_key_rows + GREATEST(1, t.n_rows // t.n_keys) - 1)
+           // GREATEST(1, t.n_rows // t.n_keys)))
          AS BIGINT) AS recommended_salt
 FROM tot t JOIN heavy h USING (event_type)
 """
@@ -515,8 +516,13 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    # ceil(max / floor(avg)) in pure long arithmetic — deliberately NOT
+    # ceil(max*n_keys/n_rows): that product overflows int64 (an ANSI
+    # error) once n_rows*n_keys passes ~9e18, which a petabyte-scale
+    # profile can reach. No term here exceeds 2*n_rows.
     salt = F.expr(
-        "(max_key_rows * n_keys + n_rows - 1) div n_rows"
+        "(max_key_rows + greatest(1L, n_rows div n_keys) - 1)"
+        " div greatest(1L, n_rows div n_keys)"
     )
     return tot.join(heavy, "event_type").select(
         "event_type",
