@@ -451,8 +451,8 @@ def value_hour_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALT_CAP = 64
 
 # All-integer profile (one ROUND-6 ratio aside): heavy keys are counted
-# by the cross-multiplied comparison cnt * n_keys > 2 * n_rows (i.e.
-# cnt > 2*avg without ever forming the float average), and the salt
+# by cnt > (2*n_rows) div n_keys — exactly cnt > 2*avg for positive
+# integers, without the float average OR a count product — and the salt
 # recommendation is an integer ceil-division — no percentile functions,
 # whose discrete-tie indexing differs between engines at high p.
 _SKEW_SQL = f"""
@@ -467,7 +467,7 @@ WITH c AS (
   FROM c GROUP BY event_type
 ), heavy AS (
   SELECT c.event_type,
-         CAST(SUM(CASE WHEN c.cnt * t.n_keys > 2 * t.n_rows
+         CAST(SUM(CASE WHEN c.cnt > (2 * t.n_rows) // t.n_keys
                        THEN 1 ELSE 0 END) AS BIGINT) AS heavy_keys
   FROM c JOIN tot t USING (event_type) GROUP BY c.event_type
 )
@@ -487,8 +487,7 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The report a 100 TB operator runs BEFORE sizing a shuffle: per
     join key (event_type, user_id here) count rows, then per group
     report total rows, distinct keys, the hottest key, how many keys
-    exceed 2x the average (cross-multiplied — stays in exact integer
-    arithmetic), the max/avg skew ratio, and a salt-bucket
+    exceed 2x the average (exact integer comparison, overflow-free), the max/avg skew ratio, and a salt-bucket
     recommendation ceil(max_key_rows / avg_rows_per_key) capped at
     {_SALT_CAP} — the factor skewed_agg_salted-style salting would use.
     Two partial-aggregated shuffles plus a broadcast of the per-type
@@ -510,8 +509,14 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(tot), "event_type")
         .groupBy("event_type")
         .agg(
+            # cnt > 2*avg, exactly: cnt*n_keys > 2*n_rows reduces to
+            # cnt > (2*n_rows) div n_keys for positive integers (strict
+            # inequality survives the floor) — no count product that
+            # could pass int64 at petabyte scale
             F.sum(
-                (F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows")).cast("long")
+                (
+                    F.col("cnt") > F.expr("(2 * n_rows) div n_keys")
+                ).cast("long")
             ).alias("heavy_keys")
         )
     )
