@@ -714,3 +714,115 @@ def streaming_agg_maintain_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("total"), 2).cast("double").alias("total_value"),
     )
+
+
+# --- streaming CDC apply (Debezium-style feed -> bucketed destination) ----
+
+
+def make_cdc_batch(dest_path: str, keys: list[str], op_col: str = "op"):
+    """foreachBatch body for a CHANGE FEED stream: each micro-batch is
+    split on ``op_col`` — 'D' rows become the deletion feed, everything
+    else upserts — and applied to the key-bucketed destination in ONE
+    partial_merge call (touched buckets only, deletes as anti-join
+    retain). Same commit-marker redelivery contract as
+    make_merge_batch; the destination must be initialized with
+    write_bucketed first (a CDC feed has no meaningful 'first full
+    load' batch)."""
+    from fastetl_spark.io.bucketed import partial_merge, read_bucket_spec
+    from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
+
+    commits_dir = dest_path.rstrip("/") + ".__commits__"
+
+    def cdc_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{commits_dir}/{int(batch_id)}"
+        fs, path_cls = hadoop_fs(spark, dest_path)
+        if fs.exists(path_cls(marker)):
+            return  # redelivered batch: already applied and committed
+        if read_bucket_spec(spark, dest_path) is None:
+            raise ValueError(
+                f"{dest_path} is not an initialized bucketed destination; "
+                "CDC feeds apply onto an existing base (write_bucketed first)"
+            )
+        batch = batch_df.dropDuplicates(keys)
+        ups = batch.filter(F.col(op_col) != "D").drop(op_col)
+        dels = batch.filter(F.col(op_col) == "D").select(*keys)
+        partial_merge(spark, dest_path, ups, deleted_keys=dels)
+        write_text_file(spark, marker, "")  # commit marker, after publish
+
+    return cdc_batch
+
+
+def foreach_batch_cdc_apply(
+    stream: DataFrame, dest_path: str, keys: list[str], checkpoint_dir: str,
+    op_col: str = "op",
+):
+    """Continuous CDC consumption: upserts + deletes per micro-batch
+    into a bucketed destination, O(|batch|) per trigger."""
+    return (
+        stream.writeStream.foreachBatch(make_cdc_batch(dest_path, keys, op_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# Final destination state after the full feed: inserts (%5==0, value
+# +100), updates (%5==1, value +10), deletes (%5==2 gone), untouched
+# (%5 in 3,4) — each key appears in exactly one slice so the state is
+# batch-order independent.
+_STREAM_CDC_SQL = """
+SELECT event_id, user_id, event_type,
+       CASE WHEN event_id % 5 = 0 THEN value + 100.0
+            WHEN event_id % 5 = 1 THEN value + 10.0
+            ELSE value END AS value
+FROM events
+WHERE event_id % 5 != 2
+"""
+
+
+@query("streaming_cdc_apply_state", _STREAM_CDC_SQL)
+def streaming_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ninth streaming gate: a Debezium-style change feed —
+    inserts, updates, and deletes tagged with an op column — landed as
+    3 slice files and replayed as 3 real micro-batches
+    (maxFilesPerTrigger=1) through foreach_batch_cdc_apply into a
+    key-bucketed destination initialized from the base table. Each
+    micro-batch runs ONE partial_merge (upserts + anti-join deletes,
+    touched buckets only, commit marker after publish). The oracle
+    derives the final state arithmetically, so a lost delete, a
+    double-applied update, or a leaked base row all fail the hash."""
+    from fastetl_spark.io.bucketed import read_bucketed, write_bucketed
+    from fastetl_spark.io.readers import read_table
+
+    root = _scratch_root(sf_dir, "stream_cdc")
+    in_dir, dest, ckpt = f"{root}/in", f"{root}/dest", f"{root}/ckpt"
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = e.filter(F.col("event_id") % 5 != 0)  # %5==0 arrive as inserts
+    write_bucketed(base, dest, ["event_id"], 8)
+    feed = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") + 100.0)
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            e.filter(F.col("event_id") % 5 == 1)
+            .withColumn("value", F.col("value") + 10.0)
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(
+            e.filter(F.col("event_id") % 5 == 2).withColumn("op", F.lit("D"))
+        )
+    )
+    _stage_slices(feed, root, in_dir, F.col("event_id") % 3)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = foreach_batch_cdc_apply(stream, dest, ["event_id"], ckpt)
+    q.awaitTermination()
+    return read_bucketed(spark, dest).select(
+        "event_id", "user_id", "event_type", "value"
+    )

@@ -211,3 +211,40 @@ def test_merge_batch_redelivery_is_skipped(spark, tmp_path):
     got = {r.id: r.v for r in spark.read.parquet(dest).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
     assert os.path.isdir(dest + ".__commits__")
+
+
+def test_cdc_batch_applies_ops_and_skips_redelivery(spark, tmp_path):
+    """make_cdc_batch: one partial_merge per batch applies upserts AND
+    deletes; a redelivered batch_id (even with different payload) is a
+    no-op; an uninitialized destination is rejected loudly."""
+    import pytest
+
+    from fastetl_spark.io.bucketed import read_bucketed, write_bucketed
+    from fastetl_spark.streaming.stream_ops import make_cdc_batch
+
+    dest = str(tmp_path / "d")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "id long, v long"
+    )
+    apply_batch = make_cdc_batch(dest, keys=["id"])
+
+    feed0 = spark.createDataFrame(
+        [(1, 111, "U"), (2, None, "D"), (99, 990, "U")],
+        "id long, v long, op string",
+    )
+    with pytest.raises(ValueError, match="not an initialized"):
+        apply_batch(feed0, 0)  # must not invent a destination from a feed
+
+    write_bucketed(base, dest, ["id"], 4)
+    apply_batch(feed0, 0)
+    state = {r.id: r.v for r in read_bucketed(spark, dest).collect()}
+    assert state[1] == 111 and 2 not in state and state[99] == 990
+    assert state[3] == 30  # untouched
+
+    # redelivery of batch 0 with a DIFFERENT payload: skipped entirely
+    poison = spark.createDataFrame(
+        [(3, -1, "U"), (4, None, "D")], "id long, v long, op string"
+    )
+    apply_batch(poison, 0)
+    state2 = {r.id: r.v for r in read_bucketed(spark, dest).collect()}
+    assert state2 == state
