@@ -332,6 +332,45 @@ class Engine:
 
         return compact_parquet_dir(self.spark, path, target_rows_per_file)
 
+    def storage_report(
+        self, path: str, small_file_bytes: int = 32 * 1024 * 1024
+    ) -> dict:
+        """Filesystem-metadata profile of a destination (one recursive
+        listing, no data read): data-file count, total/avg/max bytes,
+        how many files sit under ``small_file_bytes``, and whether a
+        compaction pass is advised (>50% small files and more than a
+        handful of them) — the check to run BEFORE a small-file problem
+        degrades every downstream scan. Underscore/dot-prefixed entries
+        (markers, specs, manifests) are excluded, matching what Spark
+        scans."""
+        from fastetl_spark.io.fsutil import hadoop_fs
+
+        fs, path_cls = hadoop_fs(self.spark, path)
+        sizes: list[int] = []
+        stack = [path_cls(path.rstrip("/"))]
+        while stack:
+            p = stack.pop()
+            for s in fs.listStatus(p):
+                name = s.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                if s.isDirectory():
+                    stack.append(s.getPath())
+                elif s.isFile():
+                    sizes.append(int(s.getLen()))
+        n = len(sizes)
+        total = sum(sizes)
+        small = sum(1 for b in sizes if b < small_file_bytes)
+        return {
+            "n_files": n,
+            "total_bytes": total,
+            "avg_bytes": total // n if n else 0,
+            "max_bytes": max(sizes) if n else 0,
+            "small_files": small,
+            "small_file_bytes": small_file_bytes,
+            "compaction_advised": n > 8 and small * 2 > n,
+        }
+
     # --- persistent dedup index (operators/dedup_index) ------------------
 
     def build_dedup_index(

@@ -242,3 +242,23 @@ def test_engine_vacuum_removes_stranded_staging(spark, tmp_path):
     report = eng.vacuum(dest)
     assert not os.path.exists(stranded)
     assert any(s.endswith(".__staging__") for s in report["dirs_removed"])
+
+
+def test_engine_storage_report_flags_fragmentation(spark, tmp_path):
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+    frag = str(tmp_path / "frag")
+    # 16 tiny files via repartition(16)
+    spark.range(160).repartition(16).write.parquet(frag)
+    rep = eng.storage_report(frag)
+    assert rep["n_files"] >= 16
+    assert rep["small_files"] == rep["n_files"]
+    assert rep["compaction_advised"] is True
+    assert rep["total_bytes"] > 0 and rep["avg_bytes"] > 0
+
+    # after compaction the report goes quiet
+    eng.compact(frag)
+    rep2 = eng.storage_report(frag)
+    assert rep2["n_files"] < rep["n_files"]
+    assert rep2["compaction_advised"] is False
