@@ -350,3 +350,57 @@ def triangle_count_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# --- bounded BFS reachability via RECURSIVE CTE (Spark 4 surface) ---------
+
+_REACH_DEPTH = 3
+_REACH_SEEDS = 5  # doc_id < 5
+
+_REACH_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src,
+         (doc_id + 1) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (doc_id * doc_id + 3) % (SELECT COUNT(*) FROM documents)
+  FROM documents
+), walk(node, depth) AS (
+  SELECT DISTINCT src AS node, 0 AS depth FROM e WHERE src < {_REACH_SEEDS}
+  UNION ALL
+  SELECT e.dst AS node, w.depth + 1 AS depth
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.depth < {_REACH_DEPTH}
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+@query("recursive_reachability", _REACH_SQL)
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's WITH RECURSIVE under the gate: bounded BFS from the
+    first {_REACH_SEEDS} doc nodes over the ring+squares graph —
+    depth-tagged UNION ALL expansion (cycles tolerated because the
+    recursive term is depth-bounded, the standard guard), min-hop
+    post-aggregation OUTSIDE the recursion (SQL forbids aggregating the
+    recursive term). DuckDB runs its own recursive evaluation of the
+    same text, so the two engines' fixpoint machinery must agree
+    exactly. Walk volume is seeds * outdeg^depth — a constant here;
+    unbounded-frontier BFS at 100 TB belongs to the iterative DataFrame
+    loop (dedup_connected_components' pattern), not recursion."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    _, edges = _doc_graph(d, n)
+    edges.createOrReplaceTempView("__reach_edges")
+    return spark.sql(f"""
+WITH RECURSIVE walk(node, depth) AS (
+  SELECT DISTINCT src AS node, 0 AS depth
+  FROM __reach_edges WHERE src < {_REACH_SEEDS}
+  UNION ALL
+  SELECT e.dst AS node, w.depth + 1 AS depth
+  FROM walk w JOIN __reach_edges e ON e.src = w.node
+  WHERE w.depth < {_REACH_DEPTH}
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS hops FROM walk GROUP BY node
+""")
