@@ -91,3 +91,50 @@ def lateral_topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(read_table(spark, sf_dir, "events"))
     e.createOrReplaceTempView("events")
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# --- SQL-defined scalar functions (Spark 4 declarative cleaner plugins) ---
+
+_SQL_UDF_SQL = """
+SELECT o_orderkey,
+       CAST(replace(replace(
+         CAST(o_orderkey // 100 AS VARCHAR) || ',' ||
+         lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0'),
+         '.', ''), ',', '.') AS DOUBLE) AS fixed_value,
+       o_orderstatus IN ('O', 'F', 'P') AS status_valid
+FROM orders
+"""
+
+
+@query("sql_udf_cleaners", _SQL_UDF_SQL)
+def sql_udf_cleaners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaner-plugin surface as Spark 4 SQL-DEFINED FUNCTIONS
+    (CREATE FUNCTION ... RETURNS ... RETURN expr): fix_decimal_comma
+    and a domain validator registered declaratively — catalog-shareable
+    with pure-SQL users, and Catalyst inlines the body (no UDF
+    boundary, full codegen/pushdown), unlike the reference's Python
+    cleaner plugins (fastETL custom_functions.py). The dirty fixture is
+    derived from o_orderkey integer arithmetic so both engines parse
+    the identical decimal string; the oracle inlines the same
+    expression chain."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION fix_decimal_comma(s STRING) "
+        "RETURNS DOUBLE "
+        "RETURN CAST(replace(replace(s, '.', ''), ',', '.') AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION status_known(s STRING) "
+        "RETURNS BOOLEAN RETURN s IN ('O', 'F', 'P')"
+    )
+    o = ensure_parallelism(read_table(spark, sf_dir, "orders"))
+    o.createOrReplaceTempView("__sqludf_orders")
+    return spark.sql(
+        """
+SELECT o_orderkey,
+       fix_decimal_comma(
+         CAST(o_orderkey div 100 AS STRING) || ',' ||
+         lpad(CAST(o_orderkey % 100 AS STRING), 2, '0')) AS fixed_value,
+       status_known(o_orderstatus) AS status_valid
+FROM __sqludf_orders
+"""
+    )
