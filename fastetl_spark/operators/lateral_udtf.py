@@ -138,3 +138,42 @@ SELECT o_orderkey,
 FROM __sqludf_orders
 """
     )
+
+
+# --- SQL pipe syntax (Spark 4) --------------------------------------------
+
+_PIPE_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_qty,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@query("pipe_syntax_pricing", _PIPE_SQL)
+def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax under the gate: the same
+    filter -> extend -> aggregate flow q1 expresses relationally,
+    written as a |> pipeline — proving the pipe parser lowers to the
+    identical semantics (exact-decimal sum, ANSI timestamp compare).
+    The DuckDB oracle is the plain-SQL equivalent."""
+    l = ensure_parallelism(read_table(spark, sf_dir, "lineitem"))
+    l.createOrReplaceTempView("__pipe_lineitem")
+    return spark.sql(
+        """
+FROM __pipe_lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+|> EXTEND CAST(l_quantity AS DECIMAL(18,6)) AS qty_dec,
+          CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS is_discounted
+|> AGGREGATE COUNT(*) AS n_items,
+             CAST(ROUND(SUM(qty_dec), 2) AS DOUBLE) AS sum_qty,
+             CAST(SUM(is_discounted) AS BIGINT) AS n_discounted
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, n_items, sum_qty, n_discounted
+"""
+    )
