@@ -1,0 +1,445 @@
+"""Similarity-space curation extensions (LLM-data family, round 5):
+
+- ``semantic_dedup`` — SemDeDup (Abbas et al. 2023): cluster embeddings
+  to coarse cells, then drop items with a sufficiently-similar
+  smaller-id neighbor *within the cell*. Pair work is bounded by cell
+  size, never corpus², which is the whole point at 100 TB: more cells →
+  smaller cells → flat per-cell cost.
+- ``sparse_cosine_shingles`` — all-pairs tf-cosine over word-shingle
+  vectors via an inverted index with a document-frequency cap (the
+  classic prefix-filter/DISCO trick): pair work scales with sum(df²)
+  per shingle, bounded by the cap, not |docs|².
+- ``knn_label_vote`` — k-nearest-neighbor majority label vote over the
+  embedding corpus (the quality-classifier-by-neighbors curation step).
+- ``winsorize_event_values`` — exact nearest-rank percentile clamp
+  report (outlier handling before numeric feature aggregation).
+
+Determinism: all similarity decisions are made in exact integer
+arithmetic over quantized vectors/term frequencies (see the registry
+module docstring); the only doubles in outputs are either parquet
+passthrough values or a single identical IEEE scalar shape computed
+from exact integers on both engines, so every query here sits under
+the exact DuckDB hash gate.
+
+Reference parity note: the reference (fastETL) has no
+embedding/similarity surface; these extend the engine for
+training-data curation as SURVEY.md §2.10-2.11 extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from fastetl_spark.checkpointing import materialize
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.operators.dedup import word_tokens
+from fastetl_spark.operators.similarity import TOP_K, QUERY_STRIDE, as_double, cosine_topk
+from fastetl_spark.registry import query
+
+# --- SemDeDup ------------------------------------------------------------
+
+_SD_CENTROIDS = 16  # fixed centroids: the first 16 embeddings (no training)
+_SD_SCALE = 1_000_000  # quantization: q = floor(x * 1e6) as BIGINT
+# similarity threshold as an exact rational: sim >= _SD_T_NUM/100
+# (compared as d*d*100^2 >= T_NUM^2 * |a|^2 * |b|^2 in DECIMAL — no floats)
+_SD_T_NUM = 35
+
+
+def quantized(vec: Column, scale: int = _SD_SCALE) -> Column:
+    """array<double> -> array<long> by floor(x*scale): floor of an
+    identical double product is bit-deterministic across engines."""
+    return F.transform(vec, lambda x: F.floor(x * scale).cast("long"))
+
+
+def idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (long fold; |q|<=~5.4e5 at scale 1e6 and
+    64 dims keeps every partial sum far below 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = _SD_CENTROIDS,
+    threshold_pct: int = _SD_T_NUM,
+) -> DataFrame:
+    """SemDeDup over (id, vector): assign each vector to its
+    nearest fixed centroid (the first `n_centroids` rows by id — swap in
+    trained centroids in production), then within each cell mark every
+    item that has a >= threshold cosine neighbor with a smaller id as a
+    duplicate of the smallest such neighbor.
+
+    Scale design: the pairwise stage self-joins per cell, so pair work
+    is sum(cell²) — tune `n_centroids` so cells stay bounded (SemDeDup
+    uses ~100k clusters at web scale); the centroid table is broadcast
+    and the corpus is scanned twice (assignment, pairs) with the
+    assigned+quantized projection materialized between. All similarity
+    comparisons are exact integer DECIMAL arithmetic over quantized
+    vectors — reproducible across partitionings and engines.
+    """
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantized(as_double(F.col(vec_col))).alias("qv")
+    )
+    wi = Window.orderBy("vec_id")
+    cents = (
+        q.filter(F.col("vec_id") < n_centroids)
+        .select((F.row_number().over(wi) - 1).alias("i"), F.col("qv").alias("cv"))
+        .withColumn("nc", idot(F.col("cv"), F.col("cv")))
+    )
+    # argmax key dot/|c| (|v| constant per row): exact-integer inputs cast
+    # to double through ONE division + ONE sqrt — identical IEEE shape in
+    # DuckDB, so the argmax is bit-deterministic, not just ulp-separated
+    key = F.when(
+        F.col("nc") > 0,
+        idot(F.col("qv"), F.col("cv")).cast("double") / F.sqrt(F.col("nc").cast("double")),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("key"), F.asc("i"))
+    assigned = (
+        q.crossJoin(broadcast(cents))
+        .withColumn("key", key)
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", F.col("i").cast("int").alias("cell"))
+        .withColumn("nn", idot(F.col("qv"), F.col("qv")))
+        .transform(materialize)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    d = idot(F.col("a.qv"), F.col("b.qv"))
+    dec = "decimal(38,0)"
+    sim_ok = (d > 0) & (
+        d.cast(dec) * d.cast(dec) * F.lit(10_000).cast(dec)
+        >= F.lit(threshold_pct * threshold_pct).cast(dec)
+        * F.col("a.nn").cast(dec)
+        * F.col("b.nn").cast(dec)
+    )
+    dups = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim_ok)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select("vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_kept"))
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {_SD_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, qv AS cv,
+         CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS nc
+  FROM v WHERE vec_id < {_SD_CENTROIDS}
+), sims AS (
+  SELECT v.vec_id, v.qv, c.i,
+         CASE WHEN c.nc > 0 THEN
+           CAST(list_dot_product(v.qv::DOUBLE[], c.cv::DOUBLE[]) AS DOUBLE)
+             / sqrt(CAST(c.nc AS DOUBLE)) END AS key
+  FROM v CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, qv, i,
+         row_number() OVER (PARTITION BY vec_id ORDER BY key DESC NULLS LAST, i) AS rn
+  FROM sims
+), asg AS (
+  SELECT vec_id, qv, CAST(i AS INT) AS cell,
+         CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS nn
+  FROM best WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) AS HUGEINT) AS d,
+         a.nn::HUGEINT AS na, b.nn::HUGEINT AS nb
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), dups AS (
+  SELECT ib AS vec_id, MIN(ia) AS dup_of
+  FROM pairs
+  WHERE d > 0 AND d*d*10000 >= {_SD_T_NUM * _SD_T_NUM}*na*nb
+  GROUP BY ib
+)
+SELECT asg.vec_id, cell, dup_of, dup_of IS NULL AS is_kept
+FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+"""
+
+
+@query("semantic_dedup", _SEMDEDUP_SQL)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the first-{_SD_CENTROIDS} embeddings as fixed
+    centroids and an exact integer threshold of {_SD_T_NUM}/100 —
+    the full cluster → in-cell pair → keep/drop decision under the
+    exact hash gate (only centroid *training* stays out, as with the
+    IVF family)."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(e, "vec_id", "embedding")
+
+
+# --- sparse tf-cosine all-pairs over shingles ----------------------------
+
+_SC_SHINGLE_N = 3
+_SC_DF_CAP = 64  # shared with the jaccard family: hot shingles are skew bombs
+# sim >= _SC_T_NUM/10 compared as d*d*100 >= T^2 * na * nb (exact longs)
+_SC_T_NUM = 5
+
+
+def shingle_tf(d: DataFrame, n: int = _SC_SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle, tf) with multiplicity — unlike word_shingles
+    (set semantics for Jaccard), cosine needs raw term frequencies."""
+    tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
+    gen = F.when(
+        F.size("tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("tokens"), i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    sh = (
+        tok.select("doc_id", F.explode_outer(gen).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    return sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def sparse_cosine_pairs(
+    d: DataFrame,
+    shingle_n: int = _SC_SHINGLE_N,
+    df_cap: int = _SC_DF_CAP,
+    threshold_tenths: int = _SC_T_NUM,
+) -> DataFrame:
+    """All-pairs tf-cosine >= threshold over the df<=cap shingle
+    vocabulary, via an inverted index.
+
+    Scale design mirrors ngram_jaccard_pairs: two-phase df-cap (the hot
+    shingle is dropped as a (shingle, df) row and never aggregates a doc
+    list), collect_list buffers bounded by df_cap, pair work
+    sum(df²) <= cap * |postings|. Norms are over the same capped
+    vocabulary, so the similarity is well-defined and both engines
+    agree exactly (integer tf arithmetic throughout; the reported `sim`
+    is one identical div/sqrt shape over exact integers).
+    """
+    tf = shingle_tf(d, shingle_n).transform(materialize)
+    dfc = tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfc.filter(F.col("df") <= df_cap).select("s")
+    kept = tf.join(vocab, "s", "left_semi")
+    nrm = kept.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nn"))
+    pairable = dfc.filter((F.col("df") >= 2) & (F.col("df") <= df_cap)).select("s")
+    groups = (
+        kept.join(pairable, "s", "left_semi")
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("docs"))
+    )
+    docs = F.col("docs")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(docs) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(docs)),
+                lambda j: F.struct(
+                    F.element_at(docs, i)["doc_id"].alias("doc_a"),
+                    F.element_at(docs, j)["doc_id"].alias("doc_b"),
+                    (F.element_at(docs, i)["tf"] * F.element_at(docs, j)["tf"]).alias("p"),
+                ),
+            ),
+        )
+    )
+    dots = (
+        groups.select(F.explode(combos).alias("c"))
+        .select("c.doc_a", "c.doc_b", "c.p")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("p").alias("dot_tt"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("nn_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nn_b"))
+    t2 = threshold_tenths * threshold_tenths
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("dot_tt") * F.col("dot_tt") * F.lit(100)
+            >= F.lit(t2) * F.col("nn_a") * F.col("nn_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot_tt",
+            "nn_a",
+            "nn_b",
+            (
+                F.col("dot_tt").cast("double")
+                / F.sqrt(F.col("nn_a").cast("double") * F.col("nn_b").cast("double"))
+            ).alias("sim"),
+        )
+    )
+
+
+_SPARSE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tokens) >= {_SC_SHINGLE_N}
+           THEN list_transform(
+                  generate_series(1, len(tokens) - {_SC_SHINGLE_N - 1}),
+                  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+           ELSE [] END) AS s
+  FROM t
+), tf AS (
+  SELECT doc_id, s, count(*)::BIGINT AS tf FROM sh GROUP BY 1, 2
+), vocab AS (
+  SELECT s FROM tf GROUP BY s HAVING count(*) <= {_SC_DF_CAP}
+), kept AS (
+  SELECT tf.* FROM tf JOIN vocab USING (s)
+), nrm AS (
+  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS nn FROM kept GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.tf*b.tf) AS BIGINT) AS dot_tt
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot_tt, na.nn AS nn_a, nb.nn AS nn_b,
+       CAST(dot_tt AS DOUBLE)
+         / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS sim
+FROM dots
+JOIN nrm na ON doc_a = na.doc_id
+JOIN nrm nb ON doc_b = nb.doc_id
+WHERE dot_tt*dot_tt*100 >= {_SC_T_NUM * _SC_T_NUM}*na.nn*nb.nn
+"""
+
+
+@query("sparse_cosine_shingles", _SPARSE_SQL)
+def sparse_cosine_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by {_SC_SHINGLE_N}-word-shingle tf-cosine >=
+    0.{_SC_T_NUM} — the cosine companion to dedup_ngram_jaccard, same
+    inverted-index/df-cap scale shape, exact integer arithmetic."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return sparse_cosine_pairs(d)
+
+
+# --- kNN majority label vote ---------------------------------------------
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, label,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM c, q WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, label, COUNT(*) AS votes
+  FROM ranked WHERE rank <= {TOP_K}
+  GROUP BY 1, 2
+), winner AS (
+  SELECT query_id, label AS pred_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+  FROM votes
+)
+SELECT w.query_id, e.label AS true_label, w.pred_label, w.votes
+FROM winner w JOIN embeddings e ON w.query_id = e.vec_id
+WHERE w.vr = 1
+"""
+
+
+@query("knn_label_vote", _KNN_SQL)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote of the top-{TOP_K} cosine
+    neighbors' labels (ties to the smaller label). The ranking reuses
+    cosine_topk (already gate-proven); the vote itself is exact integer
+    counting, so the whole classifier sits under the hash gate."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    topk = cosine_topk(e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding")
+    votes = (
+        topk.join(e.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return winner.join(truth, "query_id").select(
+        "query_id", "true_label", "pred_label", "votes"
+    )
+
+
+# --- exact winsorization report ------------------------------------------
+
+_WZ_LO_PCT = 5
+_WZ_HI_PCT = 95
+
+_WINSOR_SQL = f"""
+WITH r AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), bounds AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN rk = 1 + CAST(floor({_WZ_LO_PCT / 100} * (n - 1)) AS BIGINT)
+                  THEN value END) AS lo,
+         MIN(CASE WHEN rk = 1 + CAST(floor({_WZ_HI_PCT / 100} * (n - 1)) AS BIGINT)
+                  THEN value END) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT b.event_type, b.n, b.lo, b.hi,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("winsorize_event_values", _WINSOR_SQL)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p{_WZ_LO_PCT}/p{_WZ_HI_PCT} winsorization
+    bounds per event_type plus clamp counts. Unlike the GK-sketch
+    quantiles (tolerance-tested), the nearest-rank order statistic is
+    exact: the k-th smallest value of a multiset is tie-order-invariant,
+    and the bounds are parquet-passthrough doubles — hash-gateable.
+    One window pass for bounds, one broadcast-join pass for counts."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_rk = 1 + F.floor(F.lit(_WZ_LO_PCT / 100) * (F.col("n") - 1))
+    hi_rk = 1 + F.floor(F.lit(_WZ_HI_PCT / 100) * (F.col("n") - 1))
+    bounds = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rk") == lo_rk, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("rk") == hi_rk, F.col("value"))).alias("hi"),
+    )
+    return (
+        ev.join(broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_below"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_above"),
+        )
+        .select("event_type", "n", "lo", "hi", "n_below", "n_above")
+    )

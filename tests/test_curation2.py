@@ -1,0 +1,84 @@
+"""Semantic checks for the similarity-space curation extensions
+(curation2.py) beyond the differential hash gate: planted duplicates
+are found, keep/drop bookkeeping is consistent, winsorize bounds are
+true order statistics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastetl_spark.operators.curation2 import (
+    semantic_dedup,
+    sparse_cosine_pairs,
+    winsorize_event_values,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_semantic_dedup_finds_planted_twin(spark):
+    # 40 spread-out base vectors + one near-copy of vec 3: the copy must
+    # be dropped as a duplicate of 3; everything else kept.
+    base = [
+        (i, [float((i * 7 + k * 3) % 13 - 6) / 6.0 for k in range(8)]) for i in range(40)
+    ]
+    twin = (100, [x + 1e-4 for x in base[3][1]])
+    df = spark.createDataFrame(base + [twin], "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding", n_centroids=4, threshold_pct=99)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 41
+    assert rows[100].dup_of == 3 and not rows[100].is_kept
+    assert rows[3].is_kept
+    # dup_of always points at a kept smaller id in the same cell
+    for r in rows.values():
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+            assert rows[r.dup_of].cell == r.cell
+
+
+def test_semantic_dedup_cells_cover_all_vectors(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = semantic_dedup(df, "vec_id", "embedding")
+    assert out.count() == df.count()
+    assert out.filter(F.col("cell").isNull()).count() == 0
+
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sparse_cosine_pairs(df, df_cap=10, threshold_tenths=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.dot_tt == r.nn_a == r.nn_b  # identical tf vectors
+    assert r.sim == pytest.approx(1.0)
+
+
+def test_sparse_cosine_df_cap_drops_hot_shingle(spark):
+    # the shared hot shingle appears in all 5 docs; with cap=4 it leaves
+    # the vocabulary so no pair survives
+    docs = [(i, "common shingle here unique%d tail%d word%d" % (i, i, i)) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert sparse_cosine_pairs(df, df_cap=4, threshold_tenths=1).count() == 0
+
+
+def test_winsorize_bounds_are_order_statistics(spark):
+    out = {r.event_type: r for r in winsorize_event_values(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for etype, r in out.items():
+        vals = sorted(
+            x.value for x in ev.filter(F.col("event_type") == etype).select("value").collect()
+        )
+        n = len(vals)
+        assert r.n == n
+        assert r.lo == vals[int(0.05 * (n - 1))]
+        assert r.hi == vals[int(0.95 * (n - 1))]
+        assert r.n_below == sum(1 for v in vals if v < r.lo)
+        assert r.n_above == sum(1 for v in vals if v > r.hi)
+        assert r.n_below <= 0.05 * n and r.n_above <= 0.05 * n + 1
