@@ -68,6 +68,8 @@ HEADLINE = [
     "url_domain_caps",
     "pagerank_link_graph",
     "bucketed_time_travel",
+    "semantic_dedup",
+    "sparse_cosine_shingles",
 ]
 
 

@@ -54,6 +54,7 @@ def load_all() -> None:
     import fastetl_spark.operators.cleaning_queries  # noqa: F401
     import fastetl_spark.operators.curation  # noqa: F401
     import fastetl_spark.operators.curation2  # noqa: F401
+    import fastetl_spark.operators.features  # noqa: F401
     import fastetl_spark.operators.dedup  # noqa: F401
     import fastetl_spark.operators.similarity  # noqa: F401
     import fastetl_spark.operators.text  # noqa: F401
