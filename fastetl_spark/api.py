@@ -502,6 +502,25 @@ class Engine:
 
         return pagerank(nodes, edges, iterations=iterations, exact=exact)
 
+    def semantic_dedup(self, vectors: DataFrame, id_col: str, vec_col: str,
+                       n_centroids: int = 16, threshold_pct: int = 35) -> DataFrame:
+        """SemDeDup keep/drop over an embedding table: coarse cells +
+        in-cell exact-integer cosine (operators/curation2). Tune
+        `n_centroids` so cells stay small — pair work is sum(cell²)."""
+        from fastetl_spark.operators.curation2 import semantic_dedup
+
+        return semantic_dedup(vectors, id_col, vec_col,
+                              n_centroids=n_centroids, threshold_pct=threshold_pct)
+
+    def chunk(self, df: DataFrame, text_col: str = "text",
+              width: int = 200, stride: int = 150) -> DataFrame:
+        """Overlapping fixed-width character chunks of `text_col`
+        (operators/features.chunk_text) — shuffle-free generator
+        fan-out; other columns are carried through."""
+        from fastetl_spark.operators.features import chunk_text
+
+        return chunk_text(df, text_col, width=width, stride=stride)
+
 
 # --- operator-shaped wrappers (reference operator parity) ----------------
 

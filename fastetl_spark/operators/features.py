@@ -49,6 +49,32 @@ FROM starts
 """
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = _CHUNK_W,
+    stride: int = _CHUNK_STRIDE,
+) -> DataFrame:
+    """Split `text_col` into overlapping `width`-char chunks at `stride`,
+    carrying all other columns. Adds chunk_idx / start / chunk — a pure
+    generator fan-out (no shuffle), safe at any scale."""
+    other = [c for c in df.columns if c != text_col]
+    starts = df.select(
+        *other,
+        F.col(text_col),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.expr(f"substring({text_col}, start, {width})")
+    return starts.select(
+        *other,
+        (((F.col("start") - 1) / stride).cast("int") + 1).alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        chunk.alias("chunk"),
+    )
+
+
 @query("doc_chunk_overlap", _CHUNK_SQL)
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping {_CHUNK_W}-char chunks at stride {_CHUNK_STRIDE}.
@@ -56,20 +82,12 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a generator, not a join, so chunking 100 TB is an embarrassingly
     parallel map with no shuffle at all."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    starts = d.select(
+    return chunk_text(d.select("doc_id", "text")).select(
         "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_CHUNK_STRIDE))
-        ).alias("start"),
-    )
-    chunk = F.expr(f"substring(text, start, {_CHUNK_W})")
-    return starts.select(
-        "doc_id",
-        (((F.col("start") - 1) / _CHUNK_STRIDE).cast("int") + 1).alias("chunk_idx"),
-        F.col("start").cast("int").alias("start"),
-        F.length(chunk).alias("chunk_len"),
-        F.md5(chunk).alias("chunk_md5"),
+        "chunk_idx",
+        "start",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
     )
 
 
@@ -204,3 +222,102 @@ def decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("dq").cast("long").alias("decayed_score"),
     )
+
+
+# --- BPE first-merge candidates ------------------------------------------
+
+_BPE_TOP = 50
+
+_BPE_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), p AS (
+  SELECT unnest(CASE WHEN length(word) >= 2
+           THEN list_transform(generate_series(1, length(word) - 1),
+                               i -> substring(word, i, 2))
+           ELSE [] END) AS pair
+  FROM w
+), counts AS (
+  SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+), ranked AS (
+  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank FROM counts
+)
+SELECT pair, n, rank FROM ranked WHERE rank <= {_BPE_TOP}
+"""
+
+
+@query("bpe_first_merges", _BPE_SQL)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BPE_TOP} adjacent character-pair counts across the corpus —
+    the first merge-candidate table of BPE tokenizer training. Counting
+    is a generator fan-out + one map-side-combinable groupBy; the global
+    top-k is a single-reducer sort over the already-aggregated pair
+    table (bounded by |alphabet|^2 rows, never corpus-scale)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    pairs_gen = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.expr("word").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    counts = (
+        words.select(F.explode(pairs_gen).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BPE_TOP)
+        .select("pair", "n", "rank")
+    )
+
+
+# --- hard-negative mining band -------------------------------------------
+
+_NEG_LO = 6
+_NEG_HI = 15
+
+_NEG_SQL = ""  # assigned below (shares the brute-force ranking shape)
+
+
+def _neg_sql() -> str:
+    from fastetl_spark.operators.similarity import QUERY_STRIDE
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM c, q WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank
+FROM ranked WHERE rank BETWEEN {_NEG_LO} AND {_NEG_HI}
+"""
+
+
+@query("hard_negative_band", _neg_sql())
+def hard_negative_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    cosine neighbors ranked {_NEG_LO}-{_NEG_HI} — similar enough to be
+    informative, far enough to be non-positives. Reuses the gate-proven
+    brute-force ranking (cosine_topk); at scale the band comes from the
+    ANN index search with k={_NEG_HI} instead."""
+    from fastetl_spark.operators.similarity import QUERY_STRIDE, cosine_topk
+
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    topk = cosine_topk(
+        e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding", k=_NEG_HI
+    )
+    return topk.filter(F.col("rank") >= _NEG_LO).select("query_id", "neighbor_id", "rank")
