@@ -88,27 +88,45 @@ def semantic_dedup(
     q = corpus.select(
         F.col(id_col).alias("vec_id"), quantized(as_double(F.col(vec_col))).alias("qv")
     )
-    wi = Window.orderBy("vec_id")
-    cents = (
-        q.filter(F.col("vec_id") < n_centroids)
-        .select((F.row_number().over(wi) - 1).alias("i"), F.col("qv").alias("cv"))
-        .withColumn("nc", idot(F.col("cv"), F.col("cv")))
+    # Bounded collect (n_centroids rows, same pattern as
+    # ivf_assign_fixed_centroids): folding the centroids into a literal
+    # array constant makes assignment a pure per-row expression — no
+    # crossJoin row blowup, no per-vec window shuffle.
+    cent_rows = q.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").collect()
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.array(*[F.lit(int(x)) for x in r.qv]).alias("cv"),
+                F.lit(sum(int(x) * int(x) for x in r.qv)).alias("nc"),
+            )
+            for i, r in enumerate(cent_rows)
+        ]
     )
     # argmax key dot/|c| (|v| constant per row): exact-integer inputs cast
     # to double through ONE division + ONE sqrt — identical IEEE shape in
-    # DuckDB, so the argmax is bit-deterministic, not just ulp-separated
-    key = F.when(
-        F.col("nc") > 0,
-        idot(F.col("qv"), F.col("cv")).cast("double") / F.sqrt(F.col("nc").cast("double")),
+    # DuckDB, so the argmax is bit-deterministic, not just ulp-separated.
+    # array_max over (key, -i) structs = max key, ties to the lower
+    # centroid index; a NULL key (zero vector) sorts below any non-null,
+    # matching the oracle's NULLS LAST.
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.when(
+                c["nc"] > 0,
+                idot(F.col("qv"), c["cv"]).cast("double")
+                / F.sqrt(c["nc"].cast("double")),
+            ).alias("key"),
+            (-c["i"]).alias("negi"),
+        ),
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("key"), F.asc("i"))
     assigned = (
-        q.crossJoin(broadcast(cents))
-        .withColumn("key", key)
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", F.col("i").cast("int").alias("cell"))
-        .withColumn("nn", idot(F.col("qv"), F.col("qv")))
+        q.select(
+            "vec_id",
+            "qv",
+            (-F.array_max(scored)["negi"]).cast("int").alias("cell"),
+            idot(F.col("qv"), F.col("qv")).alias("nn"),
+        )
         .transform(materialize)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
