@@ -210,18 +210,21 @@ _SC_T_NUM = 5
 
 
 def shingle_tf(d: DataFrame, n: int = _SC_SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle, tf) with multiplicity — unlike word_shingles
-    (set semantics for Jaccard), cosine needs raw term frequencies."""
+    """(doc_id, shingle-hash, tf) with multiplicity — unlike
+    word_shingles (set semantics for Jaccard), cosine needs raw term
+    frequencies. Shingles are 64-bit xxhash64 keys, not strings (same
+    trade as shingle_hashes: ~5x cheaper shuffle/compare, counts equal
+    up to 64-bit collisions)."""
     tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
     gen = F.when(
         F.size("tokens") >= n,
         F.transform(
             F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("tokens"), i + k) for k in range(n)]
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("tokens"), i + k) for k in range(n)]
             ),
         ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
     sh = (
         tok.select("doc_id", F.explode_outer(gen).alias("s"))
         .filter(F.col("s").isNotNull())
