@@ -826,3 +826,42 @@ def streaming_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_bucketed(spark, dest).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+# --- streaming chunk ingestion (10th gated streaming run) ----------------
+
+_DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _chunk_sql() -> str:
+    from fastetl_spark.operators.features import _CHUNK_SQL
+
+    return _CHUNK_SQL
+
+
+@query("streaming_chunk_ingest", _chunk_sql())
+def streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-ingestion front half as a REAL stream under the gate:
+    documents arrive as a file-source stream and are chunked with
+    chunk_text (stateless generator fan-out — no watermark, no state
+    store), drained append-mode. Sharing doc_chunk_overlap's oracle
+    proves exact batch-stream equivalence for the chunker, which is
+    what lets a production pipeline switch between backfill (batch)
+    and continuous ingestion without re-validating outputs."""
+    from fastetl_spark.operators.features import chunk_text
+
+    raw = (
+        spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    chunks = chunk_text(raw.select("doc_id", "text")).select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+    return _drain_to_memory(chunks, "st_chunk_", "append")
