@@ -521,6 +521,36 @@ class Engine:
 
         return chunk_text(df, text_col, width=width, stride=stride)
 
+    def near_dup_pairs(self, docs: DataFrame, method: str = "jaccard") -> DataFrame:
+        """Duplicate-pair generation over a (doc_id, text) frame, one
+        dispatcher for the five pair families (all blocked/inverted-
+        index designs — none does an n² pair join):
+
+        - ``exact``   — normalized-fingerprint equality
+        - ``jaccard`` — df-capped shingle Jaccard (exact verify)
+        - ``cosine``  — df-capped shingle tf-cosine
+        - ``minhash`` — MinHash+LSH banding, exact-Jaccard verified
+        - ``simhash`` — SimHash Hamming<=3 via pigeonhole segments
+
+        Column schemas differ per family (each carries its own
+        evidence: jaccard/shared, cosine sim, hamming); (doc_a, doc_b)
+        / (id_a, id_b) ordering is always smaller-id-first."""
+        from fastetl_spark.operators import dedup
+        from fastetl_spark.operators.curation2 import sparse_cosine_pairs
+
+        dispatch = {
+            "exact": dedup.exact_dup_pairs,
+            "jaccard": dedup.ngram_jaccard_pairs,
+            "cosine": sparse_cosine_pairs,
+            "minhash": dedup.minhash_lsh_pairs,
+            "simhash": dedup.simhash_pairs,
+        }
+        if method not in dispatch:
+            raise ValueError(
+                f"unknown near-dup method {method!r}; one of {sorted(dispatch)}"
+            )
+        return dispatch[method](docs)
+
 
 # --- operator-shaped wrappers (reference operator parity) ----------------
 

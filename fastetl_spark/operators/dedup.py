@@ -353,6 +353,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidate pairs, verified by true shingle
     Jaccard — the 100 TB near-dup path (brute-force pair join never runs)."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(d)
+
+
+def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pairs over a (doc_id, text) frame — the
+    df-shaped core behind dedup_minhash_lsh and Engine.near_dup_pairs."""
     # the short-doc filter tests token count, not the shingle array: the
     # predicate that gets pushed to the scan is then a single cheap
     # split(), not the full shingle construction
@@ -562,6 +568,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² pairs. Portable md5-prefix token hashes (60-bit) let the DuckDB
     oracle reproduce signatures and blocking exactly."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return simhash_pairs(d)
+
+
+def simhash_pairs(d: DataFrame) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs over a (doc_id, text) frame —
+    the df-shaped core behind dedup_simhash and Engine.near_dup_pairs."""
     tok = d.select("doc_id", F.array_distinct(word_tokens(F.col("text"))).alias("tokens"))
     hashed = tok.select(
         "doc_id", F.transform("tokens", lambda t: md5_prefix_hash(t)).alias("hs")
@@ -810,14 +822,20 @@ def doc_dup_pairs(d: DataFrame) -> DataFrame:
     the full text corpus twice — at 100 TB, a second complete scan —
     while the join itself only ever shuffles the 48-byte projection."""
     jacc = ngram_jaccard_pairs(d).select("doc_a", "doc_b")
+    return jacc.union(exact_dup_pairs(d))
+
+
+def exact_dup_pairs(d: DataFrame) -> DataFrame:
+    """Normalized-fingerprint exact-duplicate pairs over (doc_id, text):
+    the fingerprint projection is materialized once, the equi-self-join
+    shuffles only the 48-byte (id, fp) rows."""
     fp = d.select(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
     ).transform(materialize)
     a, b = fp.alias("a"), fp.alias("b")
-    fp_pairs = a.join(
+    return a.join(
         b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return jacc.union(fp_pairs)
 
 
 def resolve_doc_components(d: DataFrame) -> DataFrame:

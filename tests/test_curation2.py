@@ -82,3 +82,29 @@ def test_winsorize_bounds_are_order_statistics(spark):
         assert r.n_below == sum(1 for v in vals if v < r.lo)
         assert r.n_above == sum(1 for v in vals if v > r.hi)
         assert r.n_below <= 0.05 * n and r.n_above <= 0.05 * n + 1
+
+
+def test_engine_near_dup_pairs_dispatcher(spark):
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra"), (4, "totally different words here now ok fine yes")],
+        "doc_id long, text string",
+    )
+    for method, id_cols in [
+        ("exact", ("doc_a", "doc_b")),
+        ("jaccard", ("doc_a", "doc_b")),
+        ("cosine", ("doc_a", "doc_b")),
+        ("minhash", ("id_a", "id_b")),
+        ("simhash", ("doc_a", "doc_b")),
+    ]:
+        out = eng.near_dup_pairs(docs, method=method)
+        pairs = {(r[id_cols[0]], r[id_cols[1]]) for r in out.collect()}
+        assert (1, 2) in pairs, method  # identical docs always pair
+        assert all(a < b for a, b in pairs), method
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        eng.near_dup_pairs(docs, method="nope")
