@@ -83,7 +83,15 @@ def main(sf_dir: str, work: str) -> None:
     hits = eng.search_ann(ann, emb.filter(F.col("vec_id") % 100 == 0), k=3)
     print(f"ANN hits: {hits.count()}")
 
-    # 5. ops reports --------------------------------------------------------
+    # 5. curation: chunking + one-call near-dup pairs ----------------------
+    chunks = eng.chunk(docs.select("doc_id", "text"), width=200, stride=150)
+    print(f"RAG chunks: {chunks.count()} (shuffle-free fan-out)")
+    pairs = eng.near_dup_pairs(docs.select("doc_id", "text"), method="jaccard")
+    print(f"jaccard near-dup pairs: {pairs.count()}")
+    kept = eng.semantic_dedup(emb, "vec_id", "embedding")
+    print(f"semantic_dedup kept: {kept.filter(F.col('is_kept')).count()}/{kept.count()}")
+
+    # 6. ops reports --------------------------------------------------------
     from fastetl_spark.operators.analytics import (
         join_skew_diagnosis,
         source_reputation_report,
