@@ -93,6 +93,11 @@ def semantic_dedup(
     # array constant makes assignment a pure per-row expression — no
     # crossJoin row blowup, no per-vec window shuffle.
     cent_rows = q.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").collect()
+    if not cent_rows:
+        raise ValueError(
+            f"semantic_dedup: no rows with {id_col} < {n_centroids} to use as "
+            "fixed centroids — pass trained centroids' id range or re-key the corpus"
+        )
     cent_lit = F.array(
         *[
             F.struct(
@@ -417,9 +422,9 @@ WITH r AS (
   FROM events
 ), bounds AS (
   SELECT event_type, MAX(n) AS n,
-         MIN(CASE WHEN rk = 1 + CAST(floor({_WZ_LO_PCT / 100} * (n - 1)) AS BIGINT)
+         MIN(CASE WHEN rk = 1 + ({_WZ_LO_PCT} * (n - 1)) // 100
                   THEN value END) AS lo,
-         MIN(CASE WHEN rk = 1 + CAST(floor({_WZ_HI_PCT / 100} * (n - 1)) AS BIGINT)
+         MIN(CASE WHEN rk = 1 + ({_WZ_HI_PCT} * (n - 1)) // 100
                   THEN value END) AS hi
   FROM r GROUP BY event_type
 )
@@ -448,8 +453,12 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    lo_rk = 1 + F.floor(F.lit(_WZ_LO_PCT / 100) * (F.col("n") - 1))
-    hi_rk = 1 + F.floor(F.lit(_WZ_HI_PCT / 100) * (F.col("n") - 1))
+    # nearest-rank index in pure integer arithmetic (p*(n-1))//100: a
+    # float 0.95*(n-1) would floor one short of DuckDB's exact DECIMAL
+    # literal whenever n-1 is a multiple of 20 (0.95 rounds DOWN in
+    # binary), so no floats may touch the rank
+    lo_rk = 1 + F.expr(f"({_WZ_LO_PCT} * (n - 1)) div 100")
+    hi_rk = 1 + F.expr(f"({_WZ_HI_PCT} * (n - 1)) div 100")
     bounds = r.groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.min(F.when(F.col("rk") == lo_rk, F.col("value"))).alias("lo"),
