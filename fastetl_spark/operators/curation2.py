@@ -473,3 +473,159 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "lo", "hi", "n_below", "n_above")
     )
+
+
+# --- incremental semantic dedup (increment vs corpus) --------------------
+
+_SD_INC_MOD = 7  # increment = vec_id % 7 == 0, corpus = the rest
+
+
+def semantic_dedup_increment(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = _SD_CENTROIDS,
+    threshold_pct: int = _SD_T_NUM,
+) -> DataFrame:
+    """Daily-batch SemDeDup: match an increment against the corpus in
+    embedding space without any corpus-corpus pair work — the embedding
+    twin of dedup_increment_vs_corpus. Both sides are assigned to the
+    same fixed centroids (centroids come from the CORPUS id range, as
+    a trained quantizer would); pair work is |increment| x cell, i.e.
+    O(|increment|) for a fixed cell profile, never corpus².
+
+    Returns one row per increment vector: (vec_id, cell, dup_of,
+    is_new) where dup_of is the smallest same-cell corpus id with
+    cosine >= threshold (exact integer decision, see semantic_dedup)."""
+    qc = corpus.select(
+        F.col(id_col).alias("vec_id"), quantized(as_double(F.col(vec_col))).alias("qv")
+    )
+    qi = increment.select(
+        F.col(id_col).alias("vec_id"), quantized(as_double(F.col(vec_col))).alias("qv")
+    )
+    cent_rows = qc.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").collect()
+    if not cent_rows:
+        raise ValueError(
+            f"semantic_dedup_increment: no corpus rows with {id_col} < "
+            f"{n_centroids} to use as fixed centroids"
+        )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.array(*[F.lit(int(x)) for x in r.qv]).alias("cv"),
+                F.lit(sum(int(x) * int(x) for x in r.qv)).alias("nc"),
+            )
+            for i, r in enumerate(cent_rows)
+        ]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.when(
+                c["nc"] > 0,
+                idot(F.col("qv"), c["cv"]).cast("double")
+                / F.sqrt(c["nc"].cast("double")),
+            ).alias("key"),
+            (-c["i"]).alias("negi"),
+        ),
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            "qv",
+            (-F.array_max(scored)["negi"]).cast("int").alias("cell"),
+            idot(F.col("qv"), F.col("qv")).alias("nn"),
+        )
+
+    ac = assign(qc).transform(materialize)
+    ai = assign(qi).transform(materialize)
+    d = idot(F.col("c.qv"), F.col("i.qv"))
+    dec = "decimal(38,0)"
+    sim_ok = (d > 0) & (
+        d.cast(dec) * d.cast(dec) * F.lit(10_000).cast(dec)
+        >= F.lit(threshold_pct * threshold_pct).cast(dec)
+        * F.col("c.nn").cast(dec)
+        * F.col("i.nn").cast(dec)
+    )
+    dups = (
+        ac.alias("c")
+        .join(ai.alias("i"), F.col("c.cell") == F.col("i.cell"))
+        .filter(sim_ok)
+        .groupBy(F.col("i.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("c.vec_id")).alias("dup_of"))
+    )
+    return ai.select("vec_id", "cell").join(dups, "vec_id", "left").select(
+        "vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_new")
+    )
+
+
+_SEMDEDUP_INC_SQL = f"""
+WITH vc AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {_SD_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % {_SD_INC_MOD} <> 0
+), vi AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {_SD_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % {_SD_INC_MOD} = 0
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, qv AS cv,
+         CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS nc
+  FROM vc WHERE vec_id < {_SD_CENTROIDS}
+), sc AS (
+  SELECT v.vec_id, v.qv, c.i,
+         CASE WHEN c.nc > 0 THEN
+           CAST(list_dot_product(v.qv::DOUBLE[], c.cv::DOUBLE[]) AS DOUBLE)
+             / sqrt(CAST(c.nc AS DOUBLE)) END AS key
+  FROM vc v CROSS JOIN cents c
+), bc AS (
+  SELECT vec_id, qv, i,
+         row_number() OVER (PARTITION BY vec_id ORDER BY key DESC NULLS LAST, i) AS rn
+  FROM sc
+), ac AS (
+  SELECT vec_id, qv, CAST(i AS INT) AS cell,
+         CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS nn
+  FROM bc WHERE rn = 1
+), si AS (
+  SELECT v.vec_id, v.qv, c.i,
+         CASE WHEN c.nc > 0 THEN
+           CAST(list_dot_product(v.qv::DOUBLE[], c.cv::DOUBLE[]) AS DOUBLE)
+             / sqrt(CAST(c.nc AS DOUBLE)) END AS key
+  FROM vi v CROSS JOIN cents c
+), bi AS (
+  SELECT vec_id, qv, i,
+         row_number() OVER (PARTITION BY vec_id ORDER BY key DESC NULLS LAST, i) AS rn
+  FROM si
+), ai AS (
+  SELECT vec_id, qv, CAST(i AS INT) AS cell,
+         CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS nn
+  FROM bi WHERE rn = 1
+), dups AS (
+  SELECT i.vec_id, MIN(c.vec_id) AS dup_of
+  FROM ac c JOIN ai i ON c.cell = i.cell
+  WHERE CAST(list_dot_product(c.qv::DOUBLE[], i.qv::DOUBLE[]) AS HUGEINT) > 0
+    AND CAST(list_dot_product(c.qv::DOUBLE[], i.qv::DOUBLE[]) AS HUGEINT)
+          * CAST(list_dot_product(c.qv::DOUBLE[], i.qv::DOUBLE[]) AS HUGEINT)
+          * 10000
+        >= {_SD_T_NUM * _SD_T_NUM} * c.nn::HUGEINT * i.nn::HUGEINT
+  GROUP BY i.vec_id
+)
+SELECT ai.vec_id, ai.cell, dups.dup_of, dups.dup_of IS NULL AS is_new
+FROM ai LEFT JOIN dups ON ai.vec_id = dups.vec_id
+"""
+
+
+@query("semantic_dedup_increment", _SEMDEDUP_INC_SQL)
+def semantic_dedup_increment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-vs-corpus SemDeDup (vec_id % {_SD_INC_MOD} == 0 as
+    today's batch) — the embedding twin of dedup_increment_vs_corpus,
+    O(|increment|) pair work, exact-integer decisions."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    inc = e.filter(F.col("vec_id") % _SD_INC_MOD == 0)
+    corpus = e.filter(F.col("vec_id") % _SD_INC_MOD != 0)
+    return semantic_dedup_increment(corpus, inc, "vec_id", "embedding")

@@ -108,3 +108,22 @@ def test_engine_near_dup_pairs_dispatcher(spark):
 
     with _pt.raises(ValueError):
         eng.near_dup_pairs(docs, method="nope")
+
+
+def test_semantic_dedup_increment_flags_planted_twin(spark):
+    from fastetl_spark.operators.curation2 import semantic_dedup_increment
+
+    base = [
+        (i, [float((i * 7 + k * 3) % 13 - 6) / 6.0 for k in range(8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    inc = spark.createDataFrame(
+        [(100, [x + 1e-4 for x in base[5][1]]), (101, [9.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup_increment(
+        corpus, inc, "vec_id", "embedding", n_centroids=4, threshold_pct=99
+    ).collect()}
+    assert len(out) == 2
+    assert out[100].dup_of == 5 and not out[100].is_new
+    assert out[101].is_new and out[101].dup_of is None
