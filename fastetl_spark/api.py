@@ -448,6 +448,17 @@ class Engine:
             self.spark, index_path, queries, k=k, nprobe=nprobe or IVF_NPROBE
         )
 
+    def match_new_vectors(self, index_path: str, new_vecs: DataFrame,
+                          threshold: float = 0.35) -> DataFrame:
+        """Persistent SemDeDup matching: flag each new vector whose best
+        same-cell corpus cosine clears `threshold`, scanning only the
+        increment's assigned cell partitions. Keep the `is_new` rows,
+        then `index_new_vectors` them — the embedding twin of
+        match_new_documents/index_new_documents."""
+        from fastetl_spark.operators.ann_index import match_semantic_index
+
+        return match_semantic_index(self.spark, index_path, new_vecs, threshold)
+
     def index_new_vectors(self, index_path: str, new_vecs: DataFrame) -> None:
         """O(|increment|) IVF maintenance: assign with stored centroids,
         append to touched cells, auto-compact crept file counts."""

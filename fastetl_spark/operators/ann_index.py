@@ -84,11 +84,18 @@ def build_ivf_index(
     id_col: str,
     vec_col: str,
     n_cells: int = IVF_K,
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """One corpus pass: train quantizer, assign cells, write the corpus
-    partitioned by cell, commit meta last."""
+    partitioned by cell, commit meta last. Pass `centroids` to skip
+    training and freeze a precomputed quantizer into the index (e.g.
+    fixed centroids for reproducibility tests, or a quantizer trained
+    on a larger sample elsewhere)."""
     spark = corpus.sparkSession
-    centroids = ivf_train_centroids(corpus, vec_col, k=n_cells, id_col=id_col)
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, vec_col, k=n_cells, id_col=id_col)
+    else:
+        n_cells = len(centroids)
     assigned = _assign_cells(corpus, centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     write_text_file(
@@ -209,6 +216,54 @@ def search_ivf_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def match_semantic_index(
+    spark: SparkSession,
+    index_path: str,
+    increment: DataFrame,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Persistent-index SemDeDup matching: assign the increment to its
+    nearest stored cell, scan ONLY those cell partitions, and flag each
+    increment vector whose best same-cell corpus cosine clears
+    `threshold`. Returns (vec_id, cell, dup_of, is_new) with dup_of the
+    smallest matching corpus id — the persisted, O(|increment|) form of
+    curation2.semantic_dedup_increment (which rebuilds cells per run).
+    Daily loop: match → keep is_new → append_to_ivf_index(new rows)."""
+    meta = read_ivf_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(f"{index_path} is not a complete IVF index (no {META_FILE})")
+    assigned = _assign_cells(
+        increment, meta["centroids"], meta["id_col"], meta["vec_col"]
+    ).transform(materialize)
+    probed = sorted(r[0] for r in assigned.select("cell").distinct().collect())
+    dirs = _existing_cell_dirs(spark, index_path, probed)
+    inc = assigned.select(
+        F.col("vid").alias("vec_id"), "cell", "vec", "norm"
+    )
+    if not dirs:
+        return inc.select(
+            "vec_id",
+            "cell",
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(True).alias("is_new"),
+        )
+    cells = spark.read.option("basePath", index_path).parquet(*dirs)
+    sim = dot(F.col("c.vec"), F.col("i.vec")) / (F.col("c.norm") * F.col("i.norm"))
+    dups = (
+        cells.alias("c")
+        .join(
+            broadcast(inc.alias("i")),
+            (F.col("c.cell") == F.col("i.cell")) & (F.col("c.vid") != F.col("i.vec_id")),
+        )
+        .filter(sim >= threshold)
+        .groupBy(F.col("i.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("c.vid")).alias("dup_of"))
+    )
+    return inc.select("vec_id", "cell").join(dups, "vec_id", "left").select(
+        "vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_new")
     )
 
 

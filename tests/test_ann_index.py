@@ -228,3 +228,63 @@ def test_search_skips_probed_cells_with_no_dir(spark, embeddings, tmp_path):
     # high nprobe guarantees empty cells are probed
     res = search_ivf_index(spark, idx, queries, k=3, nprobe=16).collect()
     assert len(res) > 0  # no missing-path failure, neighbors still found
+
+
+def test_semantic_match_agrees_with_one_shot_and_prunes(spark, tmp_path):
+    """Persistent semantic matching: fixed centroids make the index's
+    decisions comparable with the one-shot semantic_dedup_increment
+    (well-separated sims, so double-vs-quantized-integer compare cannot
+    flip near the threshold), and the scan must touch only the
+    increment's assigned cells."""
+    from fastetl_spark.operators.ann_index import match_semantic_index
+    from fastetl_spark.operators.curation2 import semantic_dedup_increment
+
+    base = [
+        (i, [float((i * 7 + k * 3) % 13 - 6) / 6.0 for k in range(8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    inc = spark.createDataFrame(
+        [(100, [x + 1e-4 for x in base[5][1]]), (101, [9.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[float(x) for x in r.embedding]
+             for r in corpus.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    idx = str(tmp_path / "semidx")
+    build_ivf_index(corpus, idx, "vec_id", "embedding", centroids=cents)
+    assert read_ivf_meta(spark, idx)["n_cells"] == 4
+
+    got = match_semantic_index(spark, idx, inc, threshold=0.99)
+    rows = {r.vec_id: r for r in got.collect()}
+    assert rows[100].dup_of == 5 and not rows[100].is_new
+    assert rows[101].is_new and rows[101].dup_of is None
+
+    ref = {r.vec_id: r for r in semantic_dedup_increment(
+        corpus, inc, "vec_id", "embedding", n_centroids=4, threshold_pct=99
+    ).collect()}
+    assert {v: (r.dup_of, r.is_new) for v, r in rows.items()} == {
+        v: (r.dup_of, not r.is_kept if hasattr(r, "is_kept") else r.is_new)
+        for v, r in ref.items()
+    }
+
+    # pruning: only the increment's assigned cell dirs are scanned
+    read_cells = {f.split("cell=")[1].split("/")[0]
+                  for f in got.inputFiles() if "cell=" in f}
+    probed = {str(r.cell) for r in got.select("cell").collect()}
+    assert read_cells <= probed
+
+
+def test_match_semantic_index_empty_cells_all_new(spark, tmp_path):
+    """An increment probing only cells that received no corpus vectors
+    comes back all-new instead of failing the scan."""
+    from fastetl_spark.operators.ann_index import match_semantic_index
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, float(i % 3)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    idx = str(tmp_path / "empt")
+    build_ivf_index(corpus, idx, "vec_id", "embedding", centroids=cents)
+    inc = spark.createDataFrame([(50, [-1.0, 0.1])], "vec_id long, embedding array<float>")
+    out = match_semantic_index(spark, idx, inc, threshold=0.5).collect()
+    assert len(out) == 1 and out[0].is_new
