@@ -514,14 +514,20 @@ class Engine:
         return pagerank(nodes, edges, iterations=iterations, exact=exact)
 
     def semantic_dedup(self, vectors: DataFrame, id_col: str, vec_col: str,
-                       n_centroids: int = 16, threshold_pct: int = 35) -> DataFrame:
+                       n_centroids: int = 16, threshold_pct: int = 35,
+                       centroids: list | None = None) -> DataFrame:
         """SemDeDup keep/drop over an embedding table: coarse cells +
-        in-cell exact-integer cosine (operators/curation2). Tune
-        `n_centroids` so cells stay small — pair work is sum(cell²)."""
+        in-cell exact-integer cosine (operators/curation2). Pass
+        `centroids` (e.g. from similarity.ivf_train_centroids) in
+        production; pair work is sum(cell²), so more centroids → smaller
+        cells. Past a few hundred cells use build_ann_index +
+        match_new_vectors instead (Arrow-batched assignment)."""
         from fastetl_spark.operators.curation2 import semantic_dedup
 
         return semantic_dedup(vectors, id_col, vec_col,
-                              n_centroids=n_centroids, threshold_pct=threshold_pct)
+                              n_centroids=n_centroids,
+                              threshold_pct=threshold_pct,
+                              centroids=centroids)
 
     def chunk(self, df: DataFrame, text_col: str = "text",
               width: int = 200, stride: int = 150) -> DataFrame:

@@ -227,9 +227,14 @@ def match_semantic_index(
 ) -> DataFrame:
     """Persistent-index SemDeDup matching: assign the increment to its
     nearest stored cell, scan ONLY those cell partitions, and flag each
-    increment vector whose best same-cell corpus cosine clears
-    `threshold`. Returns (vec_id, cell, dup_of, is_new) with dup_of the
-    smallest matching corpus id — the persisted, O(|increment|) form of
+    increment vector whose best same-cell cosine clears `threshold`.
+    Candidates are corpus vectors (same id excluded — a crash-retry
+    re-match after the append must not self-match) plus smaller-id
+    batch-mates in the same cell (twins arriving in ONE batch still
+    dedup against each other, and the is_new set is stable across a
+    re-run after append, keeping append_to_ivf_index's replay guard
+    effective). Returns (vec_id, cell, dup_of, is_new) with dup_of the
+    smallest matching id — the persisted, O(|increment|) form of
     curation2.semantic_dedup_increment (which rebuilds cells per run).
     Daily loop: match → keep is_new → append_to_ivf_index(new rows)."""
     meta = read_ivf_meta(spark, index_path)
@@ -243,24 +248,40 @@ def match_semantic_index(
     inc = assigned.select(
         F.col("vid").alias("vec_id"), "cell", "vec", "norm"
     )
-    if not dirs:
-        return inc.select(
-            "vec_id",
-            "cell",
-            F.lit(None).cast("long").alias("dup_of"),
-            F.lit(True).alias("is_new"),
-        )
-    cells = spark.read.option("basePath", index_path).parquet(*dirs)
+    corpus_side = (
+        spark.read.option("basePath", index_path).parquet(*dirs)
+        if dirs
+        else inc.limit(0).withColumnRenamed("vec_id", "vid")
+    )
     sim = dot(F.col("c.vec"), F.col("i.vec")) / (F.col("c.norm") * F.col("i.norm"))
-    dups = (
-        cells.alias("c")
-        .join(
-            broadcast(inc.alias("i")),
-            (F.col("c.cell") == F.col("i.cell")) & (F.col("c.vid") != F.col("i.vec_id")),
+
+    def scored(cand_side: DataFrame, id_cond) -> DataFrame:
+        return (
+            cand_side.alias("c")
+            .join(
+                broadcast(inc.alias("i")),
+                (F.col("c.cell") == F.col("i.cell")) & id_cond,
+            )
+            .select(
+                F.col("i.vec_id").alias("vec_id"),
+                F.col("c.vid").alias("other"),
+                sim.alias("sim"),
+            )
         )
-        .filter(sim >= threshold)
-        .groupBy(F.col("i.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("c.vid")).alias("dup_of"))
+
+    corp_cand = scored(
+        corpus_side.select("vid", "vec", "norm", "cell"),
+        F.col("c.vid") != F.col("i.vec_id"),
+    )
+    batch_cand = scored(
+        inc.select(F.col("vec_id").alias("vid"), "vec", "norm", "cell"),
+        F.col("c.vid") < F.col("i.vec_id"),
+    )
+    dups = (
+        corp_cand.unionByName(batch_cand)
+        .filter(F.col("sim") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.min("other").alias("dup_of"))
     )
     return inc.select("vec_id", "cell").join(dups, "vec_id", "left").select(
         "vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_new")

@@ -64,23 +64,64 @@ def idot(a: Column, b: Column) -> Column:
     )
 
 
+def _quantized_centroid_lit(cent_vecs: list[list[int]]):
+    """Literal array-of-structs (i, cv, nc) for a bounded centroid set."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.array(*[F.lit(int(x)) for x in cv]).alias("cv"),
+                F.lit(sum(int(x) * int(x) for x in cv)).alias("nc"),
+            )
+            for i, cv in enumerate(cent_vecs)
+        ]
+    )
+
+
+def _centroid_vecs(
+    q: DataFrame,
+    n_centroids: int,
+    centroids: list[list[float]] | None,
+    caller: str,
+) -> list[list[int]]:
+    """Quantized centroid vectors: trained ones when given (same
+    floor(x*scale) quantization the corpus gets), else the first-N
+    corpus rows by id."""
+    import math
+
+    if centroids is not None:
+        return [[math.floor(x * _SD_SCALE) for x in cv] for cv in centroids]
+    cent_rows = q.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").collect()
+    if not cent_rows:
+        raise ValueError(
+            f"{caller}: no rows with id < {n_centroids} to use as fixed "
+            "centroids — pass centroids= (e.g. from ivf_train_centroids) "
+            "or re-key the corpus"
+        )
+    return [list(r.qv) for r in cent_rows]
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     n_centroids: int = _SD_CENTROIDS,
     threshold_pct: int = _SD_T_NUM,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """SemDeDup over (id, vector): assign each vector to its
-    nearest fixed centroid (the first `n_centroids` rows by id — swap in
-    trained centroids in production), then within each cell mark every
-    item that has a >= threshold cosine neighbor with a smaller id as a
-    duplicate of the smallest such neighbor.
+    """SemDeDup over (id, vector): assign each vector to its nearest
+    centroid (pass `centroids` from ivf_train_centroids in production;
+    defaults to the first `n_centroids` rows by id), then within each
+    cell mark every item that has a >= threshold cosine neighbor with a
+    smaller id as a duplicate of the smallest such neighbor.
 
     Scale design: the pairwise stage self-joins per cell, so pair work
-    is sum(cell²) — tune `n_centroids` so cells stay bounded (SemDeDup
-    uses ~100k clusters at web scale); the centroid table is broadcast
-    and the corpus is scanned twice (assignment, pairs) with the
+    is sum(cell²) — more centroids → smaller cells. The literal-array
+    assignment below is right for a bounded centroid set (≲ a few
+    hundred); at SemDeDup's web-scale ~100k clusters use the persistent
+    path instead (build_ivf_index(..., centroids=...) +
+    ann_index.match_semantic_index — Arrow-batched assignment, cell-dir
+    pruning). The corpus is scanned twice (assignment, pairs) with the
     assigned+quantized projection materialized between. All similarity
     comparisons are exact integer DECIMAL arithmetic over quantized
     vectors — reproducible across partitionings and engines.
@@ -92,21 +133,8 @@ def semantic_dedup(
     # ivf_assign_fixed_centroids): folding the centroids into a literal
     # array constant makes assignment a pure per-row expression — no
     # crossJoin row blowup, no per-vec window shuffle.
-    cent_rows = q.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").collect()
-    if not cent_rows:
-        raise ValueError(
-            f"semantic_dedup: no rows with {id_col} < {n_centroids} to use as "
-            "fixed centroids — pass trained centroids' id range or re-key the corpus"
-        )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.array(*[F.lit(int(x)) for x in r.qv]).alias("cv"),
-                F.lit(sum(int(x) * int(x) for x in r.qv)).alias("nc"),
-            )
-            for i, r in enumerate(cent_rows)
-        ]
+    cent_lit = _quantized_centroid_lit(
+        _centroid_vecs(q, n_centroids, centroids, "semantic_dedup")
     )
     # argmax key dot/|c| (|v| constant per row): exact-integer inputs cast
     # to double through ONE division + ONE sqrt — identical IEEE shape in
@@ -288,12 +316,17 @@ def sparse_cosine_pairs(
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("nn_a"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nn_b"))
     t2 = threshold_tenths * threshold_tenths
+    # widen BEFORE multiplying: dot_tt/nn reach ~1e9 on repetitive docs
+    # (one spammy phrase at tf~3e4 under the df-cap), so the squared
+    # comparison overflows BIGINT — same decimal(38,0)/HUGEINT shape as
+    # semantic_dedup
+    dec = "decimal(38,0)"
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(
-            F.col("dot_tt") * F.col("dot_tt") * F.lit(100)
-            >= F.lit(t2) * F.col("nn_a") * F.col("nn_b")
+            F.col("dot_tt").cast(dec) * F.col("dot_tt").cast(dec) * F.lit(100).cast(dec)
+            >= F.lit(t2).cast(dec) * F.col("nn_a").cast(dec) * F.col("nn_b").cast(dec)
         )
         .select(
             "doc_a",
@@ -339,7 +372,7 @@ SELECT doc_a, doc_b, dot_tt, na.nn AS nn_a, nb.nn AS nn_b,
 FROM dots
 JOIN nrm na ON doc_a = na.doc_id
 JOIN nrm nb ON doc_b = nb.doc_id
-WHERE dot_tt*dot_tt*100 >= {_SC_T_NUM * _SC_T_NUM}*na.nn*nb.nn
+WHERE dot_tt::HUGEINT * dot_tt * 100 >= {_SC_T_NUM * _SC_T_NUM} * na.nn::HUGEINT * nb.nn
 """
 
 
@@ -487,38 +520,29 @@ def semantic_dedup_increment(
     vec_col: str,
     n_centroids: int = _SD_CENTROIDS,
     threshold_pct: int = _SD_T_NUM,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Daily-batch SemDeDup: match an increment against the corpus in
     embedding space without any corpus-corpus pair work — the embedding
     twin of dedup_increment_vs_corpus. Both sides are assigned to the
-    same fixed centroids (centroids come from the CORPUS id range, as
-    a trained quantizer would); pair work is |increment| x cell, i.e.
-    O(|increment|) for a fixed cell profile, never corpus².
+    same centroids (pass `centroids` from a trained quantizer; defaults
+    to the CORPUS id range); pair work is |increment| x cell plus the
+    intra-batch |increment|-bounded self-join, never corpus².
 
     Returns one row per increment vector: (vec_id, cell, dup_of,
-    is_new) where dup_of is the smallest same-cell corpus id with
-    cosine >= threshold (exact integer decision, see semantic_dedup)."""
+    is_new) where dup_of is the smallest same-cell match with cosine >=
+    threshold among corpus vectors (same id excluded, so a re-run
+    against a corpus that already absorbed the batch cannot self-match)
+    and smaller-id batch-mates (twins arriving together still dedup).
+    Exact integer decisions — see semantic_dedup."""
     qc = corpus.select(
         F.col(id_col).alias("vec_id"), quantized(as_double(F.col(vec_col))).alias("qv")
     )
     qi = increment.select(
         F.col(id_col).alias("vec_id"), quantized(as_double(F.col(vec_col))).alias("qv")
     )
-    cent_rows = qc.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").collect()
-    if not cent_rows:
-        raise ValueError(
-            f"semantic_dedup_increment: no corpus rows with {id_col} < "
-            f"{n_centroids} to use as fixed centroids"
-        )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.array(*[F.lit(int(x)) for x in r.qv]).alias("cv"),
-                F.lit(sum(int(x) * int(x) for x in r.qv)).alias("nc"),
-            )
-            for i, r in enumerate(cent_rows)
-        ]
+    cent_lit = _quantized_centroid_lit(
+        _centroid_vecs(qc, n_centroids, centroids, "semantic_dedup_increment")
     )
     scored = F.transform(
         cent_lit,
@@ -542,20 +566,34 @@ def semantic_dedup_increment(
 
     ac = assign(qc).transform(materialize)
     ai = assign(qi).transform(materialize)
-    d = idot(F.col("c.qv"), F.col("i.qv"))
+    # candidates = same-cell corpus vectors (excluding the same id — a
+    # re-run against a corpus that already absorbed this batch must not
+    # self-match) plus same-cell smaller-id batch-mates (twins arriving
+    # in ONE batch must still dedup against each other)
+    other = lambda df: df.select(  # noqa: E731
+        F.col("vec_id").alias("other"),
+        F.col("qv").alias("oqv"),
+        F.col("nn").alias("onn"),
+        "cell",
+    )
+    inc = ai.select("vec_id", "qv", "nn", "cell")
+    cand = other(ac).join(
+        inc, ["cell"]
+    ).filter(F.col("other") != F.col("vec_id")).unionByName(
+        other(ai).join(inc, ["cell"]).filter(F.col("other") < F.col("vec_id"))
+    )
+    d = idot(F.col("oqv"), F.col("qv"))
     dec = "decimal(38,0)"
     sim_ok = (d > 0) & (
         d.cast(dec) * d.cast(dec) * F.lit(10_000).cast(dec)
         >= F.lit(threshold_pct * threshold_pct).cast(dec)
-        * F.col("c.nn").cast(dec)
-        * F.col("i.nn").cast(dec)
+        * F.col("onn").cast(dec)
+        * F.col("nn").cast(dec)
     )
     dups = (
-        ac.alias("c")
-        .join(ai.alias("i"), F.col("c.cell") == F.col("i.cell"))
-        .filter(sim_ok)
-        .groupBy(F.col("i.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("c.vec_id")).alias("dup_of"))
+        cand.filter(sim_ok)
+        .groupBy("vec_id")
+        .agg(F.min("other").alias("dup_of"))
     )
     return ai.select("vec_id", "cell").join(dups, "vec_id", "left").select(
         "vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("is_new")
@@ -605,15 +643,21 @@ WITH vc AS (
   SELECT vec_id, qv, CAST(i AS INT) AS cell,
          CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT) AS nn
   FROM bi WHERE rn = 1
+), cand AS (
+  SELECT i.vec_id, c.vec_id AS other, c.qv AS oqv, c.nn AS onn, i.qv, i.nn
+  FROM ac c JOIN ai i ON c.cell = i.cell AND c.vec_id <> i.vec_id
+  UNION ALL
+  SELECT i.vec_id, j.vec_id AS other, j.qv AS oqv, j.nn AS onn, i.qv, i.nn
+  FROM ai j JOIN ai i ON j.cell = i.cell AND j.vec_id < i.vec_id
 ), dups AS (
-  SELECT i.vec_id, MIN(c.vec_id) AS dup_of
-  FROM ac c JOIN ai i ON c.cell = i.cell
-  WHERE CAST(list_dot_product(c.qv::DOUBLE[], i.qv::DOUBLE[]) AS HUGEINT) > 0
-    AND CAST(list_dot_product(c.qv::DOUBLE[], i.qv::DOUBLE[]) AS HUGEINT)
-          * CAST(list_dot_product(c.qv::DOUBLE[], i.qv::DOUBLE[]) AS HUGEINT)
+  SELECT vec_id, MIN(other) AS dup_of
+  FROM cand
+  WHERE CAST(list_dot_product(oqv::DOUBLE[], qv::DOUBLE[]) AS HUGEINT) > 0
+    AND CAST(list_dot_product(oqv::DOUBLE[], qv::DOUBLE[]) AS HUGEINT)
+          * CAST(list_dot_product(oqv::DOUBLE[], qv::DOUBLE[]) AS HUGEINT)
           * 10000
-        >= {_SD_T_NUM * _SD_T_NUM} * c.nn::HUGEINT * i.nn::HUGEINT
-  GROUP BY i.vec_id
+        >= {_SD_T_NUM * _SD_T_NUM} * onn::HUGEINT * nn::HUGEINT
+  GROUP BY vec_id
 )
 SELECT ai.vec_id, ai.cell, dups.dup_of, dups.dup_of IS NULL AS is_new
 FROM ai LEFT JOIN dups ON ai.vec_id = dups.vec_id

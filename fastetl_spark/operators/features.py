@@ -57,8 +57,16 @@ def chunk_text(
 ) -> DataFrame:
     """Split `text_col` into overlapping `width`-char chunks at `stride`,
     carrying all other columns. Adds chunk_idx / start / chunk — a pure
-    generator fan-out (no shuffle), safe at any scale."""
+    generator fan-out (no shuffle), safe at any scale. Input columns
+    named like the added ones are rejected up front (carrying them
+    through would be ambiguous or silently duplicated)."""
     other = [c for c in df.columns if c != text_col]
+    clash = sorted({"chunk_idx", "start", "chunk"} & set(other))
+    if clash:
+        raise ValueError(
+            f"chunk_text adds columns {clash} which already exist in the "
+            "input — rename them before chunking"
+        )
     starts = df.select(
         *other,
         F.col(text_col),
@@ -279,8 +287,6 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEG_LO = 6
 _NEG_HI = 15
-
-_NEG_SQL = ""  # assigned below (shares the brute-force ranking shape)
 
 
 def _neg_sql() -> str:

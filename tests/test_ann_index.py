@@ -288,3 +288,35 @@ def test_match_semantic_index_empty_cells_all_new(spark, tmp_path):
     inc = spark.createDataFrame([(50, [-1.0, 0.1])], "vec_id long, embedding array<float>")
     out = match_semantic_index(spark, idx, inc, threshold=0.5).collect()
     assert len(out) == 1 and out[0].is_new
+
+
+def test_match_semantic_index_intra_batch_twins(spark, tmp_path):
+    """Twins arriving in one batch: the smaller id stays new, the larger
+    is flagged against its batch-mate; re-matching after the append
+    yields the same is_new set (append replay guard stays effective)."""
+    from fastetl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        match_semantic_index,
+    )
+
+    base = [
+        (i, [float((i * 7 + k * 3) % 13 - 6) / 6.0 for k in range(8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    cents = [[float(x) for x in r.embedding]
+             for r in corpus.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    idx = str(tmp_path / "twins")
+    build_ivf_index(corpus, idx, "vec_id", "embedding", centroids=cents)
+    novel = [x + 3.0 for x in base[7][1]]  # not near any corpus vector
+    inc = spark.createDataFrame(
+        [(200, novel), (201, novel)], "vec_id long, embedding array<float>"
+    )
+    first = {r.vec_id: r for r in match_semantic_index(spark, idx, inc, 0.99).collect()}
+    assert first[200].is_new and first[200].dup_of is None
+    assert not first[201].is_new and first[201].dup_of == 200
+    fresh = inc.join(
+        spark.createDataFrame([(200,)], "vec_id long"), "vec_id"
+    )
+    append_to_ivf_index(fresh, idx)
+    again = {r.vec_id: r for r in match_semantic_index(spark, idx, inc, 0.99).collect()}
+    assert {v: r.is_new for v, r in again.items()} == {200: True, 201: False}

@@ -127,3 +127,67 @@ def test_semantic_dedup_increment_flags_planted_twin(spark):
     assert len(out) == 2
     assert out[100].dup_of == 5 and not out[100].is_new
     assert out[101].is_new and out[101].dup_of is None
+
+
+def test_semantic_dedup_increment_intra_batch_and_rerun_safe(spark):
+    """Review findings: twins arriving in one batch dedup against each
+    other; re-running against a corpus that already absorbed the batch
+    does not self-match."""
+    from fastetl_spark.operators.curation2 import semantic_dedup_increment
+
+    base = [
+        (i, [float((i * 7 + k * 3) % 13 - 6) / 6.0 for k in range(8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    twin_vec = [x + 1e-4 for x in base[5][1]]
+    inc = spark.createDataFrame(
+        [(200, twin_vec), (201, twin_vec)], "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in semantic_dedup_increment(
+        corpus, inc, "vec_id", "embedding", n_centroids=4, threshold_pct=99
+    ).collect()}
+    assert out[200].dup_of == 5          # corpus twin
+    assert out[201].dup_of == 5          # min(corpus 5, batch-mate 200)
+    # re-run case: corpus already contains the batch rows
+    absorbed = corpus.unionByName(inc)
+    out2 = {r.vec_id: r for r in semantic_dedup_increment(
+        absorbed, inc, "vec_id", "embedding", n_centroids=4, threshold_pct=99
+    ).collect()}
+    assert out2[200].dup_of == 5         # never its own id
+    assert all(r.dup_of != r.vec_id for r in out2.values() if r.dup_of is not None)
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark):
+    from fastetl_spark.operators.curation2 import semantic_dedup
+
+    base = [
+        (i, [float((i * 7 + k * 3) % 13 - 6) / 6.0 for k in range(8)]) for i in range(24)
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    cents = [r.embedding for r in df.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    a = semantic_dedup(df, "vec_id", "embedding", n_centroids=4)
+    b = semantic_dedup(df, "vec_id", "embedding", centroids=cents)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_chunk_text_rejects_clashing_columns(spark):
+    from fastetl_spark.operators.features import chunk_text
+
+    df = spark.createDataFrame([(1, 5, "abc")], "doc_id long, start long, text string")
+    with pytest.raises(ValueError, match="start"):
+        chunk_text(df)
+
+
+def test_sparse_cosine_survives_repetitive_spam_doc(spark):
+    """Review finding: squared-threshold comparison must not overflow
+    BIGINT when a spammy doc repeats one phrase tens of thousands of
+    times (tf ~ 3e4 -> nn ~ 1e9 -> nn_a*nn_b*t2 ~ 2e19 > 2^63)."""
+    phrase = "buy cheap pills now "
+    spam = phrase * 30_000
+    docs = spark.createDataFrame(
+        [(1, spam), (2, spam), (3, "something completely different here")],
+        "doc_id long, text string",
+    )
+    out = sparse_cosine_pairs(docs, df_cap=10, threshold_tenths=5).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+    assert out[0].nn_a > 2**31  # the regime that used to overflow when squared
