@@ -15,6 +15,7 @@ smoke:
 audit:
 	python tools/shuffle_audit.py
 	python tools/dump_plans.py
+	python tools/dump_registry.py
 
 sweep:
 	python tools/oracle_sweep.py /root/testdata/sf0.01
