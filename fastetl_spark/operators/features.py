@@ -327,3 +327,180 @@ def hard_negative_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "embedding", k=_NEG_HI
     )
     return topk.filter(F.col("rank") >= _NEG_LO).select("query_id", "neighbor_id", "rank")
+
+
+# --- vocabulary sizing: OOV rate vs vocab cutoff -------------------------
+
+_OOV_KS = (8, 16, 24)
+
+_OOV_SQL = f"""
+WITH tf AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+  SELECT term, COUNT(*)::BIGINT AS cnt FROM tf GROUP BY term
+), ranked AS (
+  SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk FROM counts
+), ks AS (
+  SELECT unnest([{', '.join(str(k) for k in _OOV_KS)}]) AS vocab_k
+)
+SELECT vocab_k,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM counts) AS total_tokens,
+       CAST(COALESCE(SUM(CASE WHEN rnk > vocab_k THEN cnt END), 0) AS BIGINT)
+         AS oov_tokens,
+       CAST(COALESCE(SUM(CASE WHEN rnk > vocab_k THEN cnt END), 0) AS DOUBLE)
+         / (SELECT SUM(cnt) FROM counts) AS oov_rate
+FROM ks CROSS JOIN ranked
+GROUP BY vocab_k
+"""
+
+
+@query("oov_rate_by_vocab_k", _OOV_SQL)
+def oov_rate_by_vocab_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: for each candidate vocab size k
+    (top-k terms by frequency), the fraction of corpus tokens that
+    would fall out-of-vocabulary. The term table is corpus-aggregated
+    first (map-side combinable), so the rank/cutoff stage works on
+    |vocab| rows, never corpus-scale; exact integer token counts."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _OOV_KS], "vocab_k int"
+    )
+    joined = ks.crossJoin(ranked)
+    return joined.groupBy("vocab_k").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("rnk") > F.col("vocab_k"), F.col("cnt"))), F.lit(0)
+        ).alias("oov_tokens"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("rnk") > F.col("vocab_k"), F.col("cnt"))), F.lit(0)
+            ).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+# --- sequence-length planning buckets ------------------------------------
+
+_LEN_BOUNDS = (2048, 1024, 512, 256, 128, 64, 32, 16)
+
+
+def _len_bucket_expr(n):
+    out = F.lit(0).cast("long")
+    for b in reversed(_LEN_BOUNDS):  # ascending: later WHENs win via fold order
+        out = F.when(n >= b, F.lit(b).cast("long")).otherwise(out)
+    return out
+
+
+_LEN_CASE = " ".join(
+    f"WHEN n_tok >= {b} THEN {b}" for b in _LEN_BOUNDS
+)
+
+_LEN_SQL = f"""
+WITH lens AS (
+  SELECT len(string_split(text, ' '))::BIGINT AS n_tok FROM documents
+), bucketed AS (
+  SELECT n_tok, CASE {_LEN_CASE} ELSE 0 END AS bucket FROM lens
+), agg AS (
+  SELECT bucket, COUNT(*)::BIGINT AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+  FROM bucketed GROUP BY bucket
+)
+SELECT bucket, n_docs, tokens,
+       CAST(tokens AS DOUBLE) / (SELECT SUM(tokens) FROM agg) AS token_share,
+       CAST(SUM(tokens) OVER (ORDER BY bucket) AS DOUBLE)
+         / (SELECT SUM(tokens) FROM agg) AS cum_token_share
+FROM agg
+"""
+
+
+@query("seq_length_buckets", _LEN_SQL)
+def seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning: docs and token mass per power-of-two
+    length bucket plus the cumulative token share — the table that
+    picks max_seq_len (e.g. the smallest bucket boundary covering 99%
+    of tokens). Explicit integer boundaries, no float log2 (whose
+    last-ulp at exact powers is not guaranteed across libms)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    lens = d.select(F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    agg = (
+        lens.select("n_tok", _len_bucket_expr(F.col("n_tok")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens"))
+    )
+    total = F.sum("tokens").over(Window.partitionBy())
+    cum = F.sum("tokens").over(Window.orderBy("bucket"))
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "tokens",
+        (F.col("tokens").cast("double") / total.cast("double")).alias("token_share"),
+        (cum.cast("double") / total.cast("double")).alias("cum_token_share"),
+    )
+
+
+# --- per-dimension embedding standardization params ----------------------
+
+_ZS_SCALE = 1_000_000
+
+_ZSCORE_SQL = f"""
+WITH v AS (
+  SELECT embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (
+  SELECT s.dim AS dim, s.qv AS qv
+  FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(ev)),
+             i -> struct_pack(dim := i - 1,
+                              qv := CAST(floor(ev[i] * {_ZS_SCALE}) AS BIGINT))
+           )) AS s
+    FROM v
+  )
+), agg AS (
+  SELECT dim, COUNT(*)::BIGINT AS n,
+         CAST(SUM(qv) AS BIGINT) AS sum_q,
+         CAST(SUM(qv*qv) AS BIGINT) AS sumsq_q
+  FROM q GROUP BY dim
+)
+SELECT dim, n, sum_q, sumsq_q,
+       CAST(sum_q AS DOUBLE) / n AS mean_q,
+       sqrt(CAST(sumsq_q AS DOUBLE) / n
+            - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)) AS std_q
+FROM agg
+"""
+
+
+@query("embedding_dim_zscore_params", _ZSCORE_SQL)
+def embedding_dim_zscore_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization parameters (the whitening step
+    before ANN/clustering): exact integer sums of quantized components,
+    mean/std derived through ONE identical IEEE shape on both engines.
+    One posexplode + one groupBy(dim) — |dims| result rows. The int64
+    sumsq is safe to ~1e9 rows per dim at this quantization; larger
+    corpora should aggregate per-partition partials into DECIMAL."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    q = e.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "x")
+    ).select("dim", F.floor(F.col("x") * _ZS_SCALE).cast("long").alias("qv"))
+    agg = q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("sum_q"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sumsq_q"),
+    )
+    mean = F.col("sum_q").cast("double") / F.col("n")
+    return agg.select(
+        "dim",
+        "n",
+        "sum_q",
+        "sumsq_q",
+        mean.alias("mean_q"),
+        F.sqrt(F.col("sumsq_q").cast("double") / F.col("n") - mean * mean).alias("std_q"),
+    )

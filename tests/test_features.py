@@ -88,3 +88,42 @@ def test_engine_chunk_and_semantic_dedup_facades(spark):
     vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
     sd = eng.semantic_dedup(vecs, "vec_id", "embedding")
     assert sd.count() == vecs.count()
+
+
+def test_oov_rate_monotone_in_vocab_size(spark):
+    from fastetl_spark.operators.features import oov_rate_by_vocab_k
+
+    rows = sorted(oov_rate_by_vocab_k(spark, SF).collect(), key=lambda r: r.vocab_k)
+    assert len(rows) == 3
+    rates = [r.oov_rate for r in rows]
+    assert rates == sorted(rates, reverse=True)  # bigger vocab -> fewer OOV
+    for r in rows:
+        assert 0.0 <= r.oov_rate <= 1.0 and r.oov_tokens <= r.total_tokens
+
+
+def test_seq_length_buckets_cumulate_to_one(spark):
+    from fastetl_spark.operators.features import seq_length_buckets
+
+    rows = sorted(seq_length_buckets(spark, SF).collect(), key=lambda r: r.bucket)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-12
+    assert abs(rows[-1].cum_token_share - 1.0) < 1e-12
+    cums = [r.cum_token_share for r in rows]
+    assert cums == sorted(cums)
+
+
+def test_zscore_params_match_numpy(spark):
+    import numpy as np
+
+    from fastetl_spark.operators.features import embedding_dim_zscore_params
+
+    rows = {r.dim: r for r in embedding_dim_zscore_params(spark, SF).collect()}
+    vecs = np.array(
+        [r.embedding for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    q = np.floor(vecs * 1_000_000)
+    assert len(rows) == vecs.shape[1]
+    for d in (0, vecs.shape[1] // 2, vecs.shape[1] - 1):
+        assert rows[d].sum_q == int(q[:, d].sum())
+        assert abs(rows[d].mean_q - q[:, d].mean()) < 1e-6
+        assert abs(rows[d].std_q - q[:, d].std()) < 1e-3
