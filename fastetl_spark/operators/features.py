@@ -14,6 +14,15 @@
   integer-quantized value is EXACT in binary floating point, so the
   whole aggregation is an integer sum — hash-gateable, unlike a naive
   sum(value*exp(-l*age)) whose libm exp and fold order both vary.
+- ``bpe_first_merges`` / ``hard_negative_band`` — tokenizer-training
+  merge candidates; contrastive-training negatives from the gate-proven
+  cosine ranking.
+- ``oov_rate_by_vocab_k`` / ``seq_length_buckets`` /
+  ``embedding_dim_zscore_params`` — training-planning reports: vocab
+  sizing, max_seq_len selection, embedding whitening parameters.
+- ``chunk_dup_rate`` / ``user_rfm_features`` — chunk-granularity
+  boilerplate measurement; classic recency/frequency/monetary features
+  with exact integer money.
 
 Determinism: every aggregate here is an exact integer sum or a
 passthrough double; shares are a single identical div shape over exact
@@ -503,4 +512,87 @@ def embedding_dim_zscore_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sumsq_q",
         mean.alias("mean_q"),
         F.sqrt(F.col("sumsq_q").cast("double") / F.col("n") - mean * mean).alias("std_q"),
+    )
+
+
+# --- chunk-granularity duplication rate ----------------------------------
+
+_CHUNK_DUP_SQL = f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), {_CHUNK_STRIDE})) AS start
+  FROM documents
+), chunks AS (
+  SELECT doc_id, md5(substring(text, start, {_CHUNK_W})) AS h FROM starts
+), per_hash AS (
+  SELECT h, COUNT(*)::BIGINT AS n_copies, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM chunks GROUP BY h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(n_copies) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN n_copies ELSE 0 END) AS BIGINT)
+         AS cross_doc_copies,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN n_copies ELSE 0 END) AS DOUBLE)
+         / SUM(n_copies) AS dup_rate
+FROM per_hash
+"""
+
+
+@query("chunk_dup_rate", _CHUNK_DUP_SQL)
+def chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate measured at chunk granularity: the share of chunks
+    whose content hash also appears in another document — the number a
+    dedup plan is judged against before/after. Hash-groupBy over chunk
+    md5s (map-side combinable), one aggregate row out."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    per_hash = (
+        chunk_text(d.select("doc_id", "text"))
+        .select("doc_id", F.md5("chunk").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    cross = F.sum(F.when(F.col("n_docs") > 1, F.col("n_copies")).otherwise(F.lit(0)))
+    return per_hash.agg(
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum("n_copies").alias("n_chunks"),
+        cross.alias("cross_doc_copies"),
+        (cross.cast("double") / F.sum("n_copies").cast("double")).alias("dup_rate"),
+    )
+
+
+# --- RFM features ---------------------------------------------------------
+
+_RFM_SQL = """
+WITH anchor AS (
+  SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events
+)
+SELECT user_id,
+       CAST(MIN(date_diff('day', CAST(ts AS DATE), d0)) AS BIGINT) AS recency_days,
+       COUNT(*)::BIGINT AS frequency,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+FROM events, anchor
+GROUP BY user_id
+"""
+
+
+@query("user_rfm_features", _RFM_SQL)
+def user_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM features per user: days since last event (vs the
+    corpus max date), event count, and money as exact integer cents
+    (floor(value*100) — an order-independent integer sum, where a
+    double SUM(value) would be fold-order-dependent). One scan, one
+    groupBy(user_id) shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.datediff(F.col("d0"), F.to_date("ts"))).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("monetary_cents"),
+        )
     )
