@@ -17,7 +17,14 @@ QUERIES = [
     "pagerank_doc_graph",     # iterative ordered folds
     "unigram_surprisal",      # position-ordered ln() fold
     "join_skew_diagnosis",    # integer profile + one ratio
+    "semantic_dedup",         # quantized-integer cosine decisions
+    "sparse_cosine_shingles",  # integer tf dots + one div/sqrt shape
+    "mixture_temperature_weights",  # quantized-sqrt numerators
+    "decayed_user_scores",    # power-of-two decay, integer sums
+    "embedding_dim_zscore_params",  # exact quantized moments
 ]
+
+_KEY = lambda t: tuple((v is None, v) for v in t)  # noqa: E731  None-safe sort
 
 
 @pytest.mark.parametrize("name", QUERIES)
@@ -34,10 +41,10 @@ def test_results_identical_across_layouts(spark, sf_dir, name):
         "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
     }
     try:
-        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()), key=_KEY)
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()), key=_KEY)
     finally:
         for k, v in defaults.items():
             spark.conf.set(k, v)
