@@ -307,3 +307,73 @@ def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRIORITY_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) ---------
+
+_WS_K = 5  # sample size per source
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int = _WS_K,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement per stratum
+    (Efraimidis-Spirakis 2006): each row draws an exponential key
+    e = -ln(u)/w from a reproducible md5-derived uniform u, and the k
+    smallest keys per stratum are the sample — inclusion probability
+    proportional to weight, one window pass, no iteration. The id-hash
+    uniform makes the sample layout- and rerun-stable (the same
+    property hash_sample/deterministic_split rely on).
+
+    Exactness note: u is a single cast+divide of a 60-bit integer
+    (bit-identical across engines); ln()'s last ulp is the only
+    residue, and rank flips would need two continuous keys within
+    ~1e-15 relative — the sin-LSH/argmax promotion argument.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    key = -F.log(u) / F.col("weight").cast("double")
+    w = Window.partitionBy(strata_col).orderBy(F.asc("es_key"), F.asc(id_col))
+    return (
+        df.select(strata_col, id_col, F.col(weight_col).alias("weight"))
+        .withColumn("es_key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(strata_col, id_col, "weight", "rank")
+    )
+
+
+_WS_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+             / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, weight,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key, doc_id) AS rank
+  FROM keyed
+)
+SELECT source, doc_id, weight, rank FROM ranked WHERE rank <= {_WS_K}
+"""
+
+
+@query("weighted_sample_per_source", _WS_SQL)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample ({_WS_K} per source) via
+    Efraimidis-Spirakis exponential keys — longer docs proportionally
+    likelier, deterministic across reruns and partitionings."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return weighted_sample_wor(
+        d.withColumn("n_chars", F.col("n_chars").cast("double")),
+        "source",
+        "doc_id",
+        "n_chars",
+    )

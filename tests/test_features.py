@@ -127,3 +127,21 @@ def test_zscore_params_match_numpy(spark):
         assert rows[d].sum_q == int(q[:, d].sum())
         assert abs(rows[d].mean_q - q[:, d].mean()) < 1e-6
         assert abs(rows[d].std_q - q[:, d].std()) < 1e-3
+
+
+def test_weighted_sample_wor_properties(spark):
+    from fastetl_spark.operators.sampling import weighted_sample_wor
+
+    rows = [(i, "s%d" % (i % 3), 1.0 if i != 7 else 1e9) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = weighted_sample_wor(df, "source", "doc_id", "w", k=4)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 4 for v in per.values())
+    # overwhelming weight -> always sampled (e-key ~ u/1e9)
+    assert 7 in per["s1"]
+    # deterministic across reruns
+    again = sorted(map(tuple, weighted_sample_wor(df, "source", "doc_id", "w", k=4).collect()))
+    assert again == sorted(map(tuple, got))
