@@ -65,6 +65,7 @@ def load_all() -> None:
     import fastetl_spark.operators.matching  # noqa: F401
     import fastetl_spark.operators.partitioning  # noqa: F401
     import fastetl_spark.operators.sessionize  # noqa: F401
+    import fastetl_spark.operators.spatial  # noqa: F401
     import fastetl_spark.operators.multimodal  # noqa: F401
     import fastetl_spark.meta.profile  # noqa: F401
     import fastetl_spark.operators.dedup_index  # noqa: F401
