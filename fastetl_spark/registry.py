@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
+    import fastetl_spark.operators.ann_eval  # noqa: F401
     import fastetl_spark.operators.ann_index  # noqa: F401
     import fastetl_spark.operators.asof  # noqa: F401
     import fastetl_spark.operators.graph  # noqa: F401
