@@ -43,6 +43,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import fastetl_spark.operators.ann_eval  # noqa: F401
     import fastetl_spark.operators.ann_index  # noqa: F401
+    import fastetl_spark.operators.bloomjoin  # noqa: F401
     import fastetl_spark.operators.asof  # noqa: F401
     import fastetl_spark.operators.graph  # noqa: F401
     import fastetl_spark.operators.lateral_udtf  # noqa: F401
