@@ -46,6 +46,7 @@ def load_all() -> None:
     import fastetl_spark.operators.bloomjoin  # noqa: F401
     import fastetl_spark.operators.asof  # noqa: F401
     import fastetl_spark.operators.graph  # noqa: F401
+    import fastetl_spark.operators.ivm  # noqa: F401
     import fastetl_spark.operators.lateral_udtf  # noqa: F401
     import fastetl_spark.operators.relational  # noqa: F401
     import fastetl_spark.operators.relational2  # noqa: F401
