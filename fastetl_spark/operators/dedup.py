@@ -651,7 +651,9 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_DRIVER_EDGE_CAP = 2_000_000
 
 
-def _union_find_components(edge_rows, id_col: str, spark) -> DataFrame:
+def _union_find_components(
+    edge_rows, id_col: str, spark, value_type: str = "bigint"
+) -> DataFrame:
     """Exact union-find over a collected edge list (path compression +
     union by min representative). Returns (id_col, component) with
     component = min reachable node — identical semantics to the
@@ -677,7 +679,9 @@ def _union_find_components(edge_rows, id_col: str, spark) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, f"{id_col} long, component long")
+    return spark.createDataFrame(
+        rows, f"{id_col} {value_type}, component {value_type}"
+    )
 
 
 def connected_components(
@@ -724,7 +728,10 @@ def connected_components(
     )
     if edges.count() <= driver_edge_cap:
         resolved = _union_find_components(
-            [(r["src"], r["dst"]) for r in edges.collect()], id_col, spark
+            [(r["src"], r["dst"]) for r in edges.collect()],
+            id_col,
+            spark,
+            value_type=edges.schema["src"].dataType.simpleString(),
         )
         if nodes is None:
             return resolved
