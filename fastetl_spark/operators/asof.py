@@ -176,3 +176,91 @@ def asof_join_cogrouped_pandas(
         .cogroup(right.groupBy(on))
         .applyInPandas(merge, schema)
     )
+
+
+# --- linear interpolation at probe times ---------------------------------
+
+_INTERP_PROBES = [f"2024-01-{d:02d} 12:00:00" for d in (5, 10, 15, 20, 25)]
+
+_INTERP_SQL = f"""
+WITH probes AS (
+  SELECT u.user_id, p.t
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (
+    SELECT CAST(unnest([{", ".join(f"TIMESTAMP '{p}'" for p in _INTERP_PROBES)}])
+                AS TIMESTAMP) AS t
+  ) p
+), sides AS (
+  SELECT p.user_id, p.t,
+         arg_max(struct_pack(tu := epoch_us(e.ts), v := e.value),
+                 epoch_us(e.ts))
+           FILTER (WHERE e.ts <= p.t) AS prev,
+         arg_min(struct_pack(tu := epoch_us(e.ts), v := e.value),
+                 epoch_us(e.ts))
+           FILTER (WHERE e.ts > p.t) AS next
+  FROM probes p JOIN events e ON e.user_id = p.user_id
+  GROUP BY p.user_id, p.t
+)
+SELECT user_id, t AS probe_t,
+       prev.tu AS prev_ts_us, next.tu AS next_ts_us,
+       CASE WHEN prev.tu IS NOT NULL AND next.tu IS NOT NULL THEN
+         (prev.v * (next.tu - epoch_us(t)) + next.v * (epoch_us(t) - prev.tu))
+           / (next.tu - prev.tu)
+       END AS v_interp
+FROM sides
+"""
+
+
+@query("time_interpolate_linear", _INTERP_SQL)
+def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear interpolation of `value` at fixed probe
+    timestamps: bracket each probe with the last event at-or-before and
+    the first event after (timestamps are unique per user in this corpus;
+    pre-dedupe or add a disambiguator column where they are not),
+    then interpolate on microsecond integers. The weighted sum runs in
+    ONE identical IEEE shape — double*bigint products, one add, one
+    divide — so the interpolated doubles are bit-identical to DuckDB's,
+    not merely close; probes outside a user's observed span yield NULL
+    (strict interior interpolation, no extrapolation guessing).
+
+    Scale shape: probes join to events on user_id (one key shuffle) and
+    collapse immediately through FILTERed max_by/min_by aggregation —
+    the bracketing never materializes a per-(probe, event) sort. With a
+    dense probe grid use the asof_join union-window form instead; the
+    aggregate form wins when |probes| per key is small."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    probe_arr = F.array(
+        *[F.lit(p).cast("timestamp") for p in _INTERP_PROBES]
+    )
+    probes = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(probe_arr).alias("t"))
+    )
+    joined = probes.join(ev, "user_id")
+    sides = joined.groupBy("user_id", "t").agg(
+        F.expr(
+            "max_by(struct(unix_micros(ts) AS tu, value AS v),"
+            " unix_micros(ts)) FILTER (WHERE ts <= t)"
+        ).alias("prev"),
+        F.expr(
+            "min_by(struct(unix_micros(ts) AS tu, value AS v),"
+            " unix_micros(ts)) FILTER (WHERE ts > t)"
+        ).alias("next"),
+    )
+    tu = F.unix_micros(F.col("t"))
+    interp = (
+        F.col("prev.v") * (F.col("next.tu") - tu)
+        + F.col("next.v") * (tu - F.col("prev.tu"))
+    ) / (F.col("next.tu") - F.col("prev.tu"))
+    return sides.select(
+        "user_id",
+        F.col("t").alias("probe_t"),
+        F.col("prev.tu").alias("prev_ts_us"),
+        F.col("next.tu").alias("next_ts_us"),
+        F.when(
+            F.col("prev.tu").isNotNull() & F.col("next.tu").isNotNull(), interp
+        ).alias("v_interp"),
+    )

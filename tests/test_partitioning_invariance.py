@@ -22,6 +22,8 @@ QUERIES = [
     "mixture_temperature_weights",  # quantized-sqrt numerators
     "decayed_user_scores",    # power-of-two decay, integer sums
     "embedding_dim_zscore_params",  # exact quantized moments
+    "time_interpolate_linear",  # one-shape weighted interpolation
+    "ann_recall_at_k",        # quantized-integer ranking keys
 ]
 
 _KEY = lambda t: tuple((v is None, v) for v in t)  # noqa: E731  None-safe sort
