@@ -568,6 +568,55 @@ class Engine:
             )
         return dispatch[method](docs)
 
+    def spatial_neighbors(self, pts: DataFrame, id_col: str = "user_id",
+                          radius: int = 256) -> DataFrame:
+        """All point pairs within `radius` over an (id, x, y) integer
+        frame via grid binning (operators/spatial.grid_neighbor_pairs):
+        one cell-key shuffle per side, pair work bounded by local
+        density, exact BIGINT distances."""
+        from fastetl_spark.operators.spatial import grid_neighbor_pairs
+
+        return grid_neighbor_pairs(pts, id_col=id_col, r=radius)
+
+    def bloom_prefilter(self, probe: DataFrame, probe_key: str,
+                        build_keys: DataFrame, key_col: str) -> DataFrame:
+        """Tag probe rows with Bloom membership of `build_keys`
+        (operators/bloomjoin): broadcast bit-position lookups, no probe
+        shuffle; false positives possible, false negatives never —
+        filter on `bloom_pass` before an expensive join."""
+        from fastetl_spark.operators.bloomjoin import bloom_prefilter
+
+        return bloom_prefilter(probe, probe_key, build_keys, key_col)
+
+    def join_view_delta(self, a_old: DataFrame, a_new: DataFrame,
+                        b_old: DataFrame, b_new: DataFrame,
+                        on: list[str]) -> DataFrame:
+        """Maintenance delta of an inner-join view under insert-only
+        increments (operators/ivm): dA><B0 + A0><dB + dA><dB with
+        broadcast increments — O(|increment|) join work."""
+        from fastetl_spark.operators.ivm import join_view_delta
+
+        return join_view_delta(a_old, a_new, b_old, b_new, on)
+
+    def distinct_view_delta(self, view_vals: DataFrame,
+                            increment: DataFrame) -> DataFrame:
+        """New members a DISTINCT view gains from `increment`
+        (operators/ivm): distinct(increment) anti-joined on the view."""
+        from fastetl_spark.operators.ivm import distinct_view_delta
+
+        return distinct_view_delta(view_vals, increment)
+
+    def resolve_entities(self, pairs: DataFrame, nodes: DataFrame,
+                         a_col: str, b_col: str, id_col: str) -> DataFrame:
+        """Transitive entity clusters from candidate pairs
+        (dedup.connected_components, generic over node type): each id
+        mapped to the smallest reachable id as `component`."""
+        from fastetl_spark.operators.dedup import connected_components
+
+        return connected_components(
+            pairs, nodes=nodes, a_col=a_col, b_col=b_col, id_col=id_col
+        )
+
 
 # --- operator-shaped wrappers (reference operator parity) ----------------
 

@@ -262,3 +262,44 @@ def test_engine_storage_report_flags_fragmentation(spark, tmp_path):
     rep2 = eng.storage_report(frag)
     assert rep2["n_files"] < rep["n_files"]
     assert rep2["compaction_advised"] is False
+
+
+def test_engine_round5_wrappers(spark):
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 10, 0), (3, 3000, 3000)], "user_id long, x long, y long"
+    )
+    pairs = {(r.u, r.v) for r in eng.spatial_neighbors(pts, radius=64).collect()}
+    assert pairs == {(1, 2)}
+
+    probe = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    build = spark.createDataFrame([(7,), (9,)], "k long")
+    tagged = eng.bloom_prefilter(probe, "k", build, "k")
+    passing = {r.k for r in tagged.filter(F.col("bloom_pass")).collect()}
+    assert {7, 9} <= passing
+
+    a0 = spark.createDataFrame([(1, 10)], "aid long, k long")
+    da = spark.createDataFrame([(2, 10)], "aid long, k long")
+    b0 = spark.createDataFrame([(5, 10)], "bid long, k long")
+    db = spark.createDataFrame([(6, 10)], "bid long, k long")
+    delta = eng.join_view_delta(a0, da, b0, db, ["k"]).collect()
+    assert {(r.aid, r.bid, r.delta_src) for r in delta} == {
+        (2, 5, "new_a"), (1, 6, "new_b"), (2, 6, "both_new"),
+    }
+
+    view = spark.createDataFrame([(1,)], "v long")
+    inc = spark.createDataFrame([(1,), (2,), (2,)], "v long")
+    assert [r.v for r in eng.distinct_view_delta(view, inc).collect()] == [2]
+
+    er_pairs = spark.createDataFrame([("b", "a")], "x string, y string")
+    er_nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "n string")
+    got = {
+        r.n: r.component
+        for r in eng.resolve_entities(er_pairs, er_nodes, "x", "y", "n").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c"}
