@@ -70,6 +70,12 @@ HEADLINE = [
     "bucketed_time_travel",
     "semantic_dedup",
     "sparse_cosine_shingles",
+    "spatial_neighbor_pairs",
+    "ann_recall_at_k",
+    "bloom_semi_join_stats",
+    "ivm_join_delta",
+    "entity_resolution_map",
+    "time_interpolate_linear",
 ]
 
 

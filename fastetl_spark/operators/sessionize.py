@@ -477,3 +477,49 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.col("a_user_id").alias("user_a"), F.col("b_user_id").alias("user_b")
     ).agg(F.count(F.lit(1)).alias("n_session_overlaps"))
+
+
+# --- continuous-aggregate rollup cascade ---------------------------------
+
+_CASCADE_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query("rollup_cascade_daily", _CASCADE_SQL)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (the hypertable/materialized-rollup
+    pattern): raw events collapse to HOUR partials once, days re-sum
+    the hour partials (months would re-sum days) — the raw table is
+    scanned exactly once, at the finest level. The oracle aggregates
+    the day DIRECTLY from raw, so the hash match proves the cascade's
+    merge associativity (exact DECIMAL partials make re-summation
+    lossless; a double cascade would NOT hash-match).
+
+    Scale shape: this is how a 100 TB metrics pipeline maintains
+    day/month rollups — each level reads the much-smaller level below,
+    and incremental refresh (incremental_agg_merge, sync.py:259) only
+    touches the partial rows of changed hours."""
+    from fastetl_spark.functions.stable import dec
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    hours = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
+    return (
+        hours.groupBy(F.date_trunc("day", F.col("hour")).alias("day"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).cast("double").alias("total_value"),
+        )
+    )
