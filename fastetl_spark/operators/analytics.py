@@ -540,3 +540,96 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recommended_salt"
         ),
     )
+
+
+# --- A/B experiment readout ----------------------------------------------
+
+_AB_SALT = 777
+_AB_HASH_A = 2654435761
+_AB_HASH_M = 4294967296
+
+
+_AB_SQL = f"""
+WITH arms AS (
+  SELECT user_id,
+         ((user_id % {_AB_HASH_M}) * {_AB_HASH_A} + {_AB_SALT})
+           % {_AB_HASH_M} % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)
+           AS converted
+  FROM events
+  GROUP BY user_id
+), agg AS (
+  SELECT
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_control,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treatment,
+    SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_control,
+    SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_treatment
+  FROM arms
+)
+SELECT CAST(n_control AS BIGINT) AS n_control,
+       CAST(n_treatment AS BIGINT) AS n_treatment,
+       CAST(conv_control AS BIGINT) AS conv_control,
+       CAST(conv_treatment AS BIGINT) AS conv_treatment,
+       (CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+        - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+       / sqrt(
+           (CAST(conv_control + conv_treatment AS DOUBLE)
+            / CAST(n_control + n_treatment AS DOUBLE))
+           * (1.0 - CAST(conv_control + conv_treatment AS DOUBLE)
+                    / CAST(n_control + n_treatment AS DOUBLE))
+           * (1.0 / CAST(n_control AS DOUBLE)
+              + 1.0 / CAST(n_treatment AS DOUBLE))
+         ) AS z_score
+FROM agg
+"""
+
+
+@query("experiment_arm_metrics", _AB_SQL)
+def experiment_arm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout with a DETERMINISTIC arm assignment (the same Knuth
+    id-hash the sampling module uses — the same user lands in the same
+    arm on any cluster, any run): per-arm user and converter counts
+    plus the two-proportion pooled z-statistic (conversion = any
+    high-value purchase; every user purchases SOMETHING in this corpus,
+    so plain purchase-conversion would be the degenerate pooled=1). The z is doubles-from-
+    exact-integers pushed through ONE shared expression shape, so even
+    the test statistic hash-matches DuckDB bit-for-bit.
+
+    Scale shape: one groupBy(user_id) to collapse events to (arm,
+    converted), then a single global conditional aggregation — two
+    shuffles total, the second over per-user rows only."""
+    from fastetl_spark.operators.sampling import hash_bucket
+
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        hash_bucket("user_id", buckets=2, salt=_AB_SALT).alias("arm"),
+        "converted",
+    )
+    agg = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_treatment"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_control"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_treatment"
+        ),
+    )
+    nc = F.col("n_control").cast("double")
+    nt = F.col("n_treatment").cast("double")
+    cc = F.col("conv_control").cast("double")
+    ct = F.col("conv_treatment").cast("double")
+    pooled = (F.col("conv_control") + F.col("conv_treatment")).cast("double") / (
+        F.col("n_control") + F.col("n_treatment")
+    ).cast("double")
+    z = (ct / nt - cc / nc) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / nc + F.lit(1.0) / nt)
+    )
+    return agg.select(
+        "n_control", "n_treatment", "conv_control", "conv_treatment",
+        z.alias("z_score"),
+    )
