@@ -193,15 +193,17 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_cands = ivf_cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cands"))
+    # every frame below is probe-set-sized (<= |Q|*k rows) — broadcast
+    # the assembly joins so no sort-merge exchange survives in the plan
     n_hits = (
-        brute_top.join(ivf_top, ["query_id", "neighbor_id"])
+        brute_top.join(broadcast(ivf_top), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     return (
         q.select("query_id", F.col("qcell").alias("cell"))
-        .join(n_cands, "query_id", "left")
-        .join(n_hits, "query_id", "left")
+        .join(broadcast(n_cands), "query_id", "left")
+        .join(broadcast(n_hits), "query_id", "left")
         .select(
             "query_id",
             "cell",
