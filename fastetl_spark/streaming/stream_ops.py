@@ -865,3 +865,82 @@ def streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk").alias("chunk_md5"),
     )
     return _drain_to_memory(chunks, "st_chunk_", "append")
+
+
+# --- streaming IVM: fact stream x static dim view (11th gated run) -------
+
+
+def make_view_delta_batch(dest_path: str, dim: DataFrame, on: str):
+    """foreachBatch body for incremental JOIN-VIEW maintenance: each
+    fact micro-batch joins the BROADCAST static dimension and APPENDS
+    its delta rows to the view (operators/ivm.join_view_delta's dA><B
+    term — the only term a fact-only stream produces). A per-batch
+    commit marker makes redelivered batches no-ops, so the append-only
+    view never double-counts a delta."""
+    from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
+
+    commits_dir = dest_path.rstrip("/") + ".__commits__"
+
+    def view_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{commits_dir}/{int(batch_id)}"
+        fs, path_cls = hadoop_fs(spark, dest_path)
+        if fs.exists(path_cls(marker)):
+            return  # redelivered batch: delta already appended
+        delta = batch_df.join(F.broadcast(dim), on)
+        delta.write.mode("append").parquet(dest_path)
+        write_text_file(spark, marker, "")
+
+    return view_batch
+
+
+_STREAM_IVM_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@query("streaming_ivm_join_state", _STREAM_IVM_SQL)
+def streaming_ivm_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eleventh streaming gate: incremental maintenance of the
+    orders><customer JOIN VIEW. The view is initialized from the
+    pre-cutoff orders, then the post-cutoff orders arrive as 3 real
+    micro-batches (maxFilesPerTrigger=1) and each batch's delta —
+    batch rows joined to the broadcast customer dimension — is
+    appended under a redelivery commit marker. The oracle computes the
+    FULL join from scratch, so a dropped batch, a double-appended
+    delta, or a stale dimension row all fail the hash. This is the
+    streaming half of the ivm_join_delta algebra (operators/ivm.py):
+    per-trigger work is O(|batch|), the view is never rebuilt."""
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.ivm import _ORD_CUTOFF
+
+    root = _scratch_root(sf_dir, "stream_ivm")
+    in_dir, dest, ckpt = f"{root}/in", f"{root}/dest", f"{root}/ckpt"
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    dim = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    cutoff = F.lit(_ORD_CUTOFF).cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate")
+    inc = o.filter(F.col("o_orderdate") >= cutoff).drop("o_orderdate")
+    # initialize the view with the base join (one-time backfill)
+    base.join(F.broadcast(dim), "o_custkey").write.mode("overwrite").parquet(dest)
+    _stage_slices(inc, root, in_dir, F.col("o_orderkey") % 3)
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_view_delta_batch(dest, dim, "o_custkey"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )

@@ -248,3 +248,21 @@ def test_cdc_batch_applies_ops_and_skips_redelivery(spark, tmp_path):
     apply_batch(poison, 0)
     state2 = {r.id: r.v for r in read_bucketed(spark, dest).collect()}
     assert state2 == state
+
+
+def test_ivm_view_batch_redelivery_noop(spark, tmp_path):
+    from fastetl_spark.streaming.stream_ops import make_view_delta_batch
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, seg string")
+    dest = str(tmp_path / "view")
+    spark.createDataFrame([(10, 1)], "oid long, k long").join(
+        dim, "k"
+    ).write.parquet(dest)
+    batch = spark.createDataFrame([(11, 2), (12, 1)], "oid long, k long")
+    apply_batch = make_view_delta_batch(dest, dim, "k")
+    apply_batch(batch, 7)
+    once = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    apply_batch(batch, 7)  # redelivered micro-batch must be a no-op
+    twice = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    assert once == twice
+    assert len(once) == 3  # base row + two delta rows
