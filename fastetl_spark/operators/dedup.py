@@ -980,3 +980,177 @@ def dedup_increment_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = d.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
     corpus = d.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
     return incremental_jaccard_matches(corpus, inc)
+
+
+# --- LSH quality evaluation under the gate -------------------------------
+
+# The dedup twin of ann_recall_at_k: precision AND recall of the
+# portable MinHash-LSH candidate generator, measured against the
+# REACHABLE exact-Jaccard truth set (pairs sharing at least one
+# df-capped shingle, verified with full-set Jaccard — the same
+# stopword-shingle cap discipline both candidate generators live
+# under; a pair similar ONLY through ultra-common shingles is outside
+# both, identically in both engines).
+_LSH_EVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= {_SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tokens) - {_SHINGLE_N - 1}),
+                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+              ELSE [] END AS shingles
+  FROM toks
+), hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_M31}) AS hs
+  FROM shingled WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, {_MINHASH_K}),
+           i -> list_min(list_transform(hs,
+                  h -> (h * (2*i + 1) + i * 7919) % {_M31}))) AS sig
+  FROM hashed
+), banded AS (
+  SELECT doc_id, b AS band,
+         array_to_string(list_transform(
+           range(b*{_MINHASH_K // _MINHASH_BANDS},
+                 (b+1)*{_MINHASH_K // _MINHASH_BANDS}),
+           r -> CAST(sig[r + 1] AS VARCHAR)), '_') AS band_key
+  FROM sigs, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) bands
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), cand_j AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand c
+  JOIN hashed sa ON sa.doc_id = c.id_a
+  JOIN hashed sb ON sb.doc_id = c.id_b
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM hashed
+), kept AS (
+  SELECT shingle FROM exploded GROUP BY shingle
+  HAVING COUNT(*) BETWEEN 2 AND {_JACCARD_DF_CAP}
+), reach AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM kept)
+), truth AS (
+  SELECT r.id_a, r.id_b
+  FROM reach r
+  JOIN hashed sa ON sa.doc_id = r.id_a
+  JOIN hashed sb ON sb.doc_id = r.id_b
+  WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)))
+        >= {_JACCARD_THRESHOLD}
+), cstats AS (
+  SELECT COUNT(*) AS n_cand,
+         SUM(CASE WHEN jaccard >= {_JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS n_tp
+  FROM cand_j
+), tstats AS (
+  SELECT COUNT(*) AS n_truth,
+         SUM(CASE WHEN c.id_a IS NULL THEN 1 ELSE 0 END) AS n_missed
+  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CAST(n_cand - n_tp AS BIGINT) AS n_fp,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_missed AS BIGINT) AS n_missed
+FROM cstats, tstats
+"""
+
+
+@query("dedup_lsh_eval", _LSH_EVAL_SQL)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the portable MinHash-LSH candidate generator
+    against the reachable exact-Jaccard truth set, in one row of exact
+    integers: candidates, true/false positives (full-set Jaccard >=
+    threshold), truth pairs, and truth pairs the banding MISSED. The
+    dedup twin of ann_recall_at_k — the quality of the approximate
+    path itself is hash-gated, not asserted.
+
+    Scale shape: truth generation is the df-capped shared-shingle join
+    (never all-pairs); the LSH side is the banding pipeline. Run on a
+    SAMPLED document stratum in production — the metric needs a truth
+    set, and truth costs more than the LSH it evaluates."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens")).filter(
+        F.size(F.col("tokens")) >= _SHINGLE_N
+    )
+    sh = tok.select(
+        "doc_id", word_shingles(F.col("tokens"), _SHINGLE_N).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            "shingles", lambda s: F.pmod(md5_prefix_hash(s), F.lit(_M31))
+        ).alias("hs"),
+    ).transform(materialize)
+    sigs = hashed.select(
+        "doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig")
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig").transform(materialize)
+
+    shn = hashed.select("doc_id", F.col("shingles").alias("sh"))
+    a = shn.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shn.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+
+    def full_jaccard(df: DataFrame) -> Column:
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return inter * F.lit(1.0) / (
+            F.size("sh_a") + F.size("sh_b") - inter
+        )
+
+    cand_j = cands.join(a, "id_a").join(b, "id_b")
+    cstats = cand_j.agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(
+            (full_jaccard(cand_j) >= _JACCARD_THRESHOLD).cast("long")
+        ).alias("n_tp"),
+    )
+
+    exploded = hashed.select("doc_id", F.explode("shingles").alias("shingle"))
+    kept = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _JACCARD_DF_CAP))
+        .select("shingle")
+    )
+    ek = exploded.join(kept, "shingle")
+    reach = (
+        ek.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(ek.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    reach_j = reach.join(a, "id_a").join(b, "id_b")
+    truth = reach_j.filter(full_jaccard(reach_j) >= _JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    tstats = (
+        truth.join(
+            cands.withColumn("in_cand", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.col("in_cand").isNull().cast("long")).alias("n_missed"),
+        )
+    )
+    return cstats.crossJoin(tstats).select(
+        "n_cand",
+        "n_tp",
+        (F.col("n_cand") - F.col("n_tp")).alias("n_fp"),
+        "n_truth",
+        "n_missed",
+    )
