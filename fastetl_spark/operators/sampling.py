@@ -377,3 +377,63 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
     )
+
+
+# --- cross-split leakage audit -------------------------------------------
+
+
+def _leakage_sql() -> str:
+    from fastetl_spark.operators.dedup import _JACCARD_SQL
+
+    # reuse the gated Jaccard pair SQL verbatim as a subquery, then tag
+    # both sides with the deterministic split and keep boundary-crossers
+    return f"""
+WITH pairs AS ({_JACCARD_SQL}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, (doc_id * {_HASH_A}) % {_HASH_M} % 100 AS bucket
+    FROM documents
+  ) t
+)
+SELECT p.doc_a, p.doc_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.doc_a
+JOIN splits sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+"""
+
+
+@query("split_leakage_report", _leakage_sql())
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs (df-capped
+    shingle Jaccard, dedup.ngram_jaccard_pairs) whose two documents
+    land in DIFFERENT deterministic splits — each row is an eval
+    example leaked into training (or vice versa). The fix loop: feed
+    these pairs to connected_components and move whole clusters to one
+    split. Composes two gated operators, so the leakage report itself
+    is hash-proven.
+
+    Scale shape: the pair table is the output of candidate generation
+    (orders of magnitude smaller than the corpus); split tagging is a
+    pure doc_id function (broadcast-free narrow map on each side)."""
+    from fastetl_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(d)
+    b = hash_bucket("doc_id")
+    splits = d.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
