@@ -91,7 +91,29 @@ def main(sf_dir: str, work: str) -> None:
     kept = eng.semantic_dedup(emb, "vec_id", "embedding")
     print(f"semantic_dedup kept: {kept.filter(F.col('is_kept')).count()}/{kept.count()}")
 
-    # 6. ops reports --------------------------------------------------------
+    # 6. view maintenance + join prefilter ---------------------------------
+    customers = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    o = read_table(spark, sf_dir, "orders")
+    delta = eng.join_view_delta(
+        o.filter(F.col("o_orderdate") < cutoff).select("o_orderkey", "o_custkey"),
+        o.filter(F.col("o_orderdate") >= cutoff).select("o_orderkey", "o_custkey"),
+        customers.withColumnRenamed("c_custkey", "o_custkey"),
+        customers.withColumnRenamed("c_custkey", "o_custkey").limit(0),
+        ["o_custkey"],
+    )  # static dimension: only the dA><B term produces delta rows
+    print(f"join-view delta rows (vs full rejoin): {delta.count()}")
+    tagged = eng.bloom_prefilter(
+        o.select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        customers.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+        "c_custkey",
+    )
+    print(f"bloom-pass orders: {tagged.filter(F.col('bloom_pass')).count()}")
+
+    # 7. ops reports --------------------------------------------------------
     from fastetl_spark.operators.analytics import (
         join_skew_diagnosis,
         source_reputation_report,
