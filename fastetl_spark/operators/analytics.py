@@ -544,16 +544,21 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A/B experiment readout ----------------------------------------------
 
+from fastetl_spark.operators.sampling import _HASH_A, _HASH_M  # noqa: E402
+
 _AB_SALT = 777
-_AB_HASH_A = 2654435761
-_AB_HASH_M = 4294967296
 
 
+# arm = (scrambled bucket 0..99) < 50 — NOT `% 2`: with a power-of-two
+# modulus the multiplicative hash's low bit degenerates to flipped id
+# parity (zero mixing — review finding), which would confound the arms
+# with any parity-structured id scheme. The mod-100 bucket uses the
+# full scrambled value; halving it keeps the 50/50 split well-mixed.
 _AB_SQL = f"""
 WITH arms AS (
   SELECT user_id,
-         ((user_id % {_AB_HASH_M}) * {_AB_HASH_A} + {_AB_SALT})
-           % {_AB_HASH_M} % 2 AS arm,
+         CASE WHEN ((user_id % {_HASH_M}) * {_HASH_A} + {_AB_SALT})
+                     % {_HASH_M} % 100 < 50 THEN 0 ELSE 1 END AS arm,
          MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)
            AS converted
   FROM events
@@ -606,7 +611,9 @@ def experiment_arm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
         ).alias("converted")
     ).select(
-        hash_bucket("user_id", buckets=2, salt=_AB_SALT).alias("arm"),
+        F.when(hash_bucket("user_id", buckets=100, salt=_AB_SALT) < 50, 0)
+        .otherwise(1)
+        .alias("arm"),
         "converted",
     )
     agg = arms.agg(

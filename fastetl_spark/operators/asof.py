@@ -229,7 +229,7 @@ def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense probe grid use the asof_join union-window form instead; the
     aggregate form wins when |probes| per key is small."""
     ev = read_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
     probe_arr = F.array(
         *[F.lit(p).cast("timestamp") for p in _INTERP_PROBES]

@@ -47,7 +47,7 @@ def join_view_delta(
     dA><B0 + A0><dB + dA><dB, each tagged with its provenance term.
     Increments are broadcast — the base sides are only key-probed."""
     return (
-        a_new.join(b_old, on).withColumn("delta_src", F.lit("new_a"))
+        broadcast(a_new).join(b_old, on).withColumn("delta_src", F.lit("new_a"))
         .unionByName(a_old.join(broadcast(b_new), on).withColumn("delta_src", F.lit("new_b")))
         .unionByName(a_new.join(broadcast(b_new), on).withColumn("delta_src", F.lit("both_new")))
     )
@@ -113,8 +113,21 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def distinct_view_delta(view_vals: DataFrame, increment: DataFrame) -> DataFrame:
     """New members of a DISTINCT view: distinct(increment) anti-joined
-    against the existing view — O(|increment|) join work."""
-    return increment.distinct().join(view_vals, increment.columns, "left_anti")
+    against the existing view — O(|increment|) join work. The anti-join
+    keys are NULL-SAFE (<=>): DISTINCT/EXCEPT algebra treats NULLs as
+    equal, so a (1, NULL) already in the view must not be reported as
+    new on every refresh (a plain equality anti-join would — review
+    finding)."""
+    cols = increment.columns
+    inc = increment.distinct().alias("__inc")
+    vw = view_vals.alias("__vw")
+    cond = None
+    for c in cols:
+        eq = F.col(f"__inc.{c}").eqNullSafe(F.col(f"__vw.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return inc.join(vw, cond, "left_anti").select(
+        *[F.col(f"__inc.{c}").alias(c) for c in cols]
+    )
 
 
 @query(

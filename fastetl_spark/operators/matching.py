@@ -49,6 +49,14 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_name").distinct()
         .transform(materialize)
     )
+    return fuzzy_pairs_from_names(names)
+
+
+def fuzzy_pairs_from_names(names: DataFrame) -> DataFrame:
+    """Length-banded edit-distance pair generation over an ALREADY
+    materialized distinct-name dictionary — callers composing multiple
+    stages on the same dictionary (entity_resolution_map) pass it once
+    instead of re-scanning and re-distincting the fact table."""
     a = names.select(F.col("p_name").alias("name_a"), F.length("p_name").alias("len_a"))
     b = names.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("len_b"))
     return (
@@ -109,7 +117,7 @@ def entity_resolution_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_name").distinct()
         .transform(materialize)
     )
-    pairs = fuzzy_name_pairs(spark, sf_dir)
+    pairs = fuzzy_pairs_from_names(names)
     clusters = connected_components(
         pairs, nodes=names, a_col="name_a", b_col="name_b", id_col="p_name"
     )

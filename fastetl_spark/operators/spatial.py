@@ -25,8 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.sql import Column
+
 from fastetl_spark.io.readers import ensure_parallelism, read_table
-from fastetl_spark.operators.sampling import _HASH_A, _HASH_M, hash_bucket
+from fastetl_spark.operators.sampling import _HASH_M
 from fastetl_spark.registry import query
 
 # Coordinate domain: 4096 x 4096 integer grid ("micro-degrees"); cell
@@ -35,16 +37,39 @@ from fastetl_spark.registry import query
 _DOMAIN = 4096
 _RADIUS = 256
 _R2 = _RADIUS * _RADIUS
-_CELL = _RADIUS  # cell edge; >= radius is the correctness requirement
+_CELL = _RADIUS  # stencil cell edge for the hotspot query
 
-# x/y salts decorrelate the two coordinates of the same user
-_SALT_X = 101
-_SALT_Y = 202
+# Each coordinate uses its OWN odd multiplier (Knuth / xxhash public
+# primes) and takes the TOP 12 bits of the 32-bit product. An additive
+# salt on one multiplier would NOT decorrelate (y would be a near-copy
+# of x: the +salt only shifts the same sequence), and the LOW bits of
+# k*A mod 2^32 with a power-of-two modulus degenerate to raw id
+# residues — both found in review; distinct multipliers + high bits
+# give genuinely 2-D scattered points.
+_MULT_X = 2654435761
+_MULT_Y = 2246822519
+_HI_SHIFT = _HASH_M // _DOMAIN  # 2^20: top 12 of 32 bits
+
+
+def _coord(key: str, mult: int) -> Column:
+    """Top-12-bits coordinate of (key * mult) mod 2^32, with the same
+    overflow-safe split multiply as sampling.hash_bucket (naive k*mult
+    overflows a long for snowflake-scale ids under ANSI). DuckDB twin:
+    ``((key % 2^32) * mult) % 2^32 // 2^20`` in INT128."""
+    k = F.pmod(F.col(key), F.lit(_HASH_M))
+    kh = (k / F.lit(65536)).cast("long")  # exact: k < 2^32 < 2^53
+    kl = k % F.lit(65536)
+    mixed = F.pmod(
+        F.pmod(kh * F.lit(mult), F.lit(_HASH_M)) * F.lit(65536) + kl * F.lit(mult),
+        F.lit(_HASH_M),
+    )
+    return (mixed / F.lit(_HI_SHIFT)).cast("long")  # floor: mixed >= 0
+
 
 _PTS_SQL = f"""
   SELECT user_id,
-         ((user_id % {_HASH_M}) * {_HASH_A} + {_SALT_X}) % {_HASH_M} % {_DOMAIN} AS x,
-         ((user_id % {_HASH_M}) * {_HASH_A} + {_SALT_Y}) % {_HASH_M} % {_DOMAIN} AS y
+         ((user_id % {_HASH_M}) * {_MULT_X}) % {_HASH_M} // {_HI_SHIFT} AS x,
+         ((user_id % {_HASH_M}) * {_MULT_Y}) % {_HASH_M} // {_HI_SHIFT} AS y
   FROM (SELECT DISTINCT user_id FROM events)
 """
 
@@ -57,9 +82,20 @@ def spatial_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "user_id",
-            hash_bucket("user_id", buckets=_DOMAIN, salt=_SALT_X).alias("x"),
-            hash_bucket("user_id", buckets=_DOMAIN, salt=_SALT_Y).alias("y"),
+            _coord("user_id", _MULT_X).alias("x"),
+            _coord("user_id", _MULT_Y).alias("y"),
         )
+    )
+
+
+def _offsets_3x3() -> Column:
+    """Literal array of the nine (dx, dy) cell offsets."""
+    return F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
     )
 
 
@@ -67,7 +103,7 @@ def grid_neighbor_pairs(
     pts: DataFrame, id_col: str = "user_id", r: int = _RADIUS
 ) -> DataFrame:
     """All unordered point pairs within Euclidean distance ``r`` via
-    grid binning: snap to cells of edge r, explode the LEFT side into
+    grid binning: snap to cells of edge exactly r (any r — the cell\n    size is DERIVED from the radius, preserving the 3x3 completeness\n    bound), explode the LEFT side into
     its 3x3 neighborhood, equi-join on the cell key, then apply the
     exact distance filter. Each qualifying pair matches exactly once
     (the right point's single cell meets exactly one of the left
@@ -79,22 +115,16 @@ def grid_neighbor_pairs(
     neighborhood, so pair work is density-bounded, not |pts|^2. Skewed
     cells (urban hotspots) are AQE-splittable because the join is a
     plain equi-join on (cx, cy)."""
+    cell = max(int(r), 1)  # cell edge = radius: the 3x3 completeness bound
     cells = pts.select(
         F.col(id_col),
         "x",
         "y",
-        (F.col("x") / _CELL).cast("long").alias("cx"),
-        (F.col("y") / _CELL).cast("long").alias("cy"),
-    )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
+        (F.col("x") / cell).cast("long").alias("cx"),
+        (F.col("y") / cell).cast("long").alias("cy"),
     )
     a = (
-        cells.withColumn("o", F.explode(offsets))
+        cells.withColumn("o", F.explode(_offsets_3x3()))
         .select(
             F.col(id_col).alias("u"),
             F.col("x").alias("ax"),
@@ -171,14 +201,7 @@ def spatial_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cx", "cy")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    contrib = cells.withColumn("o", F.explode(offsets)).select(
+    contrib = cells.withColumn("o", F.explode(_offsets_3x3())).select(
         (F.col("cx") + F.col("o.dx")).alias("cx"),
         (F.col("cy") + F.col("o.dy")).alias("cy"),
         F.col("n_points").alias("c"),

@@ -72,3 +72,15 @@ def test_distinct_delta_disjoint_from_view(spark):
     inc = _mk(spark, [(1, "a"), (1, "c"), (3, "b"), (3, "b")], "u long, t string")
     got = sorted(map(tuple, distinct_view_delta(view, inc).collect()))
     assert got == [(1, "c"), (3, "b")]
+
+
+def test_distinct_delta_null_keys_match_except_semantics(spark):
+    # EXCEPT treats NULLs as equal: a (1, NULL) already in the view is
+    # NOT new, and a fresh (2, NULL) IS reported once
+    view = _mk(spark, [(1, None), (3, "c")], "u long, t string")
+    inc = _mk(spark, [(1, None), (2, None), (2, None)], "u long, t string")
+    got = sorted(
+        ((r.u, r.t) for r in distinct_view_delta(view, inc).collect()),
+        key=lambda p: (p[0], p[1] or ""),
+    )
+    assert got == [(2, None)]

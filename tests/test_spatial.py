@@ -14,7 +14,6 @@ from fastetl_spark.operators.spatial import (
     _RADIUS,
     grid_neighbor_pairs,
     spatial_grid_hotspots,
-    spatial_knn_within_radius,
     spatial_points,
 )
 
@@ -80,12 +79,37 @@ def test_hotspot_stencil_invariants(spark, sf_dir):
         assert c.neighborhood_points >= c.n_points > 0
 
 
-def test_knn_ranks_sorted_and_capped(spark, sf_dir):
-    rows = spatial_knn_within_radius(spark, sf_dir).collect()
+def test_knn_ranks_sorted_and_capped(spark):
+    # synthetic cluster: guaranteed neighbors regardless of fixture SF
+    # (the 15-user sf0.001 scatter can legitimately have zero pairs)
+    from fastetl_spark.operators.spatial import grid_neighbor_pairs
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pts = spark.createDataFrame(
+        [(i, 100 + 30 * i, 200 + 20 * (i % 4)) for i in range(8)]
+        + [(99, 3900, 3900)],
+        "user_id long, x long, y long",
+    )
+    pairs = grid_neighbor_pairs(pts, r=_RADIUS)
+    both = pairs.select(
+        F.col("u").alias("user_id"), F.col("v").alias("neighbor_id"), "dist2"
+    ).unionAll(
+        pairs.select(
+            F.col("v").alias("user_id"), F.col("u").alias("neighbor_id"), "dist2"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("dist2", "neighbor_id")
+    rows = (
+        both.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .collect()
+    )
     assert rows
     by_user: dict[int, list] = {}
     for r_ in rows:
         by_user.setdefault(r_.user_id, []).append(r_)
+    assert 99 not in by_user  # the far outlier has no within-radius peer
     r2 = _RADIUS * _RADIUS
     for _, nbrs in by_user.items():
         nbrs.sort(key=lambda n: n.rank)
@@ -102,3 +126,22 @@ def test_neighbor_pairs_partition_invariant(spark, sf_dir):
         map(tuple, grid_neighbor_pairs(base.repartition(7, "user_id")).collect())
     )
     assert a == b
+
+
+def test_grid_equals_brute_with_radius_larger_than_default_cell(spark):
+    # regression: cell size must DERIVE from r — with a fixed 256 cell,
+    # r=512 pairs spanning 2+ cells were silently dropped
+    rows = [(1, 100, 0), (2, 612, 0), (3, 100, 512), (4, 2000, 2000),
+            (5, 2500, 2400), (6, 90, 10)]
+    for r in (512, 700):
+        assert _grid(spark, rows, r) == _brute(rows, r * r)
+
+
+def test_points_are_two_dimensional(spark, sf_dir):
+    # regression: additive salts made y a near-copy of x (collinear)
+    pts = spatial_points(spark, sf_dir).collect()
+    xs = {p.x for p in pts}
+    ys = {p.y for p in pts}
+    diag = {(p.x - p.y) for p in pts}
+    assert len(xs) > len(pts) // 4 and len(ys) > len(pts) // 4
+    assert len(diag) > len(pts) // 4  # not on any shifted diagonal
