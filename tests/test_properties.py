@@ -412,3 +412,34 @@ def test_url_normalize_matches_python_reference(spark, specs):
     got = [r[0] for r in df.select(url_normalize(F.col("url"))).collect()]
     want = [_python_url_normalize(u) for u in urls]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1200),
+            st.integers(min_value=0, max_value=1200),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.sampled_from([17, 64, 150, 300, 500]),
+)
+@settings(**SETTINGS)
+def test_grid_join_equals_brute_force(spark, coords, r):
+    """Grid-binned neighbor join == the all-pairs spec for ANY point set
+    and ANY radius (including r > the gated query's 256 — the review
+    regression), with no duplicate pairs."""
+    from fastetl_spark.operators.spatial import grid_neighbor_pairs
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(coords)]
+    pts = spark.createDataFrame(rows, "user_id long, x long, y long")
+    got = [(p.u, p.v, p.dist2) for p in grid_neighbor_pairs(pts, r=r).collect()]
+    assert len(got) == len(set(got))
+    want = {
+        (a, b, (xa - xb) ** 2 + (ya - yb) ** 2)
+        for a, xa, ya in rows
+        for b, xb, yb in rows
+        if a < b and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+    }
+    assert set(got) == want
