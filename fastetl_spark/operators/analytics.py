@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.operators.dedup import normalize_text
+from fastetl_spark.operators.sampling import _HASH_A, _HASH_M, hash_bucket
 from fastetl_spark.registry import query
 
 # --- per-source reputation report ----------------------------------------
@@ -544,8 +545,6 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A/B experiment readout ----------------------------------------------
 
-from fastetl_spark.operators.sampling import _HASH_A, _HASH_M  # noqa: E402
-
 _AB_SALT = 777
 
 
@@ -603,8 +602,6 @@ def experiment_arm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one groupBy(user_id) to collapse events to (arm,
     converted), then a single global conditional aggregation — two
     shuffles total, the second over per-user rows only."""
-    from fastetl_spark.operators.sampling import hash_bucket
-
     ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
     arms = ev.groupBy("user_id").agg(
         F.max(
