@@ -637,3 +637,105 @@ def experiment_arm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_control", "n_treatment", "conv_control", "conv_treatment",
         z.alias("z_score"),
     )
+
+
+# --- Count-Min sketch with a hash-gated error profile --------------------
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 256  # deliberately small vs |users| so collisions occur
+_CMS_PROBE_STRIDE = 10
+
+
+_CMS_SQL = f"""
+WITH h AS (
+  SELECT user_id, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                             CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS pos
+  FROM (SELECT DISTINCT user_id FROM events),
+       (SELECT unnest(range(0, {_CMS_DEPTH})) AS j)
+), counters AS (
+  SELECT h.j, h.pos, COUNT(*) AS c
+  FROM events e JOIN h ON h.user_id = e.user_id
+  WHERE h.j IS NOT NULL
+  GROUP BY h.j, h.pos
+), est AS (
+  SELECT h.user_id, MIN(c.c) AS cms_estimate
+  FROM h JOIN counters c ON c.j = h.j AND c.pos = h.pos
+  WHERE h.user_id % {_CMS_PROBE_STRIDE} = 0
+  GROUP BY h.user_id
+), truth AS (
+  SELECT user_id, COUNT(*) AS true_count FROM events
+  WHERE user_id % {_CMS_PROBE_STRIDE} = 0
+  GROUP BY user_id
+)
+SELECT t.user_id, t.true_count,
+       CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(e.cms_estimate - t.true_count AS BIGINT) AS overestimate
+FROM truth t JOIN est e ON e.user_id = t.user_id
+"""
+
+
+@query("count_min_error_profile", _CMS_SQL)
+def count_min_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch ({_CMS_DEPTH} x {_CMS_WIDTH}, deliberately
+    undersized so collisions occur) over per-user event counts, with
+    its error MEASURED under the exact gate: for every probed user,
+    the true count, the CMS estimate (min over depth rows), and the
+    overestimate. The hash functions are md5-portable, so DuckDB
+    reproduces the identical counters — like bloom_semi_join_stats and
+    ann_recall_at_k, the approximate structure's behavior is
+    hash-proven, not merely tolerance-tested. CMS guarantees
+    estimate >= truth; the oracle match plus the non-negative
+    overestimate column pin both directions.
+
+    Scale shape: the sketch is {_CMS_DEPTH}*{_CMS_WIDTH} counters built
+    in ONE groupBy over (depth, position) — constant-size state
+    regardless of corpus, the whole point of CMS; per-key hashes are
+    computed on the distinct-key dictionary, never per event row."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events")).select("user_id")
+    users = ev.distinct()
+    rows_j = F.array(*[F.lit(j) for j in range(_CMS_DEPTH)])
+    h = users.select(
+        "user_id", F.explode(rows_j).alias("j")
+    ).withColumn(
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH,
+    )
+    counters = (
+        ev.join(F.broadcast(h), "user_id")
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = h.filter(F.col("user_id") % _CMS_PROBE_STRIDE == 0)
+    est = (
+        probes.join(F.broadcast(counters), ["j", "pos"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    truth = (
+        ev.filter(F.col("user_id") % _CMS_PROBE_STRIDE == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return truth.join(est, "user_id").select(
+        "user_id",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+    )

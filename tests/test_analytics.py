@@ -296,3 +296,13 @@ def test_landing_stream_reader_incremental(spark, tmp_path):
         (r["name"], r["qty"]) for r in spark.read.parquet(dest).collect()
     )
     assert got == [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    from fastetl_spark.operators.analytics import count_min_error_profile
+
+    rows = count_min_error_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.true_count  # CMS one-sided guarantee
+        assert r.overestimate == r.cms_estimate - r.true_count
