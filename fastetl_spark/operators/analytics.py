@@ -739,3 +739,109 @@ def count_min_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
     )
+
+
+# --- portable HyperLogLog: the sketch itself under the exact gate --------
+
+_HLL_M = 64  # 2^6 buckets; 26-bit suffix ranks
+# alpha_m * m^2 * 2^32 as ONE double literal shared by both engines
+_HLL_SCALE = 12478858046460.223
+
+
+_HLL_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM keys
+), ranked AS (
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         CASE WHEN h // {_HLL_M} = 0 THEN 27
+              ELSE 27 - length(bin(h // {_HLL_M})) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, MAX(rank) AS rank
+  FROM ranked GROUP BY event_type, bucket
+), grid AS (
+  SELECT t.event_type, b.bucket, COALESCE(r.rank, 0) AS rank
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS bucket) b
+  LEFT JOIN regs r ON r.event_type = t.event_type AND r.bucket = b.bucket
+), pows AS (
+  SELECT [{", ".join(str(1 << (32 - r)) for r in range(28))}] AS p
+), agg AS (
+  SELECT g.event_type,
+         CAST(SUM(p[g.rank + 1]) AS BIGINT) AS harmonic_scaled,
+         CAST(SUM(CASE WHEN g.rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty
+  FROM grid g, pows
+  GROUP BY g.event_type
+), truth AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_true
+  FROM events GROUP BY event_type
+)
+SELECT t.event_type, t.n_true, a.n_empty, a.harmonic_scaled,
+       '{_HLL_SCALE!r}'::DOUBLE / CAST(a.harmonic_scaled AS DOUBLE)
+         AS hll_raw_estimate
+FROM truth t JOIN agg a ON a.event_type = t.event_type
+"""
+
+
+@query("hll_portable_estimate", _HLL_SQL)
+def hll_portable_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per event_type with the SKETCH ITSELF under the
+    exact gate: md5-portable element hashes make every register value
+    an exact integer DuckDB reproduces; the harmonic denominator is an
+    exact BIGINT (sum of 2^(32-rank) over all {_HLL_M} buckets —
+    commutative integer addition, no float fold), and the raw estimate
+    is ONE shared literal-over-integer division — bit-identical. The
+    production path stays `hll_weekly_users_rollup` (xxhash + register
+    arrays, mergeable across grains); this twin hash-proves the
+    register/rank/harmonic machinery the same way the exhaustive-probe
+    entries prove the IVF path. Raw estimate only (no small-range
+    correction branch) — compare n_true vs hll_raw_estimate directly.
+
+    Scale shape: register state is {_HLL_M} rows per group no matter
+    the corpus; ranks are computed on the distinct-key dictionary."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events")).select(
+        "event_type", "user_id"
+    )
+    keys = ev.distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ranked = keys.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        F.when(F.floor(h / _HLL_M) == 0, 27)
+        .otherwise(27 - F.length(F.bin(F.floor(h / _HLL_M))))
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("event_type", "bucket").agg(F.max("rank").alias("rank"))
+    types = ev.select("event_type").distinct()
+    buckets = F.array(*[F.lit(b) for b in range(_HLL_M)])
+    grid = (
+        types.select("event_type", F.explode(buckets).alias("bucket"))
+        .join(regs, ["event_type", "bucket"], "left")
+        .withColumn("rank", F.coalesce(F.col("rank"), F.lit(0)))
+    )
+    pow_lit = F.array(*[F.lit(1 << (32 - r)).cast("long") for r in range(28)])
+    agg = grid.groupBy("event_type").agg(
+        F.sum(F.element_at(pow_lit, F.col("rank").cast("int") + 1)).alias(
+            "harmonic_scaled"
+        ),
+        F.sum((F.col("rank") == 0).cast("long")).alias("n_empty"),
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_true")
+    )
+    return truth.join(agg, "event_type").select(
+        "event_type",
+        "n_true",
+        "n_empty",
+        "harmonic_scaled",
+        (F.lit(_HLL_SCALE) / F.col("harmonic_scaled").cast("double")).alias(
+            "hll_raw_estimate"
+        ),
+    )

@@ -306,3 +306,15 @@ def test_count_min_never_underestimates(spark, sf_dir):
     for r in rows:
         assert r.cms_estimate >= r.true_count  # CMS one-sided guarantee
         assert r.overestimate == r.cms_estimate - r.true_count
+
+
+def test_hll_portable_estimate_sane(spark, sf_dir):
+    from fastetl_spark.operators.analytics import hll_portable_estimate, _HLL_M
+
+    rows = hll_portable_estimate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_empty <= _HLL_M
+        assert r.harmonic_scaled >= _HLL_M * (1 << 5)  # every rank <= 27
+        # raw HLL (no small-range correction) is within its coarse band
+        assert 0.3 * r.n_true <= r.hll_raw_estimate <= 3.5 * r.n_true
