@@ -845,3 +845,42 @@ def hll_portable_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_raw_estimate"
         ),
     )
+
+
+_GK_EXH_SQL = """
+SELECT event_type, CAST(q AS DOUBLE) AS q,
+       CASE q WHEN 0.5  THEN quantile_disc(value, 0.5)
+              WHEN 0.9  THEN quantile_disc(value, 0.9)
+              ELSE           quantile_disc(value, 0.99) END AS v
+FROM events, (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+GROUP BY event_type, q
+"""
+
+
+@query("gk_exhaustive_quantiles", _GK_EXH_SQL)
+def gk_exhaustive_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Greenwald-Khanna path of approx_quantiles_events at an
+    EXHAUSTIVE accuracy (>= |group|): the sketch retains every element,
+    so its answers equal percentile_disc exactly and the insert/
+    compress/query code sits under the exact DuckDB oracle — the same
+    promotion move as the exhaustive-probe IVF entries. Production
+    keeps the bounded-accuracy sketch (rows-only approx_quantiles_
+    events); verified here at sf-fixture group sizes where exhaustive
+    retention is affordable."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    qs = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value",
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            10_000_000,  # >= any fixture group size -> exact retention
+        ).alias("vals")
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(p).alias("q"), F.element_at("vals", i + 1).alias("v"))
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ]
+    )
+    return qs.select("event_type", F.explode(pairs).alias("e")).select(
+        "event_type", F.col("e.q").alias("q"), F.col("e.v").alias("v")
+    )
