@@ -884,3 +884,130 @@ def gk_exhaustive_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.select("event_type", F.explode(pairs).alias("e")).select(
         "event_type", F.col("e.q").alias("q"), F.col("e.v").alias("v")
     )
+
+
+_HLL_MERGE_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM keys
+), ranked AS (
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         CASE WHEN h // {_HLL_M} = 0 THEN 27
+              ELSE 27 - length(bin(h // {_HLL_M})) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, MAX(rank) AS rank
+  FROM ranked GROUP BY event_type, bucket
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b
+    ON a.event_type < b.event_type
+), merged AS (
+  SELECT p.type_a, p.type_b, g.bucket,
+         GREATEST(COALESCE(ra.rank, 0), COALESCE(rb.rank, 0)) AS rank
+  FROM pairs p
+  CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS bucket) g
+  LEFT JOIN regs ra ON ra.event_type = p.type_a AND ra.bucket = g.bucket
+  LEFT JOIN regs rb ON rb.event_type = p.type_b AND rb.bucket = g.bucket
+), pows AS (
+  SELECT [{", ".join(str(1 << (32 - r)) for r in range(28))}] AS p
+), agg AS (
+  SELECT type_a, type_b,
+         CAST(SUM(p[m.rank + 1]) AS BIGINT) AS union_harmonic
+  FROM merged m, pows GROUP BY type_a, type_b
+), truth AS (
+  SELECT p.type_a, p.type_b,
+         (SELECT COUNT(DISTINCT user_id) FROM events
+          WHERE event_type IN (p.type_a, p.type_b)) AS n_true_union
+  FROM pairs p
+)
+SELECT t.type_a, t.type_b, CAST(t.n_true_union AS BIGINT) AS n_true_union,
+       a.union_harmonic,
+       '{_HLL_SCALE!r}'::DOUBLE / CAST(a.union_harmonic AS DOUBLE)
+         AS union_estimate
+FROM truth t
+JOIN agg a ON a.type_a = t.type_a AND a.type_b = t.type_b
+"""
+
+
+@query("hll_portable_merge", _HLL_MERGE_SQL)
+def hll_portable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY under the exact gate: for every event-type
+    pair, the union sketch is the bucket-wise MAX of the two register
+    sets — exact integers both engines reproduce — and the union
+    estimate is the same one-division shape as hll_portable_estimate.
+    Mergeability is the property that makes HLL the 100 TB distinct-
+    count path (daily sketches union into weekly/monthly without
+    rescanning); here the merge operator itself is hash-proven against
+    a from-scratch union truth count."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events")).select(
+        "event_type", "user_id"
+    )
+    keys = ev.distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ranked = keys.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        F.when(F.floor(h / _HLL_M) == 0, 27)
+        .otherwise(27 - F.length(F.bin(F.floor(h / _HLL_M))))
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("event_type", "bucket").agg(F.max("rank").alias("rank"))
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    buckets = F.array(*[F.lit(b) for b in range(_HLL_M)])
+    grid = pairs.select("type_a", "type_b", F.explode(buckets).alias("bucket"))
+    ra = regs.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("rank").alias("rank_a")
+    )
+    rb = regs.select(
+        F.col("event_type").alias("type_b"), "bucket", F.col("rank").alias("rank_b")
+    )
+    merged = (
+        grid.join(F.broadcast(ra), ["type_a", "bucket"], "left")
+        .join(F.broadcast(rb), ["type_b", "bucket"], "left")
+        .withColumn(
+            "rank",
+            F.greatest(
+                F.coalesce(F.col("rank_a"), F.lit(0)),
+                F.coalesce(F.col("rank_b"), F.lit(0)),
+            ),
+        )
+    )
+    pow_lit = F.array(*[F.lit(1 << (32 - r)).cast("long") for r in range(28)])
+    agg = merged.groupBy("type_a", "type_b").agg(
+        F.sum(F.element_at(pow_lit, F.col("rank").cast("int") + 1)).alias(
+            "union_harmonic"
+        )
+    )
+    ab = ev.select("event_type", "user_id")
+    truth = (
+        pairs.join(
+            F.broadcast(ab),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("n_true_union"))
+    )
+    return truth.join(agg, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_true_union",
+        "union_harmonic",
+        (F.lit(_HLL_SCALE) / F.col("union_harmonic").cast("double")).alias(
+            "union_estimate"
+        ),
+    )
