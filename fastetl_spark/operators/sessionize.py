@@ -523,3 +523,54 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value"), 2).cast("double").alias("total_value"),
         )
     )
+
+
+# --- Markov transition matrix over event sequences -----------------------
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), outdeg AS (
+  SELECT from_type, SUM(n_transitions) AS n_out FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type,
+       CAST(c.n_transitions AS BIGINT) AS n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS p
+FROM counts c JOIN outdeg o ON o.from_type = c.from_type
+"""
+
+
+@query("event_transition_matrix", _TRANSITION_SQL)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: per-user
+    sequences ordered by (ts, event_id), adjacent pairs counted, each
+    row normalized by its from-type out-degree — the user-behavior
+    model path analysis feeds. Counts are exact integers; each
+    probability is ONE int/int double division, bit-identical across
+    engines. One shuffle on user_id for the LEAD window, then a
+    transition-matrix-sized aggregation (|types|^2 rows)."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    outdeg = counts.groupBy("from_type").agg(F.sum("n_transitions").alias("n_out"))
+    return counts.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double") / F.col("n_out").cast("double")
+        ).alias("p"),
+    )
