@@ -574,3 +574,150 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("n_out").cast("double")
         ).alias("p"),
     )
+
+
+# --- Kaplan-Meier time-to-conversion curve -------------------------------
+
+_KM_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' AND value > 150 THEN ts END)
+           AS thit,
+         MAX(ts) AS tlast
+  FROM events GROUP BY user_id
+), spans AS (
+  SELECT CASE WHEN thit IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(thit AS DATE))
+              ELSE date_diff('day', CAST(t0 AS DATE), CAST(tlast AS DATE)) END AS t,
+         (thit IS NOT NULL) AS hit
+  FROM firsts
+), km AS (
+  SELECT t, SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS c
+  FROM spans GROUP BY t
+), arr AS (
+  SELECT list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS a,
+         (SELECT COUNT(*) FROM firsts) AS n_total
+  FROM km
+), rows_ AS (
+  SELECT unnest(list_transform(generate_series(1, len(a)), i -> struct_pack(
+    t := a[i].t,
+    n_at_risk := n_total
+      - COALESCE(list_sum(list_transform(a[1:i-1], s -> s.d + s.c)), 0),
+    n_events := a[i].d,
+    n_censored := a[i].c,
+    survival := list_reduce(
+      list_transform(generate_series(1, i), j ->
+        CAST(n_total
+             - COALESCE(list_sum(list_transform(a[1:j-1], s -> s.d + s.c)), 0)
+             - a[j].d AS DOUBLE)
+        / CAST(n_total
+               - COALESCE(list_sum(list_transform(a[1:j-1], s -> s.d + s.c)), 0)
+               AS DOUBLE)),
+      (x, y) -> x * y)
+  ))) AS r FROM arr
+)
+SELECT CAST(r.t AS BIGINT) AS t,
+       CAST(r.n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(r.n_events AS BIGINT) AS n_events,
+       CAST(r.n_censored AS BIGINT) AS n_censored,
+       r.survival AS survival
+FROM rows_
+"""
+
+
+@query("kaplan_meier_conversion", _KM_SQL)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-high-value-purchase curve: per user,
+    days from first event to first qualifying purchase (event) or to
+    last observed event (right-censored); per distinct day t, the
+    at-risk count, events, censorings, and S(t) = prod_{s<=t}
+    (1 - d_s/n_s).
+
+    Determinism: every ratio is one exact-int double division and the
+    cumulative product is a SEQUENTIAL left fold in ascending-t order
+    on both engines (F.aggregate / list_reduce) — multiplication chains
+    of identical doubles are bit-identical, so S(t) needs NO rounding
+    or tolerance, unlike ln/exp formulations (exp differs in the last
+    ulp across libms). Exhaustion (n = d at some t) yields an exact
+    0.0 ratio, not a log singularity.
+
+    Scale shape: the curve's state is one row per distinct duration —
+    bounded by the observation window in days, not by users — so the
+    O(k^2) fold runs on a driver-size array; the heavy work is the one
+    per-user aggregation shuffle."""
+    e = read_table(spark, sf_dir, "events")
+    hit_ts = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150),
+            F.col("ts"),
+        )
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), hit_ts.alias("thit"), F.max("ts").alias("tlast")
+    )
+    spans = firsts.select(
+        F.when(
+            F.col("thit").isNotNull(),
+            F.datediff(F.col("thit").cast("date"), F.col("t0").cast("date")),
+        )
+        .otherwise(F.datediff(F.col("tlast").cast("date"), F.col("t0").cast("date")))
+        .cast("long")
+        .alias("t"),
+        F.col("thit").isNotNull().alias("hit"),
+    )
+    km = spans.groupBy("t").agg(
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("hit"), 0).otherwise(1)).alias("c"),
+    )
+    arr = km.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("a")
+    ).crossJoin(firsts.agg(F.count(F.lit(1)).alias("n_total")))
+
+    def prefix(a, n_total, j):
+        # users removed before index j (1-based): sum of d+c over a[1:j-1]
+        return F.coalesce(
+            F.aggregate(
+                F.slice(a, 1, j - 1),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["d"] + s["c"],
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    def row_at(a, n_total, i):
+        n_i = n_total - prefix(a, n_total, i)
+        surv = F.aggregate(
+            F.sequence(F.lit(1), i),
+            F.lit(1.0),
+            lambda acc, j: acc
+            * (
+                (n_total - prefix(a, n_total, j) - F.element_at(a, j)["d"]).cast(
+                    "double"
+                )
+                / (n_total - prefix(a, n_total, j)).cast("double")
+            ),
+        )
+        el = F.element_at(a, i)
+        return F.struct(
+            el["t"].alias("t"),
+            n_i.alias("n_at_risk"),
+            el["d"].alias("n_events"),
+            el["c"].alias("n_censored"),
+            surv.alias("survival"),
+        )
+
+    exploded = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a")),
+                lambda i: row_at(F.col("a"), F.col("n_total"), i),
+            )
+        ).alias("r")
+    )
+    return exploded.select(
+        F.col("r.t").alias("t"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.n_censored").alias("n_censored"),
+        F.col("r.survival").alias("survival"),
+    )
