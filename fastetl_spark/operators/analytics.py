@@ -992,13 +992,15 @@ def hll_portable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "union_harmonic"
         )
     )
-    ab = ev.select("event_type", "user_id")
+    # union truth from the already-distinct keys frame with two
+    # hash equi-joins (an OR condition over raw event rows would force
+    # a nested-loop replicating |events| x |pairs|)
+    ka = keys.select(F.col("event_type").alias("type_a"), "user_id")
+    kb = keys.select(F.col("event_type").alias("type_b"), "user_id")
     truth = (
-        pairs.join(
-            F.broadcast(ab),
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        )
+        pairs.join(ka, "type_a")
+        .select("type_a", "type_b", "user_id")
+        .unionByName(pairs.join(kb, "type_b").select("type_a", "type_b", "user_id"))
         .groupBy("type_a", "type_b")
         .agg(F.countDistinct("user_id").alias("n_true_union"))
     )

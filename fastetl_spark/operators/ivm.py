@@ -119,14 +119,16 @@ def distinct_view_delta(view_vals: DataFrame, increment: DataFrame) -> DataFrame
     new on every refresh (a plain equality anti-join would — review
     finding)."""
     cols = increment.columns
-    inc = increment.distinct().alias("__inc")
-    vw = view_vals.alias("__vw")
+    inc = increment.distinct()
+    vw = view_vals
+    # frame-indexed column refs (not string paths): survives column
+    # names containing dots
     cond = None
     for c in cols:
-        eq = F.col(f"__inc.{c}").eqNullSafe(F.col(f"__vw.{c}"))
+        eq = inc[c].eqNullSafe(vw[c])
         cond = eq if cond is None else (cond & eq)
     return inc.join(vw, cond, "left_anti").select(
-        *[F.col(f"__inc.{c}").alias(c) for c in cols]
+        *[inc[c].alias(c) for c in cols]
     )
 
 

@@ -26,6 +26,22 @@ _HASH_A = 2654435761
 _HASH_M = 4294967296
 
 
+def scramble(key, mult: int = _HASH_A, salt: int = 0):
+    """(key * mult + salt) mod 2^32 with the overflow-safe split
+    multiply (see hash_bucket below for the derivation) — the single
+    shared implementation behind hash_bucket's modular buckets and
+    spatial._coord's top-bits coordinates."""
+    k = F.pmod(F.col(key) if isinstance(key, str) else key, F.lit(_HASH_M))
+    kh = (k / F.lit(65536)).cast("long")  # exact: k < 2^32 < 2^53
+    kl = k % F.lit(65536)
+    return F.pmod(
+        F.pmod(kh * F.lit(mult), F.lit(_HASH_M)) * F.lit(65536)
+        + kl * F.lit(mult)
+        + F.lit(salt),
+        F.lit(_HASH_M),
+    )
+
+
 def hash_bucket(key, buckets: int = 100, salt: int = 0):
     """Deterministic bucket 0..buckets-1 from an integer key column.
 
@@ -37,16 +53,11 @@ def hash_bucket(key, buckets: int = 100, salt: int = 0):
     overflow, which keeps the DuckDB oracles (running the naive formula
     in INT128) unchanged; pmod keeps negative keys in range. `salt`
     (< 2^32) decorrelates independent decisions on the same key (split
-    vs upsample vs shard)."""
-    k = F.pmod(F.col(key), F.lit(_HASH_M))
-    kh = (k / F.lit(65536)).cast("long")  # exact: k < 2^32 < 2^53
-    kl = k % F.lit(65536)
-    mixed = (
-        F.pmod(kh * F.lit(_HASH_A), F.lit(_HASH_M)) * F.lit(65536)
-        + kl * F.lit(_HASH_A)
-        + F.lit(salt)
-    )
-    return F.pmod(mixed, F.lit(_HASH_M)) % F.lit(buckets)
+    vs upsample vs shard). NOTE: with a power-of-two bucket count the
+    low bits degenerate to raw id residues (multiplicative hashes mix
+    high bits) — use non-power-of-two buckets, or top bits as
+    spatial._coord does."""
+    return scramble(key, _HASH_A, salt) % F.lit(buckets)
 
 
 _SPLIT_SQL = f"""

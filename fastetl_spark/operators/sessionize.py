@@ -669,9 +669,13 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("d"),
         F.sum(F.when(F.col("hit"), 0).otherwise(1)).alias("c"),
     )
-    arr = km.agg(
-        F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("a")
-    ).crossJoin(firsts.agg(F.count(F.lit(1)).alias("n_total")))
+    arr = (
+        km.agg(F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("a"))
+        .crossJoin(firsts.agg(F.count(F.lit(1)).alias("n_total")))
+        # empty-input guard: sequence(1, 0) would yield [1, 0] (negative
+        # step inference) and element_at(a, 0) throws under ANSI
+        .filter(F.size("a") > 0)
+    )
 
     def prefix(a, n_total, j):
         # users removed before index j (1-based): sum of d+c over a[1:j-1]

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from pyspark.sql import Column
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
-from fastetl_spark.operators.sampling import _HASH_M
+from fastetl_spark.operators.sampling import _HASH_M, scramble
 from fastetl_spark.registry import query
 
 # Coordinate domain: 4096 x 4096 integer grid ("micro-degrees"); cell
@@ -52,18 +52,10 @@ _HI_SHIFT = _HASH_M // _DOMAIN  # 2^20: top 12 of 32 bits
 
 
 def _coord(key: str, mult: int) -> Column:
-    """Top-12-bits coordinate of (key * mult) mod 2^32, with the same
-    overflow-safe split multiply as sampling.hash_bucket (naive k*mult
-    overflows a long for snowflake-scale ids under ANSI). DuckDB twin:
-    ``((key % 2^32) * mult) % 2^32 // 2^20`` in INT128."""
-    k = F.pmod(F.col(key), F.lit(_HASH_M))
-    kh = (k / F.lit(65536)).cast("long")  # exact: k < 2^32 < 2^53
-    kl = k % F.lit(65536)
-    mixed = F.pmod(
-        F.pmod(kh * F.lit(mult), F.lit(_HASH_M)) * F.lit(65536) + kl * F.lit(mult),
-        F.lit(_HASH_M),
-    )
-    return (mixed / F.lit(_HI_SHIFT)).cast("long")  # floor: mixed >= 0
+    """Top-12-bits coordinate of (key * mult) mod 2^32
+    (sampling.scramble — the shared overflow-safe split multiply).
+    DuckDB twin: ``((key % 2^32) * mult) % 2^32 // 2^20`` in INT128."""
+    return (scramble(key, mult) / F.lit(_HI_SHIFT)).cast("long")  # floor
 
 
 _PTS_SQL = f"""
@@ -233,13 +225,14 @@ FROM (
 """
 
 
-@query("spatial_knn_within_radius", _KNN_SQL)
-def spatial_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Radius-capped k-NN ({_KNN_K} nearest within {_RADIUS}): both
-    directions of the grid pair set, ranked per point by exact integer
-    distance with id tie-break. The radius cap is what keeps grid k-NN
-    single-pass at scale — uncapped k-NN needs expanding-ring probes."""
-    pairs = grid_neighbor_pairs(spatial_points(spark, sf_dir))
+def knn_within_radius(
+    pts: DataFrame, id_col: str = "user_id", r: int = _RADIUS, k: int = _KNN_K
+) -> DataFrame:
+    """Radius-capped k-NN over an (id, x, y) frame: both directions of
+    the grid pair set, ranked per point by exact integer distance with
+    id tie-break — the df-shaped core the gated query and the unit
+    tests share."""
+    pairs = grid_neighbor_pairs(pts, id_col=id_col, r=r)
     both = pairs.select(
         F.col("u").alias("user_id"), F.col("v").alias("neighbor_id"), "dist2"
     ).unionAll(
@@ -250,6 +243,15 @@ def spatial_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("dist2", "neighbor_id")
     return (
         both.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _KNN_K)
+        .filter(F.col("rank") <= k)
         .select("user_id", "neighbor_id", "dist2", "rank")
     )
+
+
+@query("spatial_knn_within_radius", _KNN_SQL)
+def spatial_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-capped k-NN ({_KNN_K} nearest within {_RADIUS}): the
+    knn_within_radius core over the fixture point cloud. The radius cap
+    is what keeps grid k-NN single-pass at scale — uncapped k-NN needs
+    expanding-ring probes."""
+    return knn_within_radius(spatial_points(spark, sf_dir))

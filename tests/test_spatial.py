@@ -80,31 +80,17 @@ def test_hotspot_stencil_invariants(spark, sf_dir):
 
 
 def test_knn_ranks_sorted_and_capped(spark):
-    # synthetic cluster: guaranteed neighbors regardless of fixture SF
-    # (the 15-user sf0.001 scatter can legitimately have zero pairs)
-    from fastetl_spark.operators.spatial import grid_neighbor_pairs
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+    # synthetic cluster through the REAL production core: guaranteed
+    # neighbors regardless of fixture SF (the 15-user sf0.001 scatter
+    # can legitimately have zero pairs)
+    from fastetl_spark.operators.spatial import knn_within_radius
 
     pts = spark.createDataFrame(
         [(i, 100 + 30 * i, 200 + 20 * (i % 4)) for i in range(8)]
         + [(99, 3900, 3900)],
         "user_id long, x long, y long",
     )
-    pairs = grid_neighbor_pairs(pts, r=_RADIUS)
-    both = pairs.select(
-        F.col("u").alias("user_id"), F.col("v").alias("neighbor_id"), "dist2"
-    ).unionAll(
-        pairs.select(
-            F.col("v").alias("user_id"), F.col("u").alias("neighbor_id"), "dist2"
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy("dist2", "neighbor_id")
-    rows = (
-        both.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _KNN_K)
-        .collect()
-    )
+    rows = knn_within_radius(pts, r=_RADIUS).collect()
     assert rows
     by_user: dict[int, list] = {}
     for r_ in rows:
