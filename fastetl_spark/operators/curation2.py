@@ -673,3 +673,91 @@ def semantic_dedup_increment_query(spark: SparkSession, sf_dir: str) -> DataFram
     inc = e.filter(F.col("vec_id") % _SD_INC_MOD == 0)
     corpus = e.filter(F.col("vec_id") % _SD_INC_MOD != 0)
     return semantic_dedup_increment(corpus, inc, "vec_id", "embedding")
+
+
+# --- quantile mapping normalization --------------------------------------
+
+# 129 grid levels at exact BINARY fractions (L/128): every p is exactly
+# representable as a double, so both engines' discrete-percentile index
+# arithmetic sees identical inputs at identical boundaries (a 1/100
+# grid would put non-representable p like 0.37 next to exact p*n
+# boundaries, where convention drift could flip the chosen element).
+_QM_LEVELS = 128
+
+
+def _qm_sql() -> str:
+    qlist = ", ".join(
+        f"quantile_disc(value, {l}.0 / {_QM_LEVELS})" for l in range(_QM_LEVELS + 1)
+    )
+    return f"""
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), gq AS (
+  SELECT [{qlist}] AS g FROM events
+)
+SELECT event_id, event_type, value,
+       CAST(CASE WHEN n > 1 THEN (r - 1) * {_QM_LEVELS} // (n - 1)
+                 ELSE 0 END AS BIGINT) AS level,
+       g[CAST(CASE WHEN n > 1 THEN (r - 1) * {_QM_LEVELS} // (n - 1)
+                   ELSE 0 END AS BIGINT) + 1] AS mapped_value
+FROM ranked, gq
+"""
+
+
+@query("quantile_mapping_normalize", _qm_sql())
+def quantile_mapping_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-mapping normalization (the rank-based feature transform
+    robust to per-group scale drift): each event's value is replaced by
+    the GLOBAL distribution's value at the same relative rank, via a
+    {_QM_LEVELS + 1}-level discrete-quantile grid. The per-group
+    relative rank is pure integer arithmetic ((r-1)*{_QM_LEVELS} div
+    (n-1)); the grid itself is percentile_disc at exact binary
+    fractions, so every mapped value is an actual data element both
+    engines pick identically.
+
+    Scale shape: one window shuffle per group for ranks (partitioned by
+    event_type, never global), one single-pass aggregation for the
+    {_QM_LEVELS + 1} global grid values, broadcast back — no global
+    sort, no per-row global rank."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events")).select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qexprs = [
+        F.expr(
+            f"percentile_disc({l}.0 / {_QM_LEVELS}) WITHIN GROUP (ORDER BY value)"
+        ).alias(f"q{l}")
+        for l in range(_QM_LEVELS + 1)
+    ]
+    glob = e.agg(*qexprs).select(
+        F.array(*[F.col(f"q{l}") for l in range(_QM_LEVELS + 1)]).alias("g")
+    )
+    # integer floor-div via expr (no double division anywhere)
+    level = F.when(
+        F.col("n") > 1,
+        F.expr(f"CAST((r - 1) * {_QM_LEVELS} div (n - 1) AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ranked.crossJoin(F.broadcast(glob))
+        .withColumn("level", level)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "level",
+            F.element_at(F.col("g"), F.col("level").cast("int") + 1).alias(
+                "mapped_value"
+            ),
+        )
+    )
