@@ -1013,3 +1013,162 @@ def hll_portable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "union_estimate"
         ),
     )
+
+
+_HLL_IX_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM keys
+), ranked AS (
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         CASE WHEN h // {_HLL_M} = 0 THEN 27
+              ELSE 27 - length(bin(h // {_HLL_M})) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, MAX(rank) AS rank
+  FROM ranked GROUP BY event_type, bucket
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b
+    ON a.event_type < b.event_type
+), pows AS (
+  SELECT [{", ".join(str(1 << (32 - r)) for r in range(28))}] AS p
+), single AS (
+  SELECT t.event_type,
+         CAST(SUM(p[COALESCE(r.rank, 0) + 1]) AS BIGINT) AS harmonic
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS bucket) b
+  LEFT JOIN regs r ON r.event_type = t.event_type AND r.bucket = b.bucket
+  CROSS JOIN pows
+  GROUP BY t.event_type
+), merged AS (
+  SELECT pr.type_a, pr.type_b,
+         CAST(SUM(p[GREATEST(COALESCE(ra.rank, 0),
+                             COALESCE(rb.rank, 0)) + 1]) AS BIGINT)
+           AS union_harmonic
+  FROM pairs pr
+  CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS bucket) g
+  LEFT JOIN regs ra ON ra.event_type = pr.type_a AND ra.bucket = g.bucket
+  LEFT JOIN regs rb ON rb.event_type = pr.type_b AND rb.bucket = g.bucket
+  CROSS JOIN pows
+  GROUP BY pr.type_a, pr.type_b
+), truth AS (
+  SELECT ka.event_type AS type_a, kb.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_true_intersection
+  FROM keys ka JOIN keys kb
+    ON ka.user_id = kb.user_id AND ka.event_type < kb.event_type
+  GROUP BY ka.event_type, kb.event_type
+)
+SELECT m.type_a, m.type_b, t.n_true_intersection,
+       '{_HLL_SCALE!r}'::DOUBLE / CAST(sa.harmonic AS DOUBLE)
+       + '{_HLL_SCALE!r}'::DOUBLE / CAST(sb.harmonic AS DOUBLE)
+       - '{_HLL_SCALE!r}'::DOUBLE / CAST(m.union_harmonic AS DOUBLE)
+         AS intersection_estimate
+FROM merged m
+JOIN single sa ON sa.event_type = m.type_a
+JOIN single sb ON sb.event_type = m.type_b
+JOIN truth t ON t.type_a = m.type_a AND t.type_b = m.type_b
+"""
+
+
+@query("hll_intersection_estimate", _HLL_IX_SQL)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality via inclusion-exclusion over the
+    portable HLL sketches: |A and B| ~ est(A) + est(B) - est(A or B),
+    each estimate the same one-division shape as hll_portable_estimate
+    and the sum/difference evaluated left-to-right identically in both
+    engines — so even the derived intersection estimate is
+    bit-identical under the gate, compared against the exact join
+    truth. This is how sketch systems answer overlap questions
+    (audience intersection, contamination overlap) without storing
+    per-pair state: the per-set registers are enough."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events")).select(
+        "event_type", "user_id"
+    )
+    keys = ev.distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ranked = keys.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        F.when(F.floor(h / _HLL_M) == 0, 27)
+        .otherwise(27 - F.length(F.bin(F.floor(h / _HLL_M))))
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("event_type", "bucket").agg(F.max("rank").alias("rank"))
+    types = ev.select("event_type").distinct()
+    buckets = F.array(*[F.lit(b) for b in range(_HLL_M)])
+    pow_lit = F.array(*[F.lit(1 << (32 - r)).cast("long") for r in range(28)])
+
+    grid1 = (
+        types.select("event_type", F.explode(buckets).alias("bucket"))
+        .join(regs, ["event_type", "bucket"], "left")
+        .withColumn("rank", F.coalesce(F.col("rank"), F.lit(0)))
+    )
+    single = grid1.groupBy("event_type").agg(
+        F.sum(F.element_at(pow_lit, F.col("rank").cast("int") + 1)).alias(
+            "harmonic"
+        )
+    )
+
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        types.select(F.col("event_type").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    grid2 = pairs.select("type_a", "type_b", F.explode(buckets).alias("bucket"))
+    ra = regs.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("rank").alias("rank_a")
+    )
+    rb = regs.select(
+        F.col("event_type").alias("type_b"), "bucket", F.col("rank").alias("rank_b")
+    )
+    merged = (
+        grid2.join(F.broadcast(ra), ["type_a", "bucket"], "left")
+        .join(F.broadcast(rb), ["type_b", "bucket"], "left")
+        .withColumn(
+            "rank",
+            F.greatest(
+                F.coalesce(F.col("rank_a"), F.lit(0)),
+                F.coalesce(F.col("rank_b"), F.lit(0)),
+            ),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.element_at(pow_lit, F.col("rank").cast("int") + 1)).alias(
+                "union_harmonic"
+            )
+        )
+    )
+    ka = keys.select(F.col("event_type").alias("type_a"), "user_id")
+    kb = keys.select(F.col("event_type").alias("type_b"), "user_id")
+    truth = (
+        ka.join(kb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_true_intersection"))
+    )
+    est = lambda c: F.lit(_HLL_SCALE) / c.cast("double")  # noqa: E731
+    sa = single.select(
+        F.col("event_type").alias("type_a"), F.col("harmonic").alias("ha")
+    )
+    sb = single.select(
+        F.col("event_type").alias("type_b"), F.col("harmonic").alias("hb")
+    )
+    return (
+        merged.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(truth, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_true_intersection",
+            (
+                est(F.col("ha")) + est(F.col("hb")) - est(F.col("union_harmonic"))
+            ).alias("intersection_estimate"),
+        )
+    )
