@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.operators.dedup import normalize_text
@@ -1170,5 +1171,112 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 est(F.col("ha")) + est(F.col("hb")) - est(F.col("union_harmonic"))
             ).alias("intersection_estimate"),
+        )
+    )
+
+
+# --- two-segment changepoint detection -----------------------------------
+
+_CP_SQL = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(hour(ts) AS BIGINT) AS h,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, g.h, COALESCE(hr.x, 0) AS x
+  FROM (SELECT DISTINCT day FROM hourly) d
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS h) g
+  LEFT JOIN hourly hr ON hr.day = d.day AND hr.h = g.h
+), pref AS (
+  SELECT day, h, x,
+         SUM(x) OVER w AS s1, SUM(x * x) OVER w AS a1,
+         SUM(x) OVER (PARTITION BY day) AS st,
+         COUNT(*) OVER w AS n1
+  FROM grid
+  WINDOW w AS (PARTITION BY day ORDER BY h ROWS UNBOUNDED PRECEDING)
+), scored AS (
+  SELECT day, h AS split_after, n1, s1, st - s1 AS s2, 24 - n1 AS n2,
+         CAST(s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         + CAST((st - s1) * (st - s1) AS DOUBLE) / CAST(24 - n1 AS DOUBLE)
+           AS fit
+  FROM pref WHERE h < 23
+)
+SELECT day, split_after, n1 AS n_left, n2 AS n_right,
+       CAST(s1 AS BIGINT) AS sum_left, CAST(s2 AS BIGINT) AS sum_right, fit
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY day
+                               ORDER BY fit DESC, split_after) AS rn
+  FROM scored
+) t WHERE rn = 1
+"""
+
+
+@query("changepoint_split_hours", _CP_SQL)
+def changepoint_split_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-segment changepoint per day over hourly event counts: the
+    split hour maximizing the between-segments fit S1^2/n1 + S2^2/n2
+    (equivalently minimizing two-segment SSE, since sum(x^2) is
+    constant per day). Prefix sums are exact integers; the fit key is
+    exactly-representable-integer squares through two divisions and one
+    add — the same IEEE shape both engines — so the argmax is
+    bit-deterministic (ties to the earlier split). Counting zeros
+    matters: missing hours are densified to x=0 before prefix sums.
+
+    Scale shape: per-day state is 24 rows regardless of event volume;
+    the only heavy step is the hourly pre-aggregation scan. S <= 2^26
+    events/day keeps S^2 < 2^53 (exact double); beyond that, quantize
+    counts first."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("h"),
+    )
+    hourly = e.groupBy("day", "h").agg(F.count(F.lit(1)).alias("x"))
+    days = hourly.select("day").distinct()
+    hours = F.array(*[F.lit(h).cast("long") for h in range(24)])
+    grid = (
+        days.select("day", F.explode(hours).alias("h"))
+        .join(hourly, ["day", "h"], "left")
+        .withColumn("x", F.coalesce(F.col("x"), F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = grid.select(
+        "day",
+        "h",
+        F.sum("x").over(w).alias("s1"),
+        F.count(F.lit(1)).over(w).alias("n1"),
+        F.sum("x").over(Window.partitionBy("day")).alias("st"),
+    )
+    scored = pref.filter(F.col("h") < 23).select(
+        "day",
+        F.col("h").alias("split_after"),
+        F.col("n1"),
+        "s1",
+        (F.col("st") - F.col("s1")).alias("s2"),
+        (F.lit(24) - F.col("n1")).alias("n2"),
+        (
+            (F.col("s1") * F.col("s1")).cast("double") / F.col("n1").cast("double")
+            + ((F.col("st") - F.col("s1")) * (F.col("st") - F.col("s1"))).cast(
+                "double"
+            )
+            / (F.lit(24) - F.col("n1")).cast("double")
+        ).alias("fit"),
+    )
+    wr = Window.partitionBy("day").orderBy(F.desc("fit"), F.asc("split_after"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "day",
+            "split_after",
+            F.col("n1").alias("n_left"),
+            F.col("n2").alias("n_right"),
+            F.col("s1").cast("long").alias("sum_left"),
+            F.col("s2").cast("long").alias("sum_right"),
+            "fit",
         )
     )
