@@ -1280,3 +1280,66 @@ def changepoint_split_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fit",
         )
     )
+
+
+# --- statistical process control (3-sigma daily volume flags) ------------
+
+_SPC_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS a
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, CAST(d.x AS BIGINT) AS x,
+       CAST(s.s AS BIGINT) AS total, CAST(s.n AS BIGINT) AS n_days,
+       (s.n > 1 AND
+        (d.x * s.n - s.s) * (d.x * s.n - s.s) * (s.n - 1)
+          > 9 * (s.n * s.a - s.s * s.s) * s.n) AS out_of_control
+FROM daily d JOIN stats s ON s.event_type = d.event_type
+"""
+
+
+@query("spc_control_limits", _SPC_SQL)
+def spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control over daily event volumes: a day is
+    out-of-control when |x - mean| > 3 * sample-std. The test is
+    evaluated ENTIRELY in integers — (x*n - S)^2 * (n-1) > 9 *
+    (n*A - S^2) * n, with S = sum(x), A = sum(x^2) — so the flags are
+    bit-exact with no sqrt, no division, and no boundary flake when a
+    point sits exactly on a control limit (the float formulation's
+    classic failure). Magnitudes stay under 2^63 up to ~2^20 events
+    per (type, day) x 2^10 days; beyond that, widen to DECIMAL(38).
+
+    Scale shape: one pre-aggregation to (type, day) counts, one
+    per-type stats row broadcast back — the monitoring query a
+    pipeline runs on every load (P8/QA family, made exact)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("a"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("s")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        F.col("s").alias("total"),
+        F.col("n").alias("n_days"),
+        (
+            (F.col("n") > 1)
+            & (
+                dev * dev * (F.col("n") - 1)
+                > F.lit(9)
+                * (F.col("n") * F.col("a") - F.col("s") * F.col("s"))
+                * F.col("n")
+            )
+        ).alias("out_of_control"),
+    )
