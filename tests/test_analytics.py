@@ -318,3 +318,37 @@ def test_hll_portable_estimate_sane(spark, sf_dir):
         assert r.harmonic_scaled >= _HLL_M * (1 << 5)  # every rank <= 27
         # raw HLL (no small-range correction) is within its coarse band
         assert 0.3 * r.n_true <= r.hll_raw_estimate <= 3.5 * r.n_true
+
+
+def test_spc_flags_synthetic_spike(spark):
+    import math
+
+    # 10 quiet days at 100 plus one 300-spike: way past 3 sigma
+    vals = [100] * 10 + [300]
+    n = len(vals)
+    s, a = sum(vals), sum(v * v for v in vals)
+    mean = s / n
+    std = math.sqrt((n * a - s * s) / (n * (n - 1)))
+    assert abs(300 - mean) > 3 * std  # the spike really is out of control
+
+    daily = spark.createDataFrame(
+        [("t", i, v) for i, v in enumerate(vals)], "event_type string, day long, x long"
+    )
+    from pyspark.sql import functions as F
+
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("a"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("s")
+    flagged = {
+        r.day
+        for r in daily.join(stats, "event_type")
+        .filter(
+            dev * dev * (F.col("n") - 1)
+            > F.lit(9) * (F.col("n") * F.col("a") - F.col("s") * F.col("s")) * F.col("n")
+        )
+        .collect()
+    }
+    assert flagged == {10}  # only the spike day
