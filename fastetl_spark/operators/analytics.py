@@ -1302,6 +1302,13 @@ FROM daily d JOIN stats s ON s.event_type = d.event_type
 """
 
 
+def spc_out_of_control(x, n, s, a):
+    """The integer 3-sigma predicate: |x - s/n| > 3*sample_std without
+    sqrt or division — (x*n - s)^2 * (n-1) > 9*(n*a - s^2)*n."""
+    dev = x * n - s
+    return (n > F.lit(1)) & (dev * dev * (n - F.lit(1)) > F.lit(9) * (n * a - s * s) * n)
+
+
 @query("spc_control_limits", _SPC_SQL)
 def spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical process control over daily event volumes: a day is
@@ -1326,20 +1333,13 @@ def spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("s"),
         F.sum(F.col("x") * F.col("x")).alias("a"),
     )
-    dev = F.col("x") * F.col("n") - F.col("s")
     return daily.join(F.broadcast(stats), "event_type").select(
         "event_type",
         "day",
         "x",
         F.col("s").alias("total"),
         F.col("n").alias("n_days"),
-        (
-            (F.col("n") > 1)
-            & (
-                dev * dev * (F.col("n") - 1)
-                > F.lit(9)
-                * (F.col("n") * F.col("a") - F.col("s") * F.col("s"))
-                * F.col("n")
-            )
+        spc_out_of_control(
+            F.col("x"), F.col("n"), F.col("s"), F.col("a")
         ).alias("out_of_control"),
     )

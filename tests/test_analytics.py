@@ -336,19 +336,17 @@ def test_spc_flags_synthetic_spike(spark):
     )
     from pyspark.sql import functions as F
 
+    from fastetl_spark.operators.analytics import spc_out_of_control
+
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s"),
         F.sum(F.col("x") * F.col("x")).alias("a"),
     )
-    dev = F.col("x") * F.col("n") - F.col("s")
     flagged = {
         r.day
         for r in daily.join(stats, "event_type")
-        .filter(
-            dev * dev * (F.col("n") - 1)
-            > F.lit(9) * (F.col("n") * F.col("a") - F.col("s") * F.col("s")) * F.col("n")
-        )
+        .filter(spc_out_of_control(F.col("x"), F.col("n"), F.col("s"), F.col("a")))
         .collect()
     }
     assert flagged == {10}  # only the spike day
