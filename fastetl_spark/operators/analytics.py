@@ -15,6 +15,8 @@ load_info.py); these extend SURVEY §2's LLM-data north star.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -272,6 +274,16 @@ _RI_SQL = "\nUNION ALL\n".join(
 _RI_BROADCAST_MAX_KEYS = 1_000_000
 
 
+@lru_cache(maxsize=256)
+def _parquet_footer_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer, read driver-side via pyarrow —
+    a metadata-only file read, no Spark job. Cached per (sf_dir, table)
+    so repeated report constructions over the same snapshot are free."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 @query("referential_integrity_report", _RI_SQL)
 def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan audit over every FK relation of the star schema — the
@@ -285,10 +297,11 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = []
     for rel, child, fk, parent, pk in _FK_RELATIONS:
         c = read_table(spark, sf_dir, child).select(F.col(fk))
-        p_raw = read_table(spark, sf_dir, parent)
-        # footer-only count on the raw scan, BEFORE the projection
-        p_rows = p_raw.count()
-        p = p_raw.select(F.col(pk))
+        # driver-side parquet-footer row count (cached per sf_dir/table):
+        # no Spark job runs at DataFrame-construction time, so lazy
+        # composition (plan inspection, dry runs) stays free
+        p_rows = _parquet_footer_rows(sf_dir, parent)
+        p = read_table(spark, sf_dir, parent).select(F.col(pk))
         if p_rows <= _RI_BROADCAST_MAX_KEYS:
             p = F.broadcast(p)
         n_child = c.agg(F.count(F.lit(1)).alias("n_child"))

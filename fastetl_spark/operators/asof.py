@@ -54,8 +54,15 @@ def asof_join(
         *[F.col(f"__r_{c}") for c in right_cols],
     )
     combined = l_aligned.unionByName(r_aligned)
-    # right rows sort before left rows at equal ts when inclusive
-    order = [F.col(left_ts).asc(), F.col("__side").asc() if inclusive else F.col("__side").desc()]
+    # right rows sort before left rows at equal ts when inclusive;
+    # the trailing __r_ columns break ties among right rows sharing
+    # (key, ts) so the carried value is deterministic (the max by the
+    # right-column tuple wins) instead of partition-order-dependent
+    order = [
+        F.col(left_ts).asc(),
+        F.col("__side").asc() if inclusive else F.col("__side").desc(),
+        *[F.col(f"__r_{c}").asc_nulls_first() for c in right_cols],
+    ]
     w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     carried = combined.select(
         *left.columns,

@@ -149,7 +149,9 @@ def mark_increment_applied(spark: SparkSession, index_path: str, fp: str) -> Non
         if s.isFile()
     ]
     if len(statuses) > MAX_INCREMENT_MARKERS:
-        statuses.sort()  # oldest first
+        # sort by mtime ONLY: on an mtime tie the tuple sort would fall
+        # through to comparing py4j Path objects and raise TypeError
+        statuses.sort(key=lambda t: t[0])  # oldest first
         for _, p in statuses[: len(statuses) - MAX_INCREMENT_MARKERS]:
             fs.delete(p, False)
 

@@ -112,8 +112,11 @@ def grid_neighbor_pairs(
         F.col(id_col),
         "x",
         "y",
-        (F.col("x") / cell).cast("long").alias("cx"),
-        (F.col("y") / cell).cast("long").alias("cy"),
+        # floor division (not a truncating cast) so cell labels stay
+        # floor-consistent for negative coordinates too, matching the
+        # oracle's floor semantics; identical on the non-negative fixture
+        F.floor(F.col("x") / cell).alias("cx"),
+        F.floor(F.col("y") / cell).alias("cy"),
     )
     a = (
         cells.withColumn("o", F.explode(_offsets_3x3()))
@@ -187,8 +190,8 @@ def spatial_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = spatial_points(spark, sf_dir)
     cells = (
         pts.select(
-            (F.col("x") / _CELL).cast("long").alias("cx"),
-            (F.col("y") / _CELL).cast("long").alias("cy"),
+            F.floor(F.col("x") / _CELL).alias("cx"),
+            F.floor(F.col("y") / _CELL).alias("cy"),
         )
         .groupBy("cx", "cy")
         .agg(F.count(F.lit(1)).alias("n_points"))
