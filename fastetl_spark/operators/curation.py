@@ -329,6 +329,140 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus-wide MAXIMAL repeated spans (suffix-array-style) -------------
+
+_MSPAN_K = 8  # tokens per rolling window (the >=k repeated-span bound)
+
+_MSPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(tokens) - {_MSPAN_K} + 1)) AS pos,
+         tokens
+  FROM t WHERE len(tokens) >= {_MSPAN_K}
+), hashed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(tokens[pos:pos + {_MSPAN_K - 1}], ' ')) AS h
+  FROM wins
+), dup AS (
+  SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM hashed WHERE h IN (SELECT h FROM dup)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_MSPAN_K - 1}) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + {_MSPAN_K - 1} AS BIGINT) AS end_tok,
+       CAST(MAX(pos) + {_MSPAN_K} - MIN(pos) AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM islands GROUP BY doc_id, grp
+"""
+
+
+def maximal_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = _MSPAN_K,
+) -> DataFrame:
+    """Maximal repeated token spans across the corpus — the Spark-native
+    shape of suffix-array training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    >=k-token sequence occurring at two or more positions corpus-wide
+    (other documents OR elsewhere in the same one) marks its token
+    interval as duplicated; overlapping/contiguous marked intervals
+    merge into maximal spans per document, the exact regions a
+    span-level cleaner would excise.
+
+    Pipeline: tokenize -> k-token rolling windows with positions ->
+    128-bit content fingerprint per window -> corpus-wide occurrence
+    count (>=2 = repeated) -> gaps-and-islands merge (a window opens a
+    new span iff its start exceeds the running max covered end + 1).
+
+    Scale shape: only (fingerprint, doc_id, pos) tuples ever shuffle —
+    never text; the occurrence count is ONE map-side-combined groupBy on
+    the 16-byte fingerprint, the hit filter a semi-join on the same key,
+    and the islands pass is per-document windowing (partition = doc).
+    Never all-pairs: work is linear in total windows, exactly the
+    suffix-array property re-expressed relationally. At 100 TB swap md5
+    for xxhash64 (8 bytes) plus an equality-verify on collision groups,
+    and add the ngram_jaccard-style document-frequency cap so
+    boilerplate windows (licenses, headers) cannot form hot fingerprint
+    keys; both keep the result set identical."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("tokens")
+    ).filter(F.size("tokens") >= k)
+    win_structs = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("tokens"), i, k))).alias("h"),
+        ),
+    )
+    wins = (
+        toks.select("doc_id", F.explode(win_structs).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        .transform(materialize)
+    )
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(
+        F.col("occ") >= 2
+    )
+    hits = wins.join(dup.select("h"), "h", "left_semi").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + (k - 1)).over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn("grp", F.sum("new_island").over(w_run))
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + (k - 1)).cast("bigint").alias("end_tok"),
+            (F.max("pos") + k - F.min("pos")).cast("bigint").alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "span_len", "n_windows")
+    )
+
+
+@query("substring_dup_maximal_spans", _MSPAN_SQL)
+def substring_dup_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style span dedup under the exact gate: every
+    >={_MSPAN_K}-token repeated sequence, merged to maximal per-document
+    spans with integer boundaries — see maximal_dup_spans for the
+    linear-work scale argument. Complements substring_dup_spans (strided
+    char-window pair EVIDENCE) with the span-removal form the published
+    LLM-data technique actually applies."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return maximal_dup_spans(d)
+
+
 # --- within-document repeated-span removal -------------------------------
 
 _SPAN_W = 8  # words per span
