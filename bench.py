@@ -76,7 +76,14 @@ HEADLINE = [
     "ivm_join_delta",
     "entity_resolution_map",
     "time_interpolate_linear",
+    "kmeans_lloyd_exact",
+    "substring_dup_maximal_spans",
 ]
+
+# Always in the 10x scaling guard alongside the measured top-5: the
+# round-5 families whose sub-quadratic claims should be measured, not
+# argued (grid-binned spatial join; cell-local SemDeDup pair work).
+SCALING_PINNED = ["spatial_neighbor_pairs", "semantic_dedup"]
 
 
 def main() -> None:
@@ -135,6 +142,7 @@ def main() -> None:
         sf_dir.rstrip("/")
     ):
         heavy = sorted(timings, key=timings.get, reverse=True)[:5]
+        heavy += [n for n in SCALING_PINNED if n not in heavy]
         for name in heavy:
             fn = queries[name]
             best = float("inf")

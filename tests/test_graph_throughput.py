@@ -23,6 +23,46 @@ def test_throughput_fold_matches_exact_to_1e9(spark, sf_dir):
     assert "collect_list" not in plan
 
 
+def _powerlaw_graph(spark, n_nodes=12_000, n_edges=120_000):
+    """Deterministic power-law-ish edge fixture: node 0 absorbs 10% of
+    all edges (every 10th edge), the rest scatter via a Knuth-multiplier
+    scramble — the hub in-degree (~12k) is three orders of magnitude
+    above the mean (~10), the skew shape that kills a naive hot-reducer
+    plan at scale."""
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    edges = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        F.when(F.col("id") % 10 == 0, F.lit(0))
+        .otherwise((F.col("id") * 2654435761) % n_nodes)
+        .alias("dst"),
+    )
+    return nodes, edges
+
+
+def test_powerlaw_hub_skew_stress(spark):
+    """The round-5 verdict's skew ask: on a graph where the top node
+    receives ~10% of ALL edges, the throughput fold must (a) keep the
+    list-free map-side-combined aggregate in its physical plan — the
+    hub's contributions partial-sum inside every map task, so no single
+    reducer ever materializes an in-neighbor list — and (b) still agree
+    with the exact ordered fold to 1e-9. Wall-clock headroom vs the
+    exact fold is recorded in PERF.md, not asserted (co-tenant noise)."""
+    from fastetl_spark.operators.graph import pagerank
+
+    nodes, edges = _powerlaw_graph(spark)
+    fast_df = pagerank(nodes, edges, exact=False)
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "partial_sum" in plan  # map-side combine ate the hub skew
+    fast = {r.node: r.pr for r in fast_df.collect()}
+    exact = {r.node: r.pr for r in pagerank(nodes, edges).collect()}
+    assert exact.keys() == fast.keys()
+    assert max(abs(exact[n] - fast[n]) for n in exact) < 1e-9
+    # the hub really is a hub, and total mass is conserved
+    assert fast[0] == max(fast.values())
+    assert abs(sum(fast.values()) - 1.0) < 1e-6
+
+
 def test_resolved_link_edges_match_fixture_arithmetic(spark, sf_dir):
     from fastetl_spark.operators.graph import resolved_link_edges
 
