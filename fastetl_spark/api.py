@@ -606,6 +606,45 @@ class Engine:
 
         return distinct_view_delta(view_vals, increment)
 
+    def kmeans(self, vectors: DataFrame, id_col: str, vec_col: str,
+               k: int = 8, iterations: int = 2) -> DataFrame:
+        """Exact-integer Lloyd k-means (operators/kmeans): quantized
+        vectors, BIGINT L2 argmin assignment, floor-div centroid
+        updates — the oracle-gated trainer. Returns (cell, dim, c_val,
+        n_points) centroid rows; per iteration one map-side-combined
+        shuffle, only k*d partial sums reach the driver. For fast
+        float training on a sample use similarity.ivf_train_centroids."""
+        from fastetl_spark.operators.kmeans import lloyd_kmeans_exact
+
+        return lloyd_kmeans_exact(vectors, id_col, vec_col,
+                                  k=k, iterations=iterations)
+
+    def dup_spans(self, docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 8) -> DataFrame:
+        """Maximal repeated >=k-token spans corpus-wide
+        (operators/curation.maximal_dup_spans) — suffix-array-style
+        span dedup: fingerprinted rolling windows, occurrence count,
+        gaps-and-islands merge; linear in total windows, never
+        all-pairs. Rows: (doc_id, start_tok, end_tok, span_len,
+        n_windows), 1-based token positions."""
+        from fastetl_spark.operators.curation import maximal_dup_spans
+
+        return maximal_dup_spans(docs, id_col=id_col,
+                                 text_col=text_col, k=k)
+
+    def pack_sequences(self, docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       capacity: int = 256) -> DataFrame:
+        """Concat-and-chunk training-sequence layout
+        (operators/packing.pack_sequences): documents in id order cut
+        every `capacity` tokens; (doc_id, seq_id, start_in_seq,
+        doc_tok_start, frag_len) rows for a shard writer. Offsets via
+        a hierarchical prefix sum — no single-task global sort."""
+        from fastetl_spark.operators.packing import pack_sequences
+
+        return pack_sequences(docs, id_col=id_col, text_col=text_col,
+                              capacity=capacity)
+
     def resolve_entities(self, pairs: DataFrame, nodes: DataFrame,
                          a_col: str, b_col: str, id_col: str) -> DataFrame:
         """Transitive entity clusters from candidate pairs

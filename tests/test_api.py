@@ -303,3 +303,28 @@ def test_engine_round5_wrappers(spark):
         for r in eng.resolve_entities(er_pairs, er_nodes, "x", "y", "n").collect()
     }
     assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_engine_training_data_wrappers(spark, sf_dir):
+    """kmeans / dup_spans / pack_sequences facade smoke: delegate to the
+    oracle-gated cores and keep their schemas."""
+    engine = Engine(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    vecs = read_table(spark, sf_dir, "embeddings")
+
+    cents = engine.kmeans(vecs, "vec_id", "embedding", k=4, iterations=1)
+    assert cents.columns == ["cell", "dim", "c_val", "n_points"]
+    assert cents.count() == 4 * 64
+
+    spans = engine.dup_spans(docs, k=8)
+    assert spans.columns == ["doc_id", "start_tok", "end_tok", "span_len", "n_windows"]
+    assert spans.filter(F.col("span_len") < 8).count() == 0
+
+    packed = engine.pack_sequences(docs, capacity=64)
+    assert packed.columns == [
+        "doc_id", "seq_id", "start_in_seq", "doc_tok_start", "frag_len"
+    ]
+    # full sequences everywhere except possibly the last
+    agg = packed.groupBy("seq_id").agg(F.sum("frag_len").alias("fill"))
+    last = agg.agg(F.max("seq_id")).first()[0]
+    assert agg.filter((F.col("fill") != 64) & (F.col("seq_id") != last)).count() == 0
