@@ -645,6 +645,21 @@ class Engine:
         return pack_sequences(docs, id_col=id_col, text_col=text_col,
                               capacity=capacity)
 
+    def interval_join(self, points: DataFrame, intervals: DataFrame,
+                      on: list[str], point_us: str, start_us: str,
+                      end_us: str, grain_us: int) -> DataFrame:
+        """Big-to-big point-in-interval join (operators/asof.
+        interval_join_bucketed): intervals explode into covered time
+        grains, points equi-join on (keys, grain), exact range filter —
+        the bounded-candidates shape of the spatial grid join applied to
+        time; no nested loop, no broadcast requirement. Pick `grain_us`
+        >= the typical interval length (explode stays <=2 rows)."""
+        from fastetl_spark.operators.asof import interval_join_bucketed
+
+        return interval_join_bucketed(points, intervals, on=on,
+                                      point_us=point_us, start_us=start_us,
+                                      end_us=end_us, grain_us=grain_us)
+
     def resolve_entities(self, pairs: DataFrame, nodes: DataFrame,
                          a_col: str, b_col: str, id_col: str) -> DataFrame:
         """Transitive entity clusters from candidate pairs

@@ -271,3 +271,117 @@ def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev.tu").isNotNull() & F.col("next.tu").isNotNull(), interp
         ).alias("v_interp"),
     )
+
+
+# --- big-to-big interval join via time-grain bucketing -------------------
+
+_IJ_WINDOW_US = 24 * 3600 * 1_000_000  # interval length: 24h after anchor
+_IJ_GRAIN_US = _IJ_WINDOW_US  # grain = max interval length -> <=2 grains
+
+
+def _floor_div(c, g: int):
+    """Exact integer floor division of a BIGINT column: subtracting the
+    pmod makes the numerator an exact multiple, so the double division
+    is exact for any epoch-scale magnitude (well under 2^53)."""
+    return ((c - F.pmod(c, F.lit(g))) / F.lit(g)).cast("long")
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_us: str,
+    start_us: str,
+    end_us: str,
+    grain_us: int,
+) -> DataFrame:
+    """Inner join of point rows to interval rows with
+    ``start <= point < end`` when BOTH sides are large — the 1-D time
+    analog of the spatial grid join, for the case the broadcast band
+    join (range_join_value_bands) cannot handle.
+
+    Each interval explodes into the time grains it overlaps
+    (ceil(len/grain)+1 rows — bounded when grain >= typical interval
+    length); each point computes its single grain; the match is then a
+    plain EQUI-join on (keys..., grain) followed by the exact range
+    filter. Every qualifying (point, interval) pair appears exactly
+    once: the point's one grain meets each interval's distinct grain
+    list at most once. No nested-loop join, no broadcast requirement,
+    AQE-splittable on skewed (key, grain) buckets — the same
+    bounded-candidates shape as grid_neighbor_pairs, applied to time.
+    Columns from both frames are carried; callers project afterward."""
+    ivals = intervals.withColumn(
+        "__g",
+        F.explode(
+            F.sequence(
+                _floor_div(F.col(start_us), grain_us),
+                _floor_div(F.col(end_us) - 1, grain_us),
+            )
+        ),
+    )
+    pts = points.withColumn("__g", _floor_div(F.col(point_us), grain_us))
+    return (
+        pts.join(ivals, [*on, "__g"])
+        .filter(
+            (F.col(point_us) >= F.col(start_us)) & (F.col(point_us) < F.col(end_us))
+        )
+        .drop("__g")
+    )
+
+
+_IJ_SQL = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       arg_min(c.click_id, c.us) AS first_click_id
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.us >= p.us AND c.us < p.us + {_IJ_WINDOW_US}
+GROUP BY p.purchase_id
+"""
+
+
+@query("interval_join_clicks_after_purchase", _IJ_SQL)
+def interval_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window join under the exact gate: for every purchase,
+    the clicks of the same user inside the following 24h — intervals
+    built from one big fact table, points from another, joined with
+    interval_join_bucketed (grain = window, so each interval covers at
+    most 2 grains). The oracle states the same join as a plain theta
+    join; grain bucketing must not add or drop a single pair. Output:
+    per-purchase click count and the temporally-first click id
+    (min_by on the microsecond timestamp; (user, ts) is duplicate-free
+    in the fixture, so the pick is deterministic)."""
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (F.unix_micros(F.col("ts")) + _IJ_WINDOW_US).alias("end_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("point_us"),
+    )
+    joined = interval_join_bucketed(
+        clicks,
+        purchases,
+        on=["user_id"],
+        point_us="point_us",
+        start_us="start_us",
+        end_us="end_us",
+        grain_us=_IJ_GRAIN_US,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min_by("click_id", "point_us").alias("first_click_id"),
+    )
