@@ -944,3 +944,53 @@ def streaming_ivm_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dest).select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
     )
+
+
+def _stream_km_sql() -> str:
+    from fastetl_spark.operators.similarity import _ASSIGN_SQL
+
+    return f"""
+SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ({_ASSIGN_SQL}) t
+GROUP BY cell
+"""
+
+
+@query("streaming_kmeans_assign", _stream_km_sql())
+def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The twelfth streaming gate: MODEL INFERENCE on a vector stream.
+    The fixed centroid set (first-16 embeddings — the same model the
+    gated ivf_assign_fixed_centroids query proves exact) is loaded once
+    batch-side, then the embeddings parquet arrives as a file-source
+    stream and every vector is assigned to its nearest centroid with
+    the SAME Arrow-batched assignment UDF the IVF index uses; per-cell
+    counts drain in complete mode. The oracle recomputes assignment
+    from scratch in DuckDB and aggregates — so a stream-side batching
+    artifact, a stale model broadcast, or a lost micro-batch all fail
+    the hash. This is the streaming shape of ANN/SemDeDup ingest:
+    stateless per-row scoring + one keyed aggregate, no join state."""
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.similarity import (
+        _N_FIXED_CENTROIDS,
+        _probe_cells_udf,
+        as_double,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < _N_FIXED_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assign1 = _probe_cells_udf(cents, 1)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = stream.select(
+        F.element_at(assign1(as_double(F.col("embedding"))), 1).alias("cell")
+    )
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return _drain_to_memory(counts, "st_km_", "complete")
