@@ -78,6 +78,7 @@ HEADLINE = [
     "time_interpolate_linear",
     "kmeans_lloyd_exact",
     "substring_dup_maximal_spans",
+    "interval_join_clicks_after_purchase",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the
