@@ -1356,3 +1356,101 @@ def spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x"), F.col("n"), F.col("s"), F.col("a")
         ).alias("out_of_control"),
     )
+
+
+# --- autocorrelation profile (lag 1..24 over the hourly series) -----------
+
+_ACF_MAX_LAG = 24
+_ACF_HOUR_US = 3_600_000_000
+
+# ACF at lag k over the densified global hourly count series, computed
+# through exact integers only: with n = #hours, S = sum(x), the mean-
+# centered products scale by n^2 —
+#   num_k = sum_t (n*x_t - S)(n*x_{t+k} - S)   (overlapping t only)
+#   den   = sum_t (n*x_t - S)^2
+#   acf_k = num_k / den                        (one exact-int division)
+# Missing hours densify to x=0 (they ARE observations of the series);
+# epoch-hour indexes come from integer micros (positive domain, so
+# truncating and floor division agree in both engines).
+_ACF_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {_ACF_HOUR_US} AS h, COUNT(*) AS x
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT g.h, COALESCE(hr.x, 0) AS x
+  FROM (SELECT unnest(generate_series((SELECT MIN(h) FROM hourly),
+                                      (SELECT MAX(h) FROM hourly))) AS h) g
+  LEFT JOIN hourly hr ON hr.h = g.h
+), stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM grid
+), centered AS (
+  SELECT g.h, CAST(st.n * g.x - st.s AS BIGINT) AS c
+  FROM grid g CROSS JOIN stats st
+), den AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM centered
+)
+SELECT l.lag,
+       CAST(SUM(a.c * b.c) AS BIGINT) AS numerator,
+       MAX(d.den) AS denominator,
+       CAST(SUM(a.c * b.c) AS DOUBLE) / CAST(MAX(d.den) AS DOUBLE) AS acf
+FROM (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag) l
+JOIN centered a ON TRUE
+JOIN centered b ON b.h = a.h + l.lag
+CROSS JOIN den d
+GROUP BY l.lag
+ORDER BY l.lag
+"""
+
+
+@query("acf_lag_profile", _ACF_SQL)
+def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the global hourly event-count series
+    at lags 1..{_ACF_MAX_LAG}: the seasonality detector (a daily cycle
+    shows as an acf peak at lag 24) that feeds gap-fill / forecast
+    choices downstream.
+
+    Exactness: counts are integers, the n^2-scaled centering keeps every
+    sum in BIGINT, and acf is a single exact-integer division — bit-
+    deterministic in any accumulation order. Bounds: |n*x - S| <= n*max_x,
+    so the den/num sums stay under 2^63 while n*max_x < 3e9 — far beyond
+    any per-series hourly span; shard by series key at scale.
+
+    Scale shape: the heavy step is the hourly pre-aggregation (map-side
+    combinable count). The lag self-join runs on the tiny hour grid
+    (24 rows out per series), not on events."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_ACF_HOUR_US}").alias("h")
+    )
+    hourly = e.groupBy("h").agg(F.count(F.lit(1)).alias("x"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+        .repartition(32, "h")
+        .join(hourly, "h", "left")
+        .withColumn("x", F.coalesce(F.col("x"), F.lit(0).cast("long")))
+    )
+    stats = grid.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    centered = grid.crossJoin(F.broadcast(stats)).select(
+        "h", (F.col("n") * F.col("x") - F.col("s")).alias("c")
+    )
+    den = centered.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    b = centered.select(F.col("h").alias("hb"), F.col("c").alias("cb"))
+    pairs = (
+        centered.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("numerator"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "numerator",
+            F.col("den").alias("denominator"),
+            (
+                F.col("numerator").cast("double") / F.col("den").cast("double")
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -165,14 +165,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d)
 
 
-def ngram_jaccard_pairs(
+def shingle_pair_counts(
     d: DataFrame,
     shingle_n: int = _SHINGLE_N,
-    threshold: float = _JACCARD_THRESHOLD,
     df_cap: int | None = _JACCARD_DF_CAP,
     observation=None,
 ) -> DataFrame:
-    """Shingle-Jaccard near-dup pairs over a (doc_id, text) DataFrame.
+    """Undirected per-pair shingle-overlap counts over a (doc_id, text)
+    DataFrame: (doc_a, n_a, doc_b, n_b, shared) with doc_a < doc_b —
+    the shared core under Jaccard AND containment scoring.
 
     `df_cap` drops shingle buckets with document frequency above the cap
     before the pair combos — pair work scales with sum(df^2) per shingle,
@@ -249,13 +250,112 @@ def ngram_jaccard_pairs(
         F.col("p.b.doc_id").alias("doc_b"),
         F.col("p.b.n_sh").alias("n_b"),
     )
-    pairs = flat.groupBy("doc_a", "doc_b").agg(
+    return flat.groupBy("doc_a", "doc_b").agg(
         F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"), F.count("*").alias("shared")
     )
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    shingle_n: int = _SHINGLE_N,
+    threshold: float = _JACCARD_THRESHOLD,
+    df_cap: int | None = _JACCARD_DF_CAP,
+    observation=None,
+) -> DataFrame:
+    """Shingle-Jaccard near-dup pairs over a (doc_id, text) DataFrame.
+    See shingle_pair_counts for the df-cap scale notes."""
+    pairs = shingle_pair_counts(d, shingle_n, df_cap, observation)
     jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return pairs.select(
         "doc_a", "doc_b", "shared", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# --- shingle containment (asymmetric near-dup) ---------------------------
+
+# Containment C(src -> dst) = |S(src) ∩ S(dst)| / |S(src)| — the
+# asymmetric cousin of Jaccard (Broder's resemblance/containment pair).
+# It catches SUB-document duplication that Jaccard structurally cannot:
+# a 100-shingle doc fully embedded in a 10,000-shingle doc has
+# containment 1.0 but Jaccard ~0.01, far below any usable threshold.
+# Exactly the quote/boilerplate-inclusion case train-corpus dedup cares
+# about. Same inverted-index + df-cap core as Jaccard (shared shingle
+# never aggregates), so the 100 TB story is identical.
+_CONTAINMENT_THRESHOLD = 0.5
+
+_CONTAINMENT_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= {_SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tokens) - {_SHINGLE_N - 1}),
+                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+), exploded AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM shingled
+), kept AS (
+  SELECT shingle FROM exploded GROUP BY shingle
+  HAVING COUNT(*) BETWEEN 2 AND {_JACCARD_DF_CAP}
+), pair_counts AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b, COUNT(*) AS shared
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM kept)
+  GROUP BY a.doc_id, b.doc_id
+), directed AS (
+  SELECT doc_a AS src, doc_b AS dst, shared, n_a AS n_src FROM pair_counts
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst, shared, n_b AS n_src FROM pair_counts
+)
+SELECT src, dst, shared, n_src,
+       shared * 1.0 / n_src AS containment
+FROM directed
+WHERE shared * 1.0 / n_src >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+def containment_pairs(
+    d: DataFrame,
+    shingle_n: int = _SHINGLE_N,
+    threshold: float = _CONTAINMENT_THRESHOLD,
+    df_cap: int | None = _JACCARD_DF_CAP,
+    observation=None,
+) -> DataFrame:
+    """Directed containment pairs (src, dst, shared, n_src, containment)
+    with containment = shared/n_src >= threshold. Both orientations of
+    each undirected overlap are scored — a short doc swallowed by a long
+    one surfaces as (short -> long) even though the reverse direction
+    (and the Jaccard score) stay far below threshold."""
+    pairs = shingle_pair_counts(d, shingle_n, df_cap, observation)
+    directed = pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        "shared",
+        F.col("n_a").alias("n_src"),
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("src"),
+            F.col("doc_a").alias("dst"),
+            "shared",
+            F.col("n_b").alias("n_src"),
+        )
+    )
+    cont = F.col("shared") * 1.0 / F.col("n_src")
+    return directed.select(
+        "src", "dst", "shared", "n_src", cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
+@query("dedup_containment", _CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup: directed (src, dst)
+    pairs where >= {_CONTAINMENT_THRESHOLD:.0%} of src's shingles also
+    occur in dst. Exact integer counts; containment is one exact-integer
+    division (bit-deterministic)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return containment_pairs(d)
 
 
 # --- MinHash + LSH (banded) ---------------------------------------------
