@@ -1,0 +1,347 @@
+"""Retrieval / language-model scoring operators over the corpus:
+
+- BM25 ranking: the standard lexical retrieval score (Robertson/
+  Sparck Jones probabilistic model); complements the tf-cosine ranking
+  in sparse_cosine_shingles with the dl-normalized saturation form
+  every search stack actually ships.
+- Stupid-backoff trigram scoring: the web-scale LM score (Brants et
+  al. 2007) used for corpus quality filtering (CCNet-style "how
+  LM-like is this doc" ranking) — count ratios with a fixed backoff
+  penalty, no smoothing to tune, embarrassingly distributable.
+
+No counterpart in the reference (pandas/DBAPI ETL); these extend
+SURVEY §2's LLM-data north star.
+
+Exactness strategy (the registry's determinism rule): every count is
+an exact integer; each float score is produced by ONE pinned sequence
+of IEEE ops over exactly-representable inputs, identical in Spark and
+DuckDB. BM25's k1/b are chosen dyadic (1.25, 0.75) so the folded
+constants (2.25, 0.3125, 0.9375) are exact; stupid-backoff scores are
+floored to 2^-30 fixed point BEFORE summation so per-doc totals are
+exact BIGINT sums (accumulation-order independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.registry import query
+
+# --- BM25 ----------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "filter")
+_BM25_K1_PLUS1 = 2.25  # k1 + 1        (k1 = 1.25, exactly representable)
+_BM25_K1_1MB = 0.3125  # k1 * (1 - b)  (b = 0.75)
+_BM25_K1_B = 0.9375  # k1 * b
+_BM25_TOPK = 20
+
+_BM25_TERM_SQL = "\n".join(
+    f"         len(list_filter(tokens, x -> x = '{t}')) AS tf_{t}," for t in _BM25_TERMS
+)
+_BM25_DF_SQL = ",\n".join(
+    f"         SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+)
+_BM25_SCORE_SQL = "\n".join(
+    f"""       ln((CAST(n_docs - df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))
+         * (CAST(tf_{t} AS DOUBLE) * {_BM25_K1_PLUS1})
+         / (CAST(tf_{t} AS DOUBLE)
+            + ({_BM25_K1_1MB} + {_BM25_K1_B} * (CAST(dl AS DOUBLE) / avgdl))) AS s_{t},"""
+    for t in _BM25_TERMS
+)
+_BM25_SUM_SQL = " + ".join(f"s_{t}" for t in _BM25_TERMS)
+
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), base AS (
+  SELECT doc_id,
+{_BM25_TERM_SQL}
+         len(tokens) AS dl
+  FROM tok
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+{_BM25_DF_SQL}
+  FROM base
+), scored AS (
+  SELECT doc_id, dl,
+{_BM25_SCORE_SQL}
+         0 AS _z
+  FROM base CROSS JOIN stats
+), totals AS (
+  SELECT doc_id, dl, {_BM25_SUM_SQL} AS score FROM scored
+)
+SELECT doc_id, dl, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM totals
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+def _bm25_term_score(t: str) -> Column:
+    """One term's BM25 contribution — the IEEE op sequence mirrors the
+    oracle SQL token for token."""
+    idf = F.log(
+        ((F.col("n_docs") - F.col(f"df_{t}")).cast("double") + F.lit(0.5))
+        / (F.col(f"df_{t}").cast("double") + F.lit(0.5))
+    )
+    tf = F.col(f"tf_{t}").cast("double")
+    norm = F.lit(_BM25_K1_1MB) + F.lit(_BM25_K1_B) * (
+        F.col("dl").cast("double") / F.col("avgdl")
+    )
+    return idf * (tf * F.lit(_BM25_K1_PLUS1)) / (tf + norm)
+
+
+def bm25_topk(
+    d: DataFrame, terms: tuple[str, ...] = _BM25_TERMS, k: int = _BM25_TOPK
+) -> DataFrame:
+    """Top-k documents by BM25 over a fixed term set.
+
+    Scale shape: one scan builds per-doc (tf..., dl); corpus stats are a
+    single broadcast scalar row; scoring is a pure per-row expression;
+    the global top-k is TakeOrdered (no full sort materialization).
+    The per-term score sum is evaluated left-to-right in a pinned order
+    (term list order), so float totals are bit-deterministic."""
+    tok = d.select("doc_id", F.split("text", " ").alias("tokens"))
+
+    def tf(t: str) -> Column:
+        # factory, not a default-arg lambda: a two-parameter lambda would
+        # be read by F.filter as an (element, index) function
+        return F.size(F.filter("tokens", lambda x: x == F.lit(t))).alias(f"tf_{t}")
+
+    base = tok.select(
+        "doc_id",
+        *[tf(t) for t in terms],
+        F.size("tokens").alias("dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "dl", *[_bm25_term_score(t).alias(f"s_{t}") for t in terms]
+    )
+    total = scored.select(
+        "doc_id",
+        "dl",
+        sum((F.col(f"s_{t}") for t in terms[1:]), F.col(f"s_{terms[0]}")).alias("score"),
+    )
+    top = total.orderBy(F.desc("score"), "doc_id").limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@query("bm25_topk_docs", _BM25_SQL)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BM25_TOPK} docs by BM25 (k1=1.25, b=0.75) for the fixed
+    query terms {_BM25_TERMS} — idf * saturated-tf with document-length
+    normalization, all constants dyadic so both engines fold them
+    exactly."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return bm25_topk(d)
+
+
+# --- stupid-backoff trigram scoring --------------------------------------
+
+_SB_ALPHA = 0.4  # canonical backoff penalty (Brants et al.)
+_SB_FP = 1_073_741_824.0  # 2^30 fixed-point scale (exact power of two)
+
+# Per trigram position (w1 w2 w3):
+#   S = c3/c2ctx                 if the trigram was seen
+#     = a * (c23/c1w2)           else if the (w2 w3) bigram was seen
+#     = a * (a * (c1w3/n_tok))   otherwise (unigram floor; c1w3 >= 1
+#                                since w3 itself comes from the corpus)
+# floor(S * 2^30) BEFORE the per-doc sum => exact integer accumulation.
+_SB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), pos AS (
+  SELECT doc_id, tokens[i] AS w1, tokens[i+1] AS w2, tokens[i+2] AS w3
+  FROM tok, unnest(generate_series(1, len(tokens) - 2)) AS g(i)
+  WHERE len(tokens) >= 3
+), uni AS (
+  SELECT w1 AS w, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(tokens) AS w1 FROM tok) GROUP BY 1
+), n_tok AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c FROM (
+    SELECT tokens[i] AS w1, tokens[i+1] AS w2
+    FROM tok, unnest(generate_series(1, len(tokens) - 1)) AS g(i)
+    WHERE len(tokens) >= 2) GROUP BY 1, 2
+), tri AS (
+  SELECT w1, w2, w3, COUNT(*) AS c FROM pos GROUP BY 1, 2, 3
+), scored AS (
+  SELECT p.doc_id,
+         t.c AS c3, b1.c AS c2ctx, b2.c AS c23, u2.c AS c1w2, u3.c AS c1w3,
+         CAST(floor(
+           CASE
+             WHEN t.c IS NOT NULL THEN
+               (CAST(t.c AS DOUBLE) / CAST(b1.c AS DOUBLE)) * {_SB_FP}
+             WHEN b2.c IS NOT NULL THEN
+               ({_SB_ALPHA} * (CAST(b2.c AS DOUBLE) / CAST(u2.c AS DOUBLE))) * {_SB_FP}
+             ELSE
+               ({_SB_ALPHA} * ({_SB_ALPHA} * (CAST(u3.c AS DOUBLE)
+                 / CAST(nt.n AS DOUBLE)))) * {_SB_FP}
+           END) AS BIGINT) AS s_fp
+  FROM pos p
+  LEFT JOIN tri t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+  LEFT JOIN big b1 ON b1.w1 = p.w1 AND b1.w2 = p.w2
+  LEFT JOIN big b2 ON b2.w1 = p.w2 AND b2.w2 = p.w3
+  LEFT JOIN uni u2 ON u2.w = p.w2
+  LEFT JOIN uni u3 ON u3.w = p.w3
+  CROSS JOIN n_tok nt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+       CAST(SUM(CASE WHEN c3 IS NULL AND c23 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit2,
+       CAST(SUM(CASE WHEN c3 IS NULL AND c23 IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_floor,
+       CAST(SUM(s_fp) AS BIGINT) AS score_fp,
+       CAST(SUM(s_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {_SB_FP}
+         AS avg_score
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("trigram_stupid_backoff", _SB_SQL)
+def trigram_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stupid-backoff trigram LM score against the corpus's
+    own n-gram counts: the CCNet-style "rank docs by LM fluency" filter.
+    Count tables are plain groupBys; each trigram position resolves its
+    backoff branch through keyed equi-joins (no position ever fans out —
+    one count row per key). Scores are floored to 2^-30 fixed point
+    per position, so doc totals are exact integer sums; avg_score is a
+    pinned two-division shape.
+
+    At 100 TB the count tables shard by n-gram hash (they ARE the
+    shuffle); the corpus-vs-increment variant would broadcast only
+    increment-touched n-grams, as dedup_increment_vs_corpus does."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    toks = F.col("tokens")
+    pos = (
+        tok.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                        F.element_at(toks, i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.w1", "t.w2", "t.w3")
+    )
+    uni = (
+        tok.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n"))
+    big = (
+        tok.filter(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tri = pos.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c"))
+
+    j = (
+        pos.join(
+            tri.select(
+                F.col("w1").alias("t1"), F.col("w2").alias("t2"),
+                F.col("w3").alias("t3"), F.col("c").alias("c3"),
+            ),
+            (F.col("t1") == F.col("w1"))
+            & (F.col("t2") == F.col("w2"))
+            & (F.col("t3") == F.col("w3")),
+            "left",
+        )
+        .join(
+            big.select(
+                F.col("w1").alias("g1"), F.col("w2").alias("g2"),
+                F.col("c").alias("c2ctx"),
+            ),
+            (F.col("g1") == F.col("w1")) & (F.col("g2") == F.col("w2")),
+            "left",
+        )
+        .join(
+            big.select(
+                F.col("w1").alias("h1"), F.col("w2").alias("h2"),
+                F.col("c").alias("c23"),
+            ),
+            (F.col("h1") == F.col("w2")) & (F.col("h2") == F.col("w3")),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("u2"), F.col("c").alias("c1w2")),
+            F.col("u2") == F.col("w2"),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("u3"), F.col("c").alias("c1w3")),
+            F.col("u3") == F.col("w3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tok))
+    )
+    alpha = F.lit(_SB_ALPHA)
+    fp = F.lit(_SB_FP)
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            (F.col("c3").cast("double") / F.col("c2ctx").cast("double")) * fp,
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            (alpha * (F.col("c23").cast("double") / F.col("c1w2").cast("double"))) * fp,
+        )
+        .otherwise(
+            (alpha * (alpha * (F.col("c1w3").cast("double") / F.col("n").cast("double"))))
+            * fp
+        )
+    )
+    scored = j.select(
+        "doc_id", "c3", "c23", F.floor(s).cast("long").alias("s_fp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(F.col("c3").isNotNull().cast("long")).alias("n_hit3"),
+        F.sum((F.col("c3").isNull() & F.col("c23").isNotNull()).cast("long")).alias(
+            "n_hit2"
+        ),
+        F.sum((F.col("c3").isNull() & F.col("c23").isNull()).cast("long")).alias(
+            "n_floor"
+        ),
+        F.sum("s_fp").alias("score_fp"),
+        (
+            F.sum("s_fp").cast("double") / F.count(F.lit(1)).cast("double") / fp
+        ).alias("avg_score"),
+    )
