@@ -1,0 +1,202 @@
+"""Dense-vector sign sketches (SimHash for embeddings, Charikar 2002):
+random-hyperplane bit signatures over the `embeddings` table, plus
+banded Hamming near-dup candidate pairs — the bit-sketch counterpart of
+the text-side simhash in operators/dedup.py, and the memory-lean cousin
+of the cosine near-dup scan in similarity.py (a 64-float vector becomes
+one BIGINT).
+
+Exactness: components are integer-quantized (floor(x * 1e6), float ->
+double is exact), hyperplane weights are +-1 from md5 parity (the
+portable hash both engines reproduce bit-for-bit), so every bit is the
+sign of an exact BIGINT dot product — no float fold anywhere.
+
+Scale shape: signature build is one groupBy(vec_id) with 32 map-side-
+combinable partial sums (explode x broadcast weight table, no wide
+shuffle); candidate generation groups by (band, band_value) exactly
+like MinHash-LSH banding — cost proportional to true collisions, never
+all-pairs. No counterpart in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.registry import query
+
+_VS_BITS = 32
+_VS_DIM = 64  # fixture embedding dimension (embeddings.parquet)
+_VS_SCALE = 1e6
+_VS_BANDS = 4
+_VS_BAND_BITS = _VS_BITS // _VS_BANDS
+_VS_MAX_HAMMING = 6
+
+# weight(b, d) = +1 if md5("b:d") has even low-60-bit parity else -1 —
+# row-independent, so both engines derive the same 32 x 64 table.
+_VS_WEIGHTS_SQL = f"""
+  SELECT b.b, d.d,
+         CASE WHEN ('0x' || substr(md5(b.b || ':' || d.d), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS w
+  FROM (SELECT unnest(generate_series(0, {_VS_BITS - 1})) AS b) b
+  CROSS JOIN (SELECT unnest(generate_series(1, {_VS_DIM})) AS d) d
+"""
+
+_VS_SIG_SQL = f"""
+WITH weights AS ({_VS_WEIGHTS_SQL}),
+q AS (
+  SELECT vec_id, d.d,
+         CAST(floor(CAST(embedding[d.d] AS DOUBLE) * {_VS_SCALE}) AS BIGINT) AS qv
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, {_VS_DIM})) AS d) d
+), sums AS (
+  SELECT q.vec_id, w.b, CAST(SUM(w.w * q.qv) AS BIGINT) AS s
+  FROM q JOIN weights w ON w.d = q.d
+  GROUP BY q.vec_id, w.b
+), sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM sums GROUP BY vec_id
+)
+"""
+
+
+@query(
+    "embedding_simhash_bits",
+    _VS_SIG_SQL
+    + """
+SELECT vec_id, simhash FROM sigs
+""",
+)
+def embedding_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector 32-bit sign sketch: bit b is the sign of the exact
+    integer dot product between the quantized embedding and the +-1
+    hyperplane derived from md5 parity."""
+    return _signatures(spark, sf_dir).select("vec_id", "simhash")
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    q = e.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_VS_DIM)),
+                lambda d: F.struct(
+                    d.alias("d"),
+                    F.floor(
+                        F.element_at(F.col("embedding"), d).cast("double")
+                        * F.lit(_VS_SCALE)
+                    )
+                    .cast("long")
+                    .alias("qv"),
+                ),
+            )
+        ).alias("x"),
+    ).select("vec_id", "label", "x.d", "x.qv")
+    bits = spark.range(_VS_BITS).select(F.col("id").cast("int").alias("b"))
+    dims = spark.range(1, _VS_DIM + 1).select(F.col("id").cast("int").alias("d"))
+    weights = bits.crossJoin(dims).select(
+        "b",
+        "d",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("b"), F.col("d"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("w"),
+    )
+    sums = (
+        q.join(F.broadcast(weights), "d")
+        .groupBy("vec_id", "b")
+        .agg(F.max("label").alias("label"), F.sum(F.col("w") * F.col("qv")).alias("s"))
+    )
+    return sums.groupBy("vec_id").agg(
+        F.max("label").alias("label"),
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash"),
+    )
+
+
+_VS_PAIRS_SQL = (
+    _VS_SIG_SQL
+    + f""", banded AS (
+  SELECT s.vec_id, s.simhash, bd.bd,
+         (s.simhash >> (bd.bd * {_VS_BAND_BITS})) & {(1 << _VS_BAND_BITS) - 1} AS bv
+  FROM sigs s
+  CROSS JOIN (SELECT unnest(generate_series(0, {_VS_BANDS - 1})) AS bd) bd
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.bd = b.bd AND a.bv = b.bv AND a.vec_id < b.vec_id
+), lab AS (SELECT vec_id, label FROM embeddings)
+SELECT c.vec_a, c.vec_b,
+       CAST(bit_count(xor(c.sh_a, c.sh_b)) AS BIGINT) AS hamming,
+       (la.label = lb.label) AS same_label
+FROM cand c
+JOIN lab la ON la.vec_id = c.vec_a
+JOIN lab lb ON lb.vec_id = c.vec_b
+WHERE bit_count(xor(c.sh_a, c.sh_b)) <= {_VS_MAX_HAMMING}
+"""
+)
+
+
+@query("embedding_simhash_neardup", _VS_PAIRS_SQL)
+def embedding_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-dup pairs from the banded sign sketch: candidates
+    collide on one of {_VS_BANDS} {_VS_BAND_BITS}-bit bands, survivors
+    have bit_count(xor) <= {_VS_MAX_HAMMING}. The same
+    candidates-then-verify LSH shape as MinHash banding, with a BIGINT
+    Hamming verify instead of a shingle-set Jaccard."""
+    sigs = _signatures(spark, sf_dir)
+    bands = spark.range(_VS_BANDS).select(F.col("id").cast("int").alias("bd"))
+    banded = sigs.crossJoin(F.broadcast(bands)).select(
+        "vec_id",
+        "label",
+        "simhash",
+        "bd",
+        F.expr(f"shiftright(simhash, bd * {_VS_BAND_BITS}) & {(1 << _VS_BAND_BITS) - 1}")
+        .alias("bv"),
+    )
+    right = banded.select(
+        F.col("bd").alias("bd_r"),
+        F.col("bv").alias("bv_r"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("label").alias("label_b"),
+    )
+    cand = (
+        banded.join(
+            right,
+            (F.col("bd") == F.col("bd_r"))
+            & (F.col("bv") == F.col("bv_r"))
+            & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            F.col("simhash").alias("sh_a"),
+            "sh_b",
+            F.col("label").alias("label_a"),
+            "label_b",
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        ham.cast("long").alias("hamming"),
+        (F.col("label_a") == F.col("label_b")).alias("same_label"),
+    ).filter(F.col("hamming") <= _VS_MAX_HAMMING)

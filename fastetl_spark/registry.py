@@ -66,6 +66,7 @@ def load_all() -> None:
     import fastetl_spark.operators.text2  # noqa: F401
     import fastetl_spark.operators.text3  # noqa: F401
     import fastetl_spark.operators.retrieval  # noqa: F401
+    import fastetl_spark.operators.vector_sketch  # noqa: F401
     import fastetl_spark.operators.sampling  # noqa: F401
     import fastetl_spark.operators.analytics  # noqa: F401
     import fastetl_spark.operators.matching  # noqa: F401
