@@ -404,3 +404,118 @@ WITH RECURSIVE walk(node, depth) AS (
 )
 SELECT node, CAST(MIN(depth) AS BIGINT) AS hops FROM walk GROUP BY node
 """)
+
+
+# --- structural neighborhood similarity -----------------------------------
+
+# "Related nodes" by neighborhood overlap (SimRank's first hop /
+# Jaccard-of-adjacency, the link-graph analog of co-citation): two
+# nodes are similar when their undirected neighbor sets overlap.
+# Candidate pairs are generated per common neighbor — fan-out is
+# degree^2 per node, so a degree cap (mirrored in the oracle) bounds
+# the quadratic term exactly like the shingle df-cap in
+# dedup_ngram_jaccard. Jaccard is exact-integer; top-k ordering is
+# bit-stable because every score is one exact-integer division.
+_NBJ_DEGREE_CAP = 64
+_NBJ_TOPK = 100
+
+_NBJ_SQL = f"""
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), e0 AS (
+  SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node + 2) % (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 3) % (SELECT n FROM nn) FROM nodes
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e0 WHERE src <> dst
+), adj AS (
+  SELECT u AS node, v AS nb FROM und
+  UNION ALL
+  SELECT v AS node, u AS nb FROM und
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM adj GROUP BY node
+), hubs AS (
+  SELECT node FROM deg WHERE deg BETWEEN 2 AND {_NBJ_DEGREE_CAP}
+), pairs AS (
+  SELECT a.node AS node_a, b.node AS node_b, COUNT(*) AS shared
+  FROM adj a JOIN adj b ON b.nb = a.nb AND a.node < b.node
+  WHERE a.nb IN (SELECT node FROM hubs)
+  GROUP BY a.node, b.node
+)
+SELECT p.node_a, p.node_b, p.shared,
+       da.deg AS deg_a, db.deg AS deg_b,
+       p.shared * 1.0 / (da.deg + db.deg - p.shared) AS jaccard
+FROM pairs p
+JOIN deg da ON da.node = p.node_a
+JOIN deg db ON db.node = p.node_b
+ORDER BY jaccard DESC, p.node_a, p.node_b
+LIMIT {_NBJ_TOPK}
+"""
+
+
+@query("node_neighbor_jaccard", _NBJ_SQL)
+def node_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural similarity over the ring+skip-2+squares doc graph:
+    the top-100 node pairs by Jaccard of their undirected
+    neighbor sets (deterministic (node_a, node_b) tie-break — the
+    exact-integer divisions make the float ordering bit-stable).
+    Candidates come only from common neighbors under a degree cap: the
+    one quadratic term is degree^2 per node, so a 10^5-degree hub is
+    excluded from candidate GENERATION (its own pairs) while still
+    counting toward its neighbors' degrees — the same skew bound as the
+    shingle df-cap. Everything else is keyed groupBys."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    e0 = (
+        nodes.select(F.col("node").alias("src"), ((F.col("node") + 1) % n).alias("dst"))
+        .unionAll(
+            nodes.select(
+                F.col("node").alias("src"), ((F.col("node") + 2) % n).alias("dst")
+            )
+        )
+        .unionAll(
+            nodes.select(
+                F.col("node").alias("src"),
+                ((F.col("node") * F.col("node") + 3) % n).alias("dst"),
+            )
+        )
+    )
+    und = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+        .transform(materialize)
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    hubs = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= _NBJ_DEGREE_CAP)).select(
+        F.col("node").alias("nb")
+    )
+    right = adj.select(F.col("nb").alias("nb_r"), F.col("node").alias("node_b"))
+    pairs = (
+        adj.join(hubs, "nb", "left_semi")
+        .join(
+            right,
+            (F.col("nb_r") == F.col("nb")) & (F.col("node") < F.col("node_b")),
+        )
+        .groupBy(F.col("node").alias("node_a"), "node_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b"))
+    jac = F.col("shared") * 1.0 / (F.col("deg_a") + F.col("deg_b") - F.col("shared"))
+    return (
+        pairs.join(da, "node_a")
+        .join(db, "node_b")
+        .select("node_a", "node_b", "shared", "deg_a", "deg_b", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "node_a", "node_b")
+        .limit(_NBJ_TOPK)
+    )
