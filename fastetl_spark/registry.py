@@ -65,6 +65,7 @@ def load_all() -> None:
     import fastetl_spark.operators.text  # noqa: F401
     import fastetl_spark.operators.text2  # noqa: F401
     import fastetl_spark.operators.text3  # noqa: F401
+    import fastetl_spark.operators.heavy_hitters  # noqa: F401
     import fastetl_spark.operators.retrieval  # noqa: F401
     import fastetl_spark.operators.vector_sketch  # noqa: F401
     import fastetl_spark.operators.sampling  # noqa: F401
