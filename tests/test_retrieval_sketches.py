@@ -1,0 +1,85 @@
+"""Behavioral tests for the round-6 retrieval/sketch additions — the
+properties the oracle hash-compare can't state directly:
+
+- containment finds the short-doc-swallowed-by-long-doc case that
+  Jaccard structurally misses (the reason the operator exists);
+- BM25 ranks a term-dense short doc above a diluted long one and
+  downweights common terms via idf;
+- the dense-vector simhash is locality-sensitive: identical vectors
+  collide exactly, a small perturbation moves few bits, an unrelated
+  vector moves many.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fastetl_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_containment_catches_subdocument_dup(spark):
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    d = _docs(spark, [(1, short), (2, filler + " " + short + " " + filler)])
+    cont = containment_pairs(d, df_cap=None).collect()
+    directed = {(r["src"], r["dst"]): r["containment"] for r in cont}
+    # every shingle of doc 1 occurs in doc 2
+    assert directed.get((1, 2)) == 1.0
+    # the reverse direction is nowhere near threshold
+    assert (2, 1) not in directed
+    # and Jaccard misses the pair entirely at its default threshold
+    jac = ngram_jaccard_pairs(d, df_cap=None).collect()
+    assert jac == []
+
+
+def test_bm25_ranking_properties(spark):
+    from fastetl_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "rare rare filler1 filler2 filler3"),
+        (2, "rare " + " ".join(f"pad{i}" for i in range(60))),
+        (3, "common plain text here"),
+        (4, "common other words entirely"),
+        (5, "justwords nothing special at all"),
+        (6, "more neutral words here too"),
+    ]
+    top = bm25_topk(_docs(spark, rows), terms=("rare", "common"), k=6).collect()
+    ranked = [r["doc_id"] for r in top]
+    scores = {r["doc_id"]: r["score"] for r in top}
+    # term-dense short doc beats the same term diluted in a long doc
+    assert ranked[0] == 1, ranked
+    assert scores[1] > scores[2]
+    # docs hitting no query term score exactly 0 and sort last
+    assert scores[5] == 0.0 and scores[6] == 0.0
+    assert set(ranked[-2:]) == {5, 6}
+    # every term-hitting doc outranks the no-hit docs (positive idf here)
+    assert min(scores[1], scores[2], scores[3], scores[4]) > 0.0
+
+
+def test_embedding_simhash_locality(spark):
+    import fastetl_spark.operators.vector_sketch as vs
+
+    dim = vs._VS_DIM
+    base = [((i * 37) % 100) / 100.0 - 0.5 for i in range(dim)]
+    near = list(base)
+    near[0] += 0.001  # tiny perturbation
+    far = [-x for x in base]  # opposite direction: all bits flip
+    rows = [(0, base, 0), (1, list(base), 0), (2, near, 0), (3, far, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    # drive the signature core directly on a synthetic frame (patch the
+    # name bound inside the module, not the readers module)
+    orig = vs.read_table
+    try:
+        vs.read_table = lambda spark_, sf_dir_, name_: df
+        sigs = {r["vec_id"]: r["simhash"] for r in vs._signatures(spark, "unused").collect()}
+    finally:
+        vs.read_table = orig
+    assert sigs[0] == sigs[1]  # identical vectors: identical sketch
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[0], sigs[2]) <= 4  # near vector: few bits move
+    assert ham(sigs[0], sigs[3]) == 32  # antipodal vector: every bit flips
