@@ -543,11 +543,12 @@ class Engine:
         dispatcher for the five pair families (all blocked/inverted-
         index designs — none does an n² pair join):
 
-        - ``exact``   — normalized-fingerprint equality
-        - ``jaccard`` — df-capped shingle Jaccard (exact verify)
-        - ``cosine``  — df-capped shingle tf-cosine
-        - ``minhash`` — MinHash+LSH banding, exact-Jaccard verified
-        - ``simhash`` — SimHash Hamming<=3 via pigeonhole segments
+        - ``exact``       — normalized-fingerprint equality
+        - ``jaccard``     — df-capped shingle Jaccard (exact verify)
+        - ``containment`` — directed |A∩B|/|A| (sub-document dups)
+        - ``cosine``      — df-capped shingle tf-cosine
+        - ``minhash``     — MinHash+LSH banding, exact-Jaccard verified
+        - ``simhash``     — SimHash Hamming<=3 via pigeonhole segments
 
         Column schemas differ per family (each carries its own
         evidence: jaccard/shared, cosine sim, hamming); (doc_a, doc_b)
@@ -558,6 +559,7 @@ class Engine:
         dispatch = {
             "exact": dedup.exact_dup_pairs,
             "jaccard": dedup.ngram_jaccard_pairs,
+            "containment": dedup.containment_pairs,
             "cosine": sparse_cosine_pairs,
             "minhash": dedup.minhash_lsh_pairs,
             "simhash": dedup.simhash_pairs,
@@ -605,6 +607,74 @@ class Engine:
         from fastetl_spark.operators.ivm import distinct_view_delta
 
         return distinct_view_delta(view_vals, increment)
+
+    def bm25(self, docs: DataFrame, terms: tuple[str, ...],
+             k: int = 20) -> DataFrame:
+        """Top-k docs by BM25 (operators/retrieval.bm25_topk) over a
+        (doc_id, text) frame: one tf/dl scan, one broadcast stats row,
+        TakeOrdered top-k — no full sort, no UDFs."""
+        from fastetl_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(docs, terms=tuple(terms), k=k)
+
+    def lm_score(self, docs: DataFrame) -> DataFrame:
+        """Per-doc stupid-backoff trigram LM score against the corpus's
+        own n-gram counts (operators/retrieval.stupid_backoff_scores) —
+        the CCNet-style fluency ranking for corpus filtering. Exact
+        fixed-point accumulation; keyed equi-joins only."""
+        from fastetl_spark.operators.retrieval import stupid_backoff_scores
+
+        return stupid_backoff_scores(docs)
+
+    def heavy_hitters(self, df: DataFrame, key_col: str,
+                      k: int = 64, topk: int = 20) -> DataFrame:
+        """Misra-Gries frequent items (operators/heavy_hitters): k
+        counters per partition, summary-sized merge shuffle; returns
+        (token, est_count, err_bound, rank) with est <= true <= est +
+        err_bound. Set k above the expected distinct count to get exact
+        results from the same pipeline."""
+        from fastetl_spark.operators.heavy_hitters import misra_gries_topk
+
+        tokens = df.select(F.col(key_col).cast("string").alias("token"))
+        return misra_gries_topk(tokens, k, topk=topk)
+
+    def vector_simhash(self, vectors: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       dim: int = 64) -> DataFrame:
+        """32-bit sign sketch per vector (operators/vector_sketch):
+        md5-parity hyperplanes, exact integer dot products — one BIGINT
+        per embedding for Hamming-space dedup."""
+        from fastetl_spark.operators.vector_sketch import simhash_signatures
+
+        return simhash_signatures(vectors, id_col=id_col, vec_col=vec_col,
+                                  dim=dim)
+
+    def vector_neardup_pairs(self, vectors: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding", dim: int = 64,
+                             max_hamming: int = 6) -> DataFrame:
+        """Hamming near-dup candidate pairs over embeddings via banded
+        sign sketches (operators/vector_sketch.simhash_hamming_pairs):
+        LSH candidates-then-verify, never all-pairs."""
+        from fastetl_spark.operators.vector_sketch import (
+            simhash_hamming_pairs,
+            simhash_signatures,
+        )
+
+        sigs = simhash_signatures(vectors, id_col=id_col, vec_col=vec_col,
+                                  dim=dim)
+        return simhash_hamming_pairs(sigs, max_hamming=max_hamming)
+
+    def neighbor_similarity(self, und_edges: DataFrame,
+                            degree_cap: int = 64,
+                            topk: int = 100) -> DataFrame:
+        """Top-k node pairs by Jaccard of undirected neighbor sets
+        (operators/graph.neighbor_jaccard_pairs) over a (u, v) edge
+        frame with u < v; candidate fan-out bounded by degree_cap."""
+        from fastetl_spark.operators.graph import neighbor_jaccard_pairs
+
+        return neighbor_jaccard_pairs(und_edges, degree_cap=degree_cap,
+                                      topk=topk)
 
     def kmeans(self, vectors: DataFrame, id_col: str, vec_col: str,
                k: int = 8, iterations: int = 2) -> DataFrame:

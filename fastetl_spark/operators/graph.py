@@ -492,11 +492,22 @@ def node_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
+    return neighbor_jaccard_pairs(und)
+
+
+def neighbor_jaccard_pairs(
+    und: DataFrame,
+    degree_cap: int = _NBJ_DEGREE_CAP,
+    topk: int = _NBJ_TOPK,
+) -> DataFrame:
+    """Top-k structural-similarity pairs over an undirected edge frame
+    (u, v) with u < v — the reusable core behind the gated query and
+    Engine.neighbor_similarity."""
     adj = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
         und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    hubs = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= _NBJ_DEGREE_CAP)).select(
+    hubs = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= degree_cap)).select(
         F.col("node").alias("nb")
     )
     right = adj.select(F.col("nb").alias("nb_r"), F.col("node").alias("node_b"))
@@ -517,5 +528,5 @@ def node_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "node_b")
         .select("node_a", "node_b", "shared", "deg_a", "deg_b", jac.alias("jaccard"))
         .orderBy(F.desc("jaccard"), "node_a", "node_b")
-        .limit(_NBJ_TOPK)
+        .limit(topk)
     )

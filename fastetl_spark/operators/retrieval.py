@@ -229,6 +229,12 @@ def trigram_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the corpus-vs-increment variant would broadcast only
     increment-touched n-grams, as dedup_increment_vs_corpus does."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return stupid_backoff_scores(d)
+
+
+def stupid_backoff_scores(d: DataFrame) -> DataFrame:
+    """Per-doc stupid-backoff LM scores over any (doc_id, text) frame —
+    the reusable core behind the gated query and Engine.lm_score."""
     tok = d.select("doc_id", F.split("text", " ").alias("tokens"))
     toks = F.col("tokens")
     pos = (

@@ -76,18 +76,25 @@ def embedding_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir).select("vec_id", "simhash")
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
-    q = e.select(
-        "vec_id",
-        "label",
+def simhash_signatures(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = _VS_DIM,
+    bits: int = _VS_BITS,
+) -> DataFrame:
+    """(id, simhash) sign sketches over any (id, array<float>) frame —
+    the reusable core behind the gated queries and Engine.vector_simhash."""
+    spark = vectors.sparkSession
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.lit(_VS_DIM)),
+                F.sequence(F.lit(1), F.lit(dim)),
                 lambda d: F.struct(
                     d.alias("d"),
                     F.floor(
-                        F.element_at(F.col("embedding"), d).cast("double")
+                        F.element_at(F.col(vec_col), d).cast("double")
                         * F.lit(_VS_SCALE)
                     )
                     .cast("long")
@@ -95,10 +102,10 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("x"),
-    ).select("vec_id", "label", "x.d", "x.qv")
-    bits = spark.range(_VS_BITS).select(F.col("id").cast("int").alias("b"))
-    dims = spark.range(1, _VS_DIM + 1).select(F.col("id").cast("int").alias("d"))
-    weights = bits.crossJoin(dims).select(
+    ).select("vec_id", "x.d", "x.qv")
+    bits_df = spark.range(bits).select(F.col("id").cast("int").alias("b"))
+    dims = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
+    weights = bits_df.crossJoin(dims).select(
         "b",
         "d",
         F.when(
@@ -117,15 +124,19 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = (
         q.join(F.broadcast(weights), "d")
         .groupBy("vec_id", "b")
-        .agg(F.max("label").alias("label"), F.sum(F.col("w") * F.col("qv")).alias("s"))
+        .agg(F.sum(F.col("w") * F.col("qv")).alias("s"))
     )
     return sums.groupBy("vec_id").agg(
-        F.max("label").alias("label"),
         F.sum(
             F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash"),
     )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return simhash_signatures(e).join(e.select("vec_id", "label"), "vec_id")
 
 
 _VS_PAIRS_SQL = (
@@ -159,14 +170,38 @@ def embedding_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     have bit_count(xor) <= {_VS_MAX_HAMMING}. The same
     candidates-then-verify LSH shape as MinHash banding, with a BIGINT
     Hamming verify instead of a shingle-set Jaccard."""
-    sigs = _signatures(spark, sf_dir)
-    bands = spark.range(_VS_BANDS).select(F.col("id").cast("int").alias("bd"))
-    banded = sigs.crossJoin(F.broadcast(bands)).select(
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    pairs = simhash_hamming_pairs(simhash_signatures(e))
+    la = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))
+    lb = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"))
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "hamming",
+            (F.col("label_a") == F.col("label_b")).alias("same_label"),
+        )
+    )
+
+
+def simhash_hamming_pairs(
+    sigs: DataFrame,
+    bands: int = _VS_BANDS,
+    band_bits: int = _VS_BAND_BITS,
+    max_hamming: int = _VS_MAX_HAMMING,
+) -> DataFrame:
+    """(vec_a, vec_b, hamming) near-dup candidates from an (vec_id,
+    simhash) frame: band-bucket collision generation + exact
+    bit_count(xor) verify — the reusable LSH core."""
+    spark = sigs.sparkSession
+    bands_df = spark.range(bands).select(F.col("id").cast("int").alias("bd"))
+    banded = sigs.crossJoin(F.broadcast(bands_df)).select(
         "vec_id",
-        "label",
         "simhash",
         "bd",
-        F.expr(f"shiftright(simhash, bd * {_VS_BAND_BITS}) & {(1 << _VS_BAND_BITS) - 1}")
+        F.expr(f"shiftright(simhash, bd * {band_bits}) & {(1 << band_bits) - 1}")
         .alias("bv"),
     )
     right = banded.select(
@@ -174,7 +209,6 @@ def embedding_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bv").alias("bv_r"),
         F.col("vec_id").alias("vec_b"),
         F.col("simhash").alias("sh_b"),
-        F.col("label").alias("label_b"),
     )
     cand = (
         banded.join(
@@ -188,15 +222,10 @@ def embedding_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.col("simhash").alias("sh_a"),
             "sh_b",
-            F.col("label").alias("label_a"),
-            "label_b",
         )
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select(
-        "vec_a",
-        "vec_b",
-        ham.cast("long").alias("hamming"),
-        (F.col("label_a") == F.col("label_b")).alias("same_label"),
-    ).filter(F.col("hamming") <= _VS_MAX_HAMMING)
+        "vec_a", "vec_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -328,3 +328,40 @@ def test_engine_training_data_wrappers(spark, sf_dir):
     agg = packed.groupBy("seq_id").agg(F.sum("frag_len").alias("fill"))
     last = agg.agg(F.max("seq_id")).first()[0]
     assert agg.filter((F.col("fill") != 64) & (F.col("seq_id") != last)).count() == 0
+
+
+def test_engine_round6_facades(spark, sf_dir):
+    from fastetl_spark.io.readers import read_table
+
+    eng = Engine(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+
+    top = eng.bm25(docs, terms=("spark", "join"), k=5).collect()
+    assert 0 < len(top) <= 5
+    assert [r["rank"] for r in top] == list(range(1, len(top) + 1))
+
+    lm = eng.lm_score(docs)
+    row = lm.limit(1).collect()[0]
+    assert row["n_trigrams"] == row["n_hit3"] + row["n_hit2"] + row["n_floor"]
+    assert 0.0 <= row["avg_score"] <= 1.0
+
+    hh = eng.heavy_hitters(
+        read_table(spark, sf_dir, "events"), "event_type", k=64, topk=5
+    ).collect()
+    assert hh and hh[0]["err_bound"] == 0  # k >> distinct event types
+
+    vecs = read_table(spark, sf_dir, "embeddings").limit(100)
+    sigs = eng.vector_simhash(vecs)
+    assert set(sigs.columns) == {"vec_id", "simhash"}
+    assert sigs.count() == 100
+    pairs = eng.vector_neardup_pairs(vecs, max_hamming=32)
+    assert {"vec_a", "vec_b", "hamming"} <= set(pairs.columns)
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], ["u", "v"]
+    )
+    sim = eng.neighbor_similarity(edges, topk=10).collect()
+    assert sim and all(0.0 < r["jaccard"] <= 1.0 for r in sim)
+
+    cont = eng.near_dup_pairs(docs, method="containment")
+    assert {"src", "dst", "containment"} <= set(cont.columns)
