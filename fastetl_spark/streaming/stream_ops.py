@@ -994,3 +994,62 @@ def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
     return _drain_to_memory(counts, "st_km_", "complete")
+
+
+def _stream_hh_sql() -> str:
+    from fastetl_spark.operators.heavy_hitters import _HH_EXHAUSTIVE_SQL
+
+    return _HH_EXHAUSTIVE_SQL
+
+
+@query("streaming_heavy_hitters", _stream_hh_sql())
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thirteenth streaming gate: SKETCH MAINTENANCE on a stream.
+    Documents arrive as a file-source stream; each micro-batch partition
+    builds a Misra-Gries summary with the SAME mapInPandas core the
+    batch operator uses (mergeable summaries: per-partition counters
+    merge by addition), and the running merge is a complete-mode
+    groupBy(token) — per trigger the stream carries k counters per
+    partition, never the token stream itself. Run in the exhaustive
+    configuration (k above the vocabulary) the merged summary is the
+    exact frequency table, so the oracle is the batch GROUP BY: a lost
+    micro-batch, a summary double-merge, or a decrement firing where
+    none should all fail the hash. The bounded-k behavior of the same
+    core is property-tested in tests/test_heavy_hitters.py."""
+    from fastetl_spark.operators.heavy_hitters import (
+        _HH_EXHAUSTIVE_K,
+        _HH_SUMMARY_SCHEMA,
+        _HH_TOPK,
+        _mg_partition,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tokens = stream.select(F.explode(F.split("text", " ")).alias("token"))
+    summaries = tokens.mapInPandas(
+        _mg_partition(_HH_EXHAUSTIVE_K), _HH_SUMMARY_SCHEMA
+    )
+    merged = summaries.groupBy("token").agg(
+        F.sum("cnt").alias("est_count"), F.sum("dec").alias("dec_sum")
+    )
+    drained = _drain_to_memory(merged, "st_hh_", "complete")
+    err = drained.agg(
+        F.coalesce(F.sum("dec_sum"), F.lit(0)).cast("long").alias("err_bound")
+    )
+    from pyspark.sql.window import Window
+
+    top = (
+        drained.filter(F.col("token").isNotNull())
+        .crossJoin(F.broadcast(err))
+        .orderBy(F.desc("est_count"), "token")
+        .limit(_HH_TOPK)
+    )
+    w = Window.orderBy(F.desc("est_count"), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "token", "est_count", "err_bound", "rank"
+    )
