@@ -1454,3 +1454,134 @@ def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --- corpus novelty curve (vocabulary growth per ingest batch) ------------
+
+_VG_BATCH = 100  # docs per ingest batch (doc_id order = arrival order)
+
+_VG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id // {_VG_BATCH} AS batch_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), per_batch AS (
+  SELECT batch_id, token FROM toks GROUP BY batch_id, token
+), first_seen AS (
+  SELECT token, MIN(batch_id) AS first_batch FROM per_batch GROUP BY token
+)
+SELECT p.batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(CASE WHEN f.first_batch = p.batch_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_tokens,
+       SUM(CASE WHEN f.first_batch = p.batch_id THEN 1 ELSE 0 END) * 1.0
+         / COUNT(*) AS novelty_rate
+FROM per_batch p JOIN first_seen f ON f.token = p.token
+GROUP BY p.batch_id
+ORDER BY p.batch_id
+"""
+
+
+@query("vocab_growth_batches", _VG_SQL)
+def vocab_growth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per ingest batch (doc_id order, {_VG_BATCH}
+    docs/batch), how many distinct tokens appear and what fraction are
+    first-seen — the diminishing-returns measurement behind "is more of
+    this crawl still adding vocabulary?". Heaps-law curve fitting reads
+    straight off this table.
+
+    All counts exact integers (novelty_rate is one exact division);
+    shape is two map-side-combinable groupBys on (batch, token) /
+    (token) — the token stream never joins itself."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_VG_BATCH)))
+        .cast("long").alias("pre"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).select((F.col("pre") / _VG_BATCH).cast("long").alias("batch_id"), "token")
+    per_batch = toks.groupBy("batch_id", "token").agg(F.lit(1).alias("_one"))
+    first_seen = per_batch.groupBy("token").agg(F.min("batch_id").alias("first_batch"))
+    new_flag = (F.col("first_batch") == F.col("batch_id")).cast("long")
+    return (
+        per_batch.join(first_seen, "token")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(new_flag).alias("n_new_tokens"),
+            (F.sum(new_flag) * 1.0 / F.count(F.lit(1))).alias("novelty_rate"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+# --- cross-source duplication matrix --------------------------------------
+
+# Fingerprint = md5 of the first 8 tokens: the prefix fingerprint that
+# surfaces shared boilerplate/headers across crawls (full-text equality
+# is the degenerate special case and finds almost nothing across
+# sources — prefix overlap is what "these two crawls scrape the same
+# sites" actually looks like).
+_SOM_PREFIX_TOKENS = 8
+
+_SOM_SQL = f"""
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(string_split(text, ' ')[1:{_SOM_PREFIX_TOKENS}], ' ')) AS fp
+  FROM documents
+), totals AS (
+  SELECT source, COUNT(*) AS n_fp FROM fp GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b ON b.fp = a.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       ta.n_fp AS n_a, tb.n_fp AS n_b,
+       p.n_shared * 1.0 / LEAST(ta.n_fp, tb.n_fp) AS overlap
+FROM pairs p
+JOIN totals ta ON ta.source = p.source_a
+JOIN totals tb ON tb.source = p.source_b
+"""
+
+
+@query("source_overlap_matrix", _SOM_SQL)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which crawl sources duplicate each other: per source pair, the
+    count of shared prefix fingerprints (first {_SOM_PREFIX_TOKENS}
+    tokens — shared boilerplate/headers) and the overlap
+    coefficient n_shared / min(|A|, |B|) — the table that decides which
+    redundant source to drop entirely (vs doc-level dedup, which keeps
+    paying the scan). Fingerprint-only shuffle — text bodies never move
+    (the dedup_exact scale design applied source-pairwise); pair
+    fan-out is per-fingerprint source-set combos, bounded by the
+    source count."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    fp = d.select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, _SOM_PREFIX_TOKENS))
+        ).alias("fp"),
+    ).distinct()
+    totals = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    right = fp.select(F.col("fp").alias("fp_r"), F.col("source").alias("source_b"))
+    pairs = (
+        fp.join(
+            right,
+            (F.col("fp_r") == F.col("fp")) & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_fp").alias("n_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared") * 1.0 / F.least("n_a", "n_b")).alias("overlap"),
+        )
+    )

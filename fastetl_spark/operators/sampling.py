@@ -448,3 +448,57 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
     )
+
+
+# --- class-balanced exact-quota downsampling -----------------------------
+
+# Balanced corpus across classes by COUNT (not rate): every language
+# keeps exactly quota = min(per-lang count) docs, chosen by a
+# deterministic md5 ranking — the "undersample the majority classes to
+# the minority size" step classifier training data and multilingual
+# corpus balancing both need. Differs from stratified_sample (fixed
+# RATE per stratum: relative sizes preserved) — here the OUTPUT sizes
+# are equalized.
+_CBD_SQL = """
+WITH quota AS (
+  SELECT MIN(n) AS q FROM (
+    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) t
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+FROM ranked CROSS JOIN quota
+WHERE rnk <= q
+"""
+
+
+@query("class_balanced_downsample", _CBD_SQL)
+def class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota class balancing: every lang keeps min-class-size
+    docs, selected by portable md5 rank (deterministic, shuffle-free
+    choice of WHICH docs survive — re-runs pick the same set).
+
+    Scale shape: one count aggregate for the quota (broadcast scalar) +
+    one per-class window rank. The rank window partitions by class —
+    fine while each class fits a partition's sort (the window sorts
+    within class); at extreme class sizes swap the rank for the
+    hash-threshold form (keep hash < quota/count scaled), which is
+    pure per-row arithmetic at a small quota-accuracy cost."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(F.min("n").alias("q"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    return ranked.crossJoin(F.broadcast(quota)).filter(
+        F.col("rnk") <= F.col("q")
+    ).select("doc_id", "lang", "rnk")
