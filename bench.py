@@ -23,18 +23,14 @@ HEADLINE = [
     "upsert_merge",
     "incremental_sync_composite",
     "patch_overlay",
-    "clean_cpf",
     "qa_log_pipeline",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_increment_vs_corpus",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
-    "lang_id",
     "text_quality",
     "sessionize_events",
-    "tumbling_window_agg",
-    "q6_forecast_revenue",
     "q10_returned_items",
     "asof_join_prior_click",
     "scd2_user_event_history",
@@ -42,7 +38,6 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "dedup_connected_components",
     "gopher_quality_filter",
-    "deterministic_split",
     "similarity_ivf",
     "similarity_ivfpq",
     "source_reputation_report",
@@ -79,6 +74,11 @@ HEADLINE = [
     "kmeans_lloyd_exact",
     "substring_dup_maximal_spans",
     "interval_join_clicks_after_purchase",
+    "bm25_topk_docs",
+    "trigram_stupid_backoff",
+    "embedding_simhash_neardup",
+    "heavy_hitters_exhaustive",
+    "node_neighbor_jaccard",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the
@@ -261,7 +261,7 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver captures only the TAIL of stdout (~2 kB), so the
-    # emitted line must stay compact: per-query bests at 2 dp plus the
+    # emitted line must stay compact: per-query bests at 1 dp plus the
     # guard booleans. Everything else (median/spread stats, scaling and
     # index-scaling detail, 3-dp timings) goes to BENCH_DETAIL.json
     # next to this script.
@@ -269,7 +269,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = {
@@ -290,7 +290,7 @@ def main() -> None:
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the driver's 2 kB tail capture
         out["queries"] = {
-            k: round(v, 2)
+            k: round(v, 1)
             for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:30]
         }
         out["queries_truncated_see"] = "BENCH_DETAIL.json"
