@@ -271,6 +271,128 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+# --- prefix-filtered exact similarity join (PPJoin-style) ----------------
+
+# Prefix filtering (Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2008):
+# for Jaccard >= t, two sets MUST share an element among each set's
+# first (L - ceil(t*L) + 1) elements under ANY fixed global order — so
+# only that prefix needs indexing, and candidate generation provably
+# misses nothing. The completeness proof needs no portable order, so
+# the canonical order here is ascending shingle hash. At t=0.5 the
+# prefix is floor(L/2)+1 elements: half the index explode volume and a
+# quadratically smaller candidate surface, with bit-identical results
+# to the full inverted index (the gate below shares a complete
+# no-prefix oracle; tests measure the candidate reduction).
+_PREFIX_JACCARD_T = 0.5
+
+_PREFIX_JACCARD_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= {_SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tokens) - {_SHINGLE_N - 1}),
+                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+), exploded AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM shingled
+), pair_counts AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b, COUNT(*) AS shared
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       shared * 1.0 / (n_a + n_b - shared) AS jaccard
+FROM pair_counts
+WHERE shared * 1.0 / (n_a + n_b - shared) >= {_PREFIX_JACCARD_T}
+"""
+
+
+def prefix_filtered_candidates(d: DataFrame, shingle_n: int = _SHINGLE_N) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs for Jaccard >= {_PREFIX_JACCARD_T}
+    via prefix filtering: each doc indexes only the first
+    floor(L/2)+1 of its hash-sorted shingles. Returns distinct ordered
+    pairs — a provable superset of the >= t pairs, strictly smaller
+    than the full-index candidate set."""
+    tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
+    sh = tok.select(
+        "doc_id",
+        F.array_sort(shingle_hashes(F.col("tokens"), shingle_n)).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    # prefix length for t = 1/2: L - ceil(L/2) + 1 == L DIV 2 + 1
+    pre = sh.filter(F.col("n_sh") > 0).select(
+        "doc_id",
+        F.slice(
+            F.col("shingles"), 1, F.expr("n_sh DIV 2 + 1").cast("int")
+        ).alias("prefix"),
+    )
+    ex = pre.select("doc_id", F.explode("prefix").alias("shingle"))
+    groups = ex.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    docs = F.col("docs")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(docs) - 1),
+            lambda i: F.transform(
+                F.slice(docs, i + 1, F.size(docs)),
+                lambda dd: F.struct(
+                    F.element_at(docs, i).alias("doc_a"), dd.alias("doc_b")
+                ),
+            ),
+        )
+    )
+    return (
+        groups.filter(F.size(docs) >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+@query("dedup_jaccard_prefix", _PREFIX_JACCARD_SQL)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= {_PREFIX_JACCARD_T} pairs via prefix filtering +
+    array-intersect verification. The oracle is the COMPLETE (un-capped,
+    un-prefixed) inverted-index self-join — so a prefix that misses any
+    true pair fails the hash; the candidate-reduction claim is measured
+    in tests/test_retrieval_sketches.py. Production would compose the
+    prefix filter WITH the df-cap of dedup_ngram_jaccard (orthogonal
+    bounds: the cap handles hot-shingle skew, the prefix shrinks every
+    doc's index footprint)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens"))
+    sh = tok.select(
+        "doc_id",
+        F.array_sort(shingle_hashes(F.col("tokens"))).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    cand = prefix_filtered_candidates(d)
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            (
+                F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= _PREFIX_JACCARD_T)
+
+
 # --- shingle containment (asymmetric near-dup) ---------------------------
 
 # Containment C(src -> dst) = |S(src) ∩ S(dst)| / |S(src)| — the

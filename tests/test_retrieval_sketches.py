@@ -83,3 +83,37 @@ def test_embedding_simhash_locality(spark):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(sigs[0], sigs[2]) <= 4  # near vector: few bits move
     assert ham(sigs[0], sigs[3]) == 32  # antipodal vector: every bit flips
+
+
+def test_prefix_filter_reduces_candidates(spark, sf_dir):
+    """The efficiency claim of dedup_jaccard_prefix, measured: the
+    prefix index explodes fewer rows and yields strictly fewer
+    candidate pairs than the full inverted index, while the gated query
+    (shared complete oracle) proves no true pair is lost."""
+    import pyspark.sql.functions as F
+
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.dedup import (
+        prefix_filtered_candidates,
+        shingle_hashes,
+        word_tokens,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix_cands = prefix_filtered_candidates(d).count()
+
+    sh = d.select(
+        "doc_id", shingle_hashes(word_tokens(F.col("text"))).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    full_cands = (
+        ex.groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .count()
+    )
+    assert 0 < prefix_cands < full_cands, (prefix_cands, full_cands)
