@@ -94,3 +94,78 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("total").cast("double").alias("total_value"),
     )
+
+
+# --- rendezvous (highest-random-weight) shard assignment ------------------
+
+# Rendezvous hashing (Thaler & Ravishankar 1996): key k goes to the
+# shard maximizing hash(k, shard). Unlike modulo assignment, growing
+# the shard set from n to n+1 moves only ~1/(n+1) of the keys (each
+# key moves only if the NEW shard wins its rendezvous) — the stable
+# re-sharding rule for persistent indexes, stateful-stream state, and
+# bucketed storage layouts. The md5-portable weight makes the
+# assignment engine-independent, so the oracle re-derives it exactly.
+_RDV_SHARDS = 8
+
+_RDV_SQL = f"""
+WITH weights AS (
+  SELECT user_id, s.shard,
+         ('0x' || substr(md5(user_id || '#' || s.shard), 1, 15))::BIGINT AS w
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(0, {_RDV_SHARDS - 1})) AS shard) s
+), ranked AS (
+  SELECT user_id, shard,
+         row_number() OVER (PARTITION BY user_id ORDER BY w DESC, shard) AS rn
+  FROM weights
+)
+SELECT r.user_id, CAST(r.shard AS INT) AS shard, CAST(c.n AS BIGINT) AS n_events
+FROM ranked r
+JOIN (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) c
+  ON c.user_id = r.user_id
+WHERE r.rn = 1
+"""
+
+
+def rendezvous_shard(key, n_shards: int):
+    """Column expression: the rendezvous shard of `key` over shards
+    0..n_shards-1 (argmax of the portable md5 weight; ties broken by
+    the lower shard id). Pure per-row arithmetic — no shuffle, no
+    state, deterministic across engines and runs."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", key, F.lit(s))), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("w"),
+                F.lit(-s).alias("neg_shard"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return (-F.array_max(pairs)["neg_shard"]).cast("int")
+
+
+@query("rendezvous_shard_assign", _RDV_SQL)
+def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every user assigned to its rendezvous shard (of {_RDV_SHARDS}),
+    with event counts — the stable-resharding building block under the
+    exact gate. The Spark side folds the argmax into one per-row
+    array_max over (weight, -shard) structs (ties to the LOWER shard,
+    matching the oracle's ORDER BY w DESC, shard); the oracle ranks an
+    exploded weight table. The struct-argmax is safe because md5
+    weights are exact integers — no float fold anywhere."""
+    from fastetl_spark.io.readers import ensure_parallelism, read_table
+
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return counts.select(
+        "user_id",
+        rendezvous_shard(F.col("user_id"), _RDV_SHARDS).alias("shard"),
+        "n_events",
+    )

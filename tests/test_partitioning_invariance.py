@@ -51,3 +51,27 @@ def test_results_identical_across_layouts(spark, sf_dir, name):
         for k, v in defaults.items():
             spark.conf.set(k, v)
     assert a == b and a  # bit-identical, non-empty
+
+
+def test_rendezvous_minimal_movement(spark):
+    """The rendezvous-hashing contract: growing the shard set only
+    moves keys TO the new shard (never between old shards), and the
+    moved fraction is ~1/(n+1)."""
+    import pyspark.sql.functions as F
+
+    from fastetl_spark.operators.partitioning import rendezvous_shard
+
+    keys = spark.range(2000).select(F.col("id").alias("k"))
+    a = keys.select("k", rendezvous_shard(F.col("k"), 8).alias("s8"))
+    b = keys.select("k", rendezvous_shard(F.col("k"), 9).alias("s9"))
+    j = a.join(b, "k").collect()
+    moved = [(r["s8"], r["s9"]) for r in j if r["s8"] != r["s9"]]
+    # every move lands on the NEW shard
+    assert all(dst == 8 for _, dst in moved), set(moved)
+    # moved fraction ~ 1/9 (binomial slack around 222/2000)
+    assert 0.05 < len(moved) / 2000 < 0.18, len(moved)
+    # balance: each of the 9 shards holds a nontrivial share
+    from collections import Counter
+
+    c = Counter(r["s9"] for r in j)
+    assert len(c) == 9 and min(c.values()) > 2000 / 9 / 3
