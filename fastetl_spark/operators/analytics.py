@@ -1555,12 +1555,17 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is per-fingerprint source-set combos, bounded by the
     source count."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    from fastetl_spark.checkpointing import materialize
+
     fp = d.select(
         "source",
         F.md5(
             F.concat_ws(" ", F.slice(F.split("text", " "), 1, _SOM_PREFIX_TOKENS))
         ).alias("fp"),
     ).distinct()
+    # the fingerprint table self-joins below and feeds the totals agg —
+    # materialize so the text scan + distinct runs once
+    fp = materialize(fp)
     totals = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
     right = fp.select(F.col("fp").alias("fp_r"), F.col("source").alias("source_b"))
     pairs = (

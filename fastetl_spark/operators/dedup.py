@@ -451,19 +451,26 @@ def containment_pairs(
     one surfaces as (short -> long) even though the reverse direction
     (and the Jaccard score) stay far below threshold."""
     pairs = shingle_pair_counts(d, shingle_n, df_cap, observation)
+    # both orientations from ONE pass over the pair counts (a unionAll
+    # of two selects would re-execute the whole pair-count subtree)
     directed = pairs.select(
-        F.col("doc_a").alias("src"),
-        F.col("doc_b").alias("dst"),
-        "shared",
-        F.col("n_a").alias("n_src"),
-    ).unionAll(
-        pairs.select(
-            F.col("doc_b").alias("src"),
-            F.col("doc_a").alias("dst"),
-            "shared",
-            F.col("n_b").alias("n_src"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.col("shared").alias("shared"),
+                    F.col("n_a").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.col("shared").alias("shared"),
+                    F.col("n_b").alias("n_src"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst", "p.shared", "p.n_src")
     cont = F.col("shared") * 1.0 / F.col("n_src")
     return directed.select(
         "src", "dst", "shared", "n_src", cont.alias("containment")

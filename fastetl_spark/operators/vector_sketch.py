@@ -195,6 +195,12 @@ def simhash_hamming_pairs(
     """(vec_a, vec_b, hamming) near-dup candidates from an (vec_id,
     simhash) frame: band-bucket collision generation + exact
     bit_count(xor) verify — the reusable LSH core."""
+    from fastetl_spark.checkpointing import materialize
+
+    # the band table self-joins below — materialize the signatures so
+    # the explode + two-groupBy sketch pipeline runs once, not once per
+    # join side
+    sigs = materialize(sigs)
     spark = sigs.sparkSession
     bands_df = spark.range(bands).select(F.col("id").cast("int").alias("bd"))
     banded = sigs.crossJoin(F.broadcast(bands_df)).select(
