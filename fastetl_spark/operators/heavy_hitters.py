@@ -92,11 +92,22 @@ def misra_gries_topk(
 
     Returns (token, est_count, err_bound, rank): est_count is the
     summed per-partition counter (an UNDERestimate), err_bound the
-    global decrement mass (so true <= est + err for every key, found or
-    not). Shape: one narrow scan + one groupBy(token) on at most
+    global decrement mass (so true <= est + err for every non-null
+    key, found or not; null keys are excluded up front). Shape: one
+    narrow scan + one groupBy(token) on at most
     k * n_partitions summary rows — the shuffle is summary-sized, not
     data-sized, which is the entire point at 100 TB."""
-    summaries = tokens.mapInPandas(_mg_partition(k), _HH_SUMMARY_SCHEMA)
+    from fastetl_spark.checkpointing import materialize
+
+    # null keys are EXCLUDED by contract (the NULL summary row carries
+    # the decrement marker; pandas groupby would silently drop them
+    # from the counters otherwise — make the exclusion explicit)
+    tokens = tokens.filter(F.col("token").isNotNull())
+    # the summary frame feeds two consumers (candidates + error bound):
+    # materialize so the token scan + MG pass runs once
+    summaries = materialize(
+        tokens.mapInPandas(_mg_partition(k), _HH_SUMMARY_SCHEMA)
+    )
     cand = (
         summaries.filter(F.col("token").isNotNull())
         .groupBy("token")
