@@ -540,7 +540,7 @@ class Engine:
 
     def near_dup_pairs(self, docs: DataFrame, method: str = "jaccard") -> DataFrame:
         """Duplicate-pair generation over a (doc_id, text) frame, one
-        dispatcher for the five pair families (all blocked/inverted-
+        dispatcher for the six pair families (all blocked/inverted-
         index designs — none does an n² pair join):
 
         - ``exact``       — normalized-fingerprint equality

@@ -275,13 +275,23 @@ _RI_BROADCAST_MAX_KEYS = 1_000_000
 
 
 @lru_cache(maxsize=256)
-def _parquet_footer_rows(sf_dir: str, table: str) -> int:
-    """Row count from the parquet footer, read driver-side via pyarrow —
-    a metadata-only file read, no Spark job. Cached per (sf_dir, table)
-    so repeated report constructions over the same snapshot are free."""
+def _parquet_footer_rows_at(path: str, mtime_ns: int) -> int:
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_footer_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer, read driver-side via pyarrow —
+    a metadata-only file read, no Spark job. Cached per (path, mtime) so
+    repeated report constructions over the same snapshot are free while
+    an in-process rewrite invalidates naturally. Assumes the single-file
+    `{table}.parquet` layout `read_table` serves; a partitioned-directory
+    table should fall back to df.count()."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    return _parquet_footer_rows_at(path, os.stat(path).st_mtime_ns)
 
 
 @query("referential_integrity_report", _RI_SQL)
@@ -1411,9 +1421,13 @@ def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts are integers, the n^2-scaled centering keeps every
     sum in BIGINT, and acf is a single exact-integer division — bit-
-    deterministic in any accumulation order. Bounds: |n*x - S| <= n*max_x,
-    so the den/num sums stay under 2^63 while n*max_x < 3e9 — far beyond
-    any per-series hourly span; shard by series key at scale.
+    deterministic in any accumulation order. Bounds: |n*x - S| <= n*max_x
+    per term, and den = SUM over n hours of (n*x - S)^2 can reach
+    n*(n*max_x)^2, so staying under 2^63 requires n^1.5 * max_x < 3e9
+    (e.g. 10 years hourly n~9e4 allows max_x ~ 1e5 events/hour). Spark
+    sum(BIGINT) wraps silently with ANSI off while DuckDB promotes to
+    HUGEINT, so an overflow diverges rather than errors — shard by series
+    key (see acf_by_event_type) or widen to DECIMAL before that point.
 
     Scale shape: the heavy step is the hourly pre-aggregation (map-side
     combinable count). The lag self-join runs on the tiny hour grid

@@ -111,6 +111,12 @@ def lloyd_kmeans_exact(
         )
     )
     cents = _centroid_vecs(q, k, None, "lloyd_kmeans_exact")
+    if len(cents) != k:
+        raise ValueError(
+            f"lloyd_kmeans_exact: seeding needs exactly k={k} rows with "
+            f"id < {k}, found {len(cents)} — ids are non-contiguous; pass a "
+            "corpus whose first k ids are 0..k-1 or re-key the id column"
+        )
     counts = [0] * k
     for _ in range(iterations):
         assigned = q.select(_l2_argmin_cell(cents).alias("cell"), "qv")

@@ -19,6 +19,14 @@ DuckDB. BM25's k1/b are chosen dyadic (1.25, 0.75) so the folded
 constants (2.25, 0.3125, 0.9375) are exact; stupid-backoff scores are
 floored to 2^-30 fixed point BEFORE summation so per-doc totals are
 exact BIGINT sums (accumulation-order independent).
+
+Cross-libm caveat: the BM25 idf uses natural log, and java.lang.Math.log
+(Spark) vs DuckDB's libm ln are each allowed ~1 ulp and not guaranteed
+bit-identical across platforms/JDKs — the gate passes on this
+environment but can flake elsewhere (same exposure as the
+unigram_surprisal fold). If a platform mismatch ever surfaces, register
+an exact-config twin (rational idf approximation or fixed-point ln
+table) per the established twin pattern.
 """
 
 from __future__ import annotations
