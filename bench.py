@@ -74,7 +74,7 @@ HEADLINE = [
     "kmeans_lloyd_exact",
     "substring_dup_maximal_spans",
     "interval_join_clicks_after_purchase",
-    "bm25_topk_docs",
+    "bm25_query_join",
     "trigram_stupid_backoff",
     "embedding_simhash_neardup",
     "heavy_hitters_exhaustive",
@@ -106,6 +106,44 @@ def main() -> None:
     spark.range(1000).count()
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Pre-build the persistent-ANN scratch indexes and time the builds as
+    # sub-metrics, so the similarity_*_index per-query walls measure the
+    # PROBE path only, comparable round-over-round regardless of whether
+    # the sandbox's /tmp scratch is cold (PERF.md #36: a cold rep-1 build
+    # is 5-7 s at sf0.1 and used to pollute median/spread). build_sec is
+    # None when a complete index already existed (warm scratch).
+    ann_build: dict[str, float | None] = {}
+    from fastetl_spark.io.readers import ensure_parallelism as _ep
+    from fastetl_spark.io.readers import read_table as _rt
+    from fastetl_spark.operators.ann_index import (
+        build_ivf_index,
+        build_ivfpq_index,
+        read_ivf_meta,
+        read_ivfpq_meta,
+    )
+    from fastetl_spark.operators.dedup_index import _scratch_index_path
+
+    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    build_dirs = [sf_dir] + (
+        # the 10x scaling guard may re-run the _index queries at the next
+        # sf down; pre-build there too so its small_sec is probe-only
+        [small_dir] if os.path.isdir(small_dir) else []
+    )
+    for d in build_dirs:
+        emb = _ep(_rt(spark, d, "embeddings"))
+        for kind, rmeta, build in (
+            ("ivf", read_ivf_meta, build_ivf_index),
+            ("ivfpq", read_ivfpq_meta, build_ivfpq_index),
+        ):
+            idx = _scratch_index_path(d, f"{kind}_idx")
+            tag = f"{kind}_build_sec_sf{d.rstrip('/').rsplit('sf', 1)[-1]}"
+            if rmeta(spark, idx) is None:
+                start = time.perf_counter()
+                build(emb, idx, "vec_id", "embedding")
+                ann_build[tag] = round(time.perf_counter() - start, 3)
+            else:
+                ann_build[tag] = None  # warm scratch reused
+
     # best-of-N per query: repeats amortize codegen/JIT, GC pauses, and
     # ambient machine load so the figure reflects steady-state
     # throughput. Per-query median + spread are reported alongside so a
@@ -116,6 +154,10 @@ def main() -> None:
     stats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # 1-min loadavg at query start: forensic signal for telling a
+        # co-tenant load spike apart from a real regression when a
+        # round-over-round wall moves (PERF.md #31-33, #36 precedent)
+        la1 = round(os.getloadavg()[0], 1)
         times = []
         for _ in range(reps):
             start = time.perf_counter()
@@ -129,6 +171,7 @@ def main() -> None:
             "spread_pct": round((times[-1] - times[0]) / median * 100, 1)
             if median > 0
             else 0.0,
+            "la1": la1,
         }
 
     # scaling-curve guard: the heaviest queries also run at the next
@@ -276,6 +319,8 @@ def main() -> None:
         "queries": timings,
         "query_stats": stats,
         "n_queries": len(timings),
+        "ann_index_build": ann_build,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if scaling:
         out["scaling_ok"] = all(s["ok"] for s in scaling.values())

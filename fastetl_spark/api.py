@@ -617,6 +617,19 @@ class Engine:
 
         return bm25_topk(docs, terms=tuple(terms), k=k)
 
+    def bm25_search(self, docs: DataFrame, queries: DataFrame,
+                    k: int = 10) -> DataFrame:
+        """BM25 top-k docs PER QUERY for an arbitrary (query_id, terms
+        array<string>) query frame (operators/retrieval.
+        bm25_query_scores): inverted-index join — one posting-list scan
+        of the corpus, broadcast query terms, fixed-point exact
+        per-(query, doc) totals, per-query ranked output. The
+        arbitrary-workload form of `bm25` (which is fixed-term and
+        O(#terms) in plan width)."""
+        from fastetl_spark.operators.retrieval import bm25_query_scores
+
+        return bm25_query_scores(docs, queries, k=k)
+
     def lm_score(self, docs: DataFrame) -> DataFrame:
         """Per-doc stupid-backoff trigram LM score against the corpus's
         own n-gram counts (operators/retrieval.stupid_backoff_scores) —

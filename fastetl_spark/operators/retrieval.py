@@ -158,6 +158,173 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d)
 
 
+# --- BM25 over arbitrary query sets (inverted-index join) -----------------
+#
+# The fixed-term bm25_topk above expands each term into a generated
+# column — a scoring demo that is O(#terms) in plan WIDTH and cannot take
+# a query workload. The production shape is an inverted index:
+#   posting (doc_id, term, tf, dl)  — ONE explode+groupBy scan
+#   dft     (term, df)              — groupBy over posting
+#   queries (query_id, term)        — exploded query table (broadcast)
+# scored = queries |><| posting |><| dft on term, per-row BM25 term score,
+# then SUM per (query_id, doc_id) and top-k per query. Terms absent from
+# a doc contribute exactly 0 (they simply don't join), matching the
+# formula's tf=0 term.
+#
+# Exactness: a groupBy SUM over doubles is accumulation-order dependent,
+# so per-term scores are floored to 2^-30 fixed point BEFORE the sum
+# (the stupid-backoff pattern) — totals are exact BIGINT sums and the
+# per-query ranking orders by an integer, no float tie risk.
+
+_BM25_QK = 10  # top docs kept per query
+_QJ_FP = 1_073_741_824.0  # 2^30 fixed-point scale (exact power of two)
+_BM25_QUERY_SET: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("spark", "join")),
+    (2, ("window", "filter", "spark")),
+    (3, ("join", "filter")),
+    (4, ("spark", "zz_unseen_term")),  # df=0 term: drops out of the join
+)
+
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERY_SET for t in terms
+)
+
+_BM25_QJ_SQL = f"""
+WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), posting AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM tok)
+  GROUP BY 1, 2, 3
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(tokens)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM tok
+), dft AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posting GROUP BY 1
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(
+           ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(p.tf AS DOUBLE) * {_BM25_K1_PLUS1})
+           / (CAST(p.tf AS DOUBLE)
+              + ({_BM25_K1_1MB} + {_BM25_K1_B} * (CAST(p.dl AS DOUBLE) / s.avgdl)))
+           * {_QJ_FP}) AS BIGINT) AS s_fp
+  FROM q
+  JOIN posting p USING (term)
+  JOIN dft d USING (term)
+  CROSS JOIN stats s
+), totals AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(s_fp) AS BIGINT) AS score_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_fp, n_terms_hit,
+       CAST(score_fp AS DOUBLE) / {_QJ_FP} AS score,
+       rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score_fp DESC, doc_id)
+         AS BIGINT) AS rank
+  FROM totals
+) WHERE rank <= {_BM25_QK}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_query_scores(
+    docs: DataFrame, queries: DataFrame, k: int = _BM25_QK
+) -> DataFrame:
+    """BM25 top-k docs per query over arbitrary (query_id, terms
+    array<string>) query sets via an inverted-index join.
+
+    Scale shape: the posting list (doc_id, term, tf, dl) is built by ONE
+    explode+groupBy scan of the corpus and is the only corpus-sized
+    shuffle (keyed by (doc_id, term) then term for df — exactly the
+    shuffles an inverted index IS). The query table is broadcast (query
+    workloads are human-sized; remove the hint for machine-generated
+    millions and AQE picks the join side). Candidate rows are only
+    (query term x matching doc) pairs — never |queries| x |corpus|. The
+    per-(query, doc) sum is fixed-point BIGINT (order-independent), and
+    the final top-k runs per query partition, parallel across queries.
+
+    Plan-width is O(1) in #terms — contrast bm25_topk's per-term
+    generated columns."""
+    tok = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    posting = (
+        tok.select(
+            "doc_id",
+            F.size("tokens").alias("dl"),
+            F.explode("tokens").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("tokens")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    dft = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = queries.select("query_id", F.explode("terms").alias("term"))
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = F.lit(_BM25_K1_1MB) + F.lit(_BM25_K1_B) * (
+        F.col("dl").cast("double") / F.col("avgdl")
+    )
+    s_fp = F.floor(
+        idf * (tf * F.lit(_BM25_K1_PLUS1)) / (tf + norm) * F.lit(_QJ_FP)
+    ).cast("long")
+    scored = (
+        F.broadcast(qt)
+        .join(posting, "term")
+        .join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", s_fp.alias("s_fp"))
+    )
+    totals = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s_fp").alias("score_fp"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_fp"), "doc_id")
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "score_fp",
+            "n_terms_hit",
+            (F.col("score_fp").cast("double") / F.lit(_QJ_FP)).alias("score"),
+            "rank",
+        )
+    )
+
+
+@query("bm25_query_join", _BM25_QJ_SQL)
+def bm25_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a 4-query workload (one with a df=0 term) through the
+    inverted-index join — the arbitrary-query-set retrieval shape the
+    fixed-term bm25_topk_docs cannot express. Fixed-point per-term
+    scores make the per-(query, doc) totals exact integer sums."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    qrows = [(qid, list(terms)) for qid, terms in _BM25_QUERY_SET]
+    queries = spark.createDataFrame(
+        qrows, "query_id int, terms array<string>"
+    )
+    return bm25_query_scores(d, queries)
+
+
 # --- stupid-backoff trigram scoring --------------------------------------
 
 _SB_ALPHA = 0.4  # canonical backoff penalty (Brants et al.)

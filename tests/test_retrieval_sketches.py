@@ -117,3 +117,72 @@ def test_prefix_filter_reduces_candidates(spark, sf_dir):
         .count()
     )
     assert 0 < prefix_cands < full_cands, (prefix_cands, full_cands)
+
+
+def test_bm25_query_join_matches_fixed_term_scoring(spark):
+    """The inverted-index join path must score exactly like the
+    per-term-column path for the same single-term query set (same
+    formula, same fixed-point floor applied once per term), and handle
+    multi-term and df=0-term queries correctly."""
+    from fastetl_spark.operators.retrieval import _QJ_FP, bm25_query_scores
+
+    rows = [
+        (1, "rare rare filler1 filler2 filler3"),
+        (2, "rare " + " ".join(f"pad{i}" for i in range(60))),
+        (3, "common plain text here"),
+        (4, "common other words entirely"),
+        (5, "justwords nothing special at all"),
+    ]
+    docs = _docs(spark, rows)
+    queries = spark.createDataFrame(
+        [
+            (1, ["rare"]),
+            (2, ["common"]),
+            (3, ["rare", "common"]),
+            (4, ["rare", "zz_no_such_term"]),
+        ],
+        "query_id int, terms array<string>",
+    )
+    out = bm25_query_scores(docs, queries, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r
+
+    # single-term queries: only term-hitting docs appear (no-hit docs
+    # don't join — the tf=0 zero-contribution of the formula)
+    assert set(by_q[1]) == {1, 2}
+    assert set(by_q[2]) == {3, 4}
+    # term-dense short doc ranks first for its term
+    assert by_q[1][1]["rank"] == 1
+
+    # multi-term query = fixed-point sum of the single-term scores
+    for doc in (1, 2, 3, 4):
+        expected = by_q[1].get(doc, None) or by_q[2].get(doc)
+        assert by_q[3][doc]["score_fp"] == expected["score_fp"]
+    assert by_q[3][1]["n_terms_hit"] == 1
+
+    # a df=0 term contributes nothing: query 4 == query 1 scores
+    assert {d: r["score_fp"] for d, r in by_q[4].items()} == {
+        d: r["score_fp"] for d, r in by_q[1].items()
+    }
+
+    # score is the pinned fixed-point division
+    for r in out:
+        assert r["score"] == r["score_fp"] / _QJ_FP
+
+
+def test_bm25_query_join_plan_is_index_shaped(spark):
+    """The candidate set must come from the posting-list join — the plan
+    must not contain a corpus-sized cartesian product (queries x docs
+    appears only as the broadcast stats row)."""
+    from fastetl_spark.operators.retrieval import bm25_query_scores
+
+    docs = _docs(spark, [(i, f"w{i % 5} common t{i}") for i in range(40)])
+    queries = spark.createDataFrame(
+        [(1, ["common", "w1"])], "query_id int, terms array<string>"
+    )
+    df = bm25_query_scores(docs, queries)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
