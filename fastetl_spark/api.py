@@ -493,6 +493,26 @@ class Engine:
 
         return read_bucketed_at(self.spark, path, gen)
 
+    def reshard(self, path: str, new_n_shards: int) -> dict:
+        """Online reshard of a v2 bucketed destination's rendezvous
+        shard layer (io/bucketed.reshard_bucketed, gated by the
+        `rendezvous_reshard_roundtrip` query): only the ~1/new_n of
+        buckets whose HRW owner changes are physically moved into the
+        new generation; the placement map rides on the manifest.
+        Returns the move stats ({gen, buckets_moved, rows_moved,
+        rows_total, ...})."""
+        from fastetl_spark.io.bucketed import reshard_bucketed
+
+        return reshard_bucketed(self.spark, path, new_n_shards)
+
+    def read_shard(self, path: str, shard: int) -> DataFrame:
+        """One shard's rows of a sharded v2 bucketed destination — the
+        per-worker view of a sharded stateful consumer
+        (io/bucketed.read_shard)."""
+        from fastetl_spark.io.bucketed import read_shard
+
+        return read_shard(self.spark, path, shard)
+
     def vacuum(self, path: str, keep_commit_markers: int = 1000) -> dict:
         """Maintenance sweep of a swap-published destination: drop
         stranded staging/backup dirs and trim old streaming commit

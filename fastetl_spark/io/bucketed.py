@@ -130,25 +130,39 @@ def read_manifest(spark: SparkSession, path: str) -> dict | None:
     text = read_text_file(spark, f"{base}/{MANIFEST_PREFIX}{gens[-1]}.json")
     m = json.loads(text)
     m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+    if "shards" in m:
+        m["shards"] = {int(k): int(v) for k, v in m["shards"].items()}
     return m
 
 
 def _commit_manifest(
-    spark: SparkSession, path: str, gen: int, buckets: dict[int, str]
+    spark: SparkSession,
+    path: str,
+    gen: int,
+    buckets: dict[int, str],
+    shards: dict[int, int] | None = None,
 ) -> None:
     """THE atomic publish step: write the manifest to a hidden tmp name,
     then rename onto `_manifest_<gen>.json` (rename-to-new-name is
     atomic on HDFS/POSIX). A reader lists committed manifests and takes
     the highest generation, so at every instant it resolves either the
-    old pointer or the new one — never a partially-published state."""
+    old pointer or the new one — never a partially-published state.
+
+    ``shards`` (sharded destinations only) is the bucket -> rendezvous
+    shard placement map — per-bucket provenance carried on every
+    generation so a reader/mover always knows which shard owns which
+    bucket dirs as of this gen."""
     fs, path_cls = hadoop_fs(spark, path)
     base = path.rstrip("/")
     tmp = f"{base}/.{MANIFEST_PREFIX}{gen}.json.tmp"
     final = f"{base}/{MANIFEST_PREFIX}{gen}.json"
+    m: dict = {"gen": gen, "buckets": {str(k): v for k, v in buckets.items()}}
+    if shards is not None:
+        m["shards"] = {str(k): int(v) for k, v in shards.items()}
     write_text_file(
         spark,
         tmp,
-        json.dumps({"gen": gen, "buckets": {str(k): v for k, v in buckets.items()}}),
+        json.dumps(m),
     )
     if not fs.rename(path_cls(tmp), path_cls(final)):
         fs.delete(path_cls(tmp), False)
@@ -185,6 +199,7 @@ def write_bucketed(
     atomic: bool = False,
     one_file_per_bucket: bool = False,
     keep_gens: int = 2,
+    n_shards: int | None = None,
 ) -> None:
     """Initial full load of a bucketed destination: write all N buckets
     (one shuffle-free partitionBy job) and commit the spec file last, so
@@ -213,7 +228,20 @@ def write_bucketed(
     window: merge-time GC keeps the newest N generations' manifests and
     dirs. 2 = current + previous (enough for in-flight readers and a
     one-step ``rollback_bucketed``); raise it on destinations that need
-    deeper undo/time-travel, at the cost of retaining old bucket dirs."""
+    deeper undo/time-travel, at the cost of retaining old bucket dirs.
+
+    ``n_shards`` (v2 only) adds the rendezvous shard layer: every bucket
+    is assigned to a shard via HRW hashing (``_hrw_shard``) and the
+    placement map rides on each manifest. Shards are the PLACEMENT
+    unit (which storage node / stateful worker owns which buckets);
+    buckets stay the merge-I/O unit. ``reshard_bucketed`` grows or
+    shrinks the shard count while moving only the ~1/N of rows whose
+    HRW assignment changes."""
+    if n_shards is not None and not atomic:
+        raise ValueError(
+            "n_shards requires the atomic (v2) layout — the shard map "
+            "rides on manifests (write_bucketed(..., atomic=True))"
+        )
     spark = df.sparkSession
     out = df.withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
     if one_file_per_bucket:
@@ -252,19 +280,21 @@ def write_bucketed(
         empty.write.mode("overwrite").parquet(f"{base}/bucket_0_v{gen}")
         buckets[0] = f"bucket_0_v{gen}"
     fs.delete(path_cls(staging), True)
-    _commit_manifest(spark, path, gen, buckets)
-    write_text_file(
-        spark,
-        _spec_path(path),
-        json.dumps(
-            {
-                "version": SPEC_VERSION_ATOMIC,
-                "keys": list(keys),
-                "n_buckets": int(n_buckets),
-                "keep_gens": int(keep_gens),
-            }
-        ),
+    shards = (
+        {b: _hrw_shard(b, n_shards) for b in range(n_buckets)}
+        if n_shards is not None
+        else None
     )
+    _commit_manifest(spark, path, gen, buckets, shards=shards)
+    spec: dict = {
+        "version": SPEC_VERSION_ATOMIC,
+        "keys": list(keys),
+        "n_buckets": int(n_buckets),
+        "keep_gens": int(keep_gens),
+    }
+    if n_shards is not None:
+        spec["n_shards"] = int(n_shards)
+    write_text_file(spark, _spec_path(path), json.dumps(spec))
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
@@ -300,6 +330,8 @@ def _read_manifest_gen(spark: SparkSession, path: str, gen: int) -> dict:
         )
     m = json.loads(text)
     m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+    if "shards" in m:
+        m["shards"] = {int(k): int(v) for k, v in m["shards"].items()}
     return m
 
 
@@ -363,7 +395,7 @@ def rollback_bucketed(spark: SparkSession, path: str, to_gen: int | None = None)
                 f"{missing[:3]}{'...' if len(missing) > 3 else ''} were GC'd"
             )
         new_gen = gens[-1] + 1
-        _commit_manifest(spark, path, new_gen, m["buckets"])
+        _commit_manifest(spark, path, new_gen, m["buckets"], shards=m.get("shards"))
         return new_gen
     finally:
         fs.delete(lock, False)
@@ -538,7 +570,7 @@ def _partial_merge_locked_v2(
         empty = spark.createDataFrame([], merged.schema)
         empty.write.mode("overwrite").parquet(f"{base}/{dirname}")
         new_buckets[0] = dirname
-    _commit_manifest(spark, path, next_gen, new_buckets)
+    _commit_manifest(spark, path, next_gen, new_buckets, shards=m.get("shards"))
     spec = read_bucket_spec(spark, path) or {}
     _gc_generations(spark, path, keep_gens=int(spec.get("keep_gens", 2)))
     return {
@@ -715,6 +747,159 @@ def advise_n_buckets(
     if power_of_two:
         n = 1 << (n - 1).bit_length()
     return n
+
+
+# --- rendezvous shard layer -----------------------------------------------
+#
+# Shards are the PLACEMENT unit layered over the hash buckets: each
+# bucket is owned by the shard that wins its rendezvous (HRW, Thaler &
+# Ravishankar 1996). Rows never change buckets (pmod(hash) is fixed for
+# the store's lifetime), so a shard-count change moves whole buckets —
+# and HRW guarantees only ~1/new_n of buckets (hence ~1/new_n of ROWS)
+# change owner, vs ~(n-1)/n under modulo placement. On a cluster the
+# moved buckets are the only data that crosses the network; here the
+# move is a physical copy into new-generation dirs so the migration
+# cost is measured, not waved off. The weight is the same md5-portable
+# form operators/partitioning.rendezvous_shard uses for row-level
+# sharding (cross-checked in tests), so engine and store agree on
+# placement.
+
+
+def _hrw_shard(bucket: int, n_shards: int) -> int:
+    """Rendezvous shard of a bucket id: argmax over shards of the
+    64-bit-safe md5 weight of f"{bucket}#{shard}", ties to the lower
+    shard id — the driver-side twin of partitioning.rendezvous_shard."""
+    import hashlib
+
+    def w(s: int) -> int:
+        return int(
+            hashlib.md5(f"{bucket}#{s}".encode()).hexdigest()[:15], 16
+        )
+
+    return max(range(n_shards), key=lambda s: (w(s), -s))
+
+
+def shard_map(spark: SparkSession, path: str) -> dict[int, int]:
+    """Current bucket -> shard placement of a sharded v2 destination
+    (from the latest manifest)."""
+    m = read_manifest(spark, path)
+    if m is None or "shards" not in m:
+        raise ValueError(
+            f"{path} has no shard layer — create with "
+            "write_bucketed(..., atomic=True, n_shards=N) or run "
+            "reshard_bucketed once to initialize placement"
+        )
+    return m["shards"]
+
+
+def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """One shard's rows (bucket dirs owned by `shard` in the latest
+    manifest) — the per-worker view a sharded stateful consumer reads.
+    Empty-but-typed frame when the shard owns no populated bucket."""
+    m = read_manifest(spark, path)
+    shards = shard_map(spark, path)
+    base = path.rstrip("/")
+    dirs = [
+        f"{base}/{d}"
+        for b, d in m["buckets"].items()
+        if shards.get(b) == shard
+    ]
+    if not dirs:
+        return read_bucketed(spark, path).limit(0)
+    return spark.read.parquet(*dirs)
+
+
+def reshard_bucketed(
+    spark: SparkSession, path: str, new_n_shards: int
+) -> dict:
+    """Online reshard of a v2 destination to ``new_n_shards`` rendezvous
+    shards, moving ONLY the buckets whose HRW owner changes.
+
+    Mechanics: recompute the HRW winner of every bucket under the new
+    shard count (driver-side, n_buckets bounded ints), physically copy
+    just the MOVED buckets into fresh ``bucket_<K>_v<gen+1>`` dirs (on a
+    cluster this copy is the actual data migration; unmoved buckets'
+    dirs are re-referenced untouched — zero I/O), then publish the new
+    placement map + dir set with ONE manifest commit. Readers racing
+    the reshard resolve a complete old or new generation, and
+    ``rollback_bucketed`` undoes the flip like any other publish.
+
+    Growing n -> m only ever moves buckets TO the new shards n..m-1
+    (surviving shards' relative rendezvous order is unchanged), so
+    expected moved volume is ~(m-n)/m of the store — the stable-
+    resharding property modulo placement lacks.
+
+    Initializing: on a store written without ``n_shards`` this records
+    the first placement map without copying anything (nothing was
+    placed before, so nothing moves).
+
+    Returns {"gen", "old_n_shards", "new_n_shards", "n_buckets",
+    "buckets_moved", "rows_moved", "rows_total"}."""
+    spec = read_bucket_spec(spark, path)
+    if spec is None or spec["version"] != SPEC_VERSION_ATOMIC:
+        raise ValueError(
+            f"{path} is not an atomic (v2) bucketed destination — the "
+            "shard layer needs manifest-committed generations "
+            "(write_bucketed(..., atomic=True))"
+        )
+    if new_n_shards < 1:
+        raise ValueError(f"new_n_shards must be >= 1, got {new_n_shards}")
+    fs, path_cls = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    lock = path_cls(base + ".__merge_lock__")
+    if not fs.createNewFile(lock):
+        raise RuntimeError(
+            f"another merge holds {lock}: resharding racing a merge is rejected"
+        )
+    try:
+        m = read_manifest(spark, path)
+        n_buckets = int(spec["n_buckets"])
+        old_shards = m.get("shards")
+        old_n = int(spec.get("n_shards") or 0)
+        new_shards = {b: _hrw_shard(b, new_n_shards) for b in range(n_buckets)}
+        moved = (
+            sorted(
+                b
+                for b in m["buckets"]
+                if old_shards.get(b) != new_shards[b]
+            )
+            if old_shards is not None
+            else []  # first placement: nothing was placed, nothing moves
+        )
+        next_gen = m["gen"] + 1
+        new_buckets = dict(m["buckets"])
+        rows_moved = 0
+        for b in moved:
+            src = f"{base}/{m['buckets'][b]}"
+            dirname = f"bucket_{b}_v{next_gen}"
+            dst = f"{base}/{dirname}"
+            dst_p = path_cls(dst)
+            if fs.exists(dst_p):  # orphan from a crashed previous attempt
+                fs.delete(dst_p, True)
+            df = spark.read.parquet(src)
+            rows_moved += df.count()  # parquet footer metadata only
+            df.write.mode("overwrite").parquet(dst)
+            new_buckets[b] = dirname
+        rows_total = 0
+        if m["buckets"]:
+            rows_total = spark.read.parquet(
+                *[f"{base}/{d}" for d in m["buckets"].values()]
+            ).count()
+        _commit_manifest(spark, path, next_gen, new_buckets, shards=new_shards)
+        spec["n_shards"] = int(new_n_shards)
+        write_text_file(spark, _spec_path(path), json.dumps(spec))
+        _gc_generations(spark, path, keep_gens=int(spec.get("keep_gens", 2)))
+        return {
+            "gen": next_gen,
+            "old_n_shards": old_n,
+            "new_n_shards": int(new_n_shards),
+            "n_buckets": n_buckets,
+            "buckets_moved": len(moved),
+            "rows_moved": int(rows_moved),
+            "rows_total": int(rows_total),
+        }
+    finally:
+        fs.delete(lock, False)
 
 
 def bucketize(

@@ -169,3 +169,64 @@ def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendezvous_shard(F.col("user_id"), _RDV_SHARDS).alias("shard"),
         "n_events",
     )
+
+
+# --- rendezvous reshard of the bucketed store (gated) ----------------------
+
+# The assignment function above proves HRW stability row-wise; this
+# query exercises the STORE operation built on it
+# (io/bucketed.reshard_bucketed): an orders destination is atomically
+# loaded at 4 shards, resharded online to 5, and read back — the
+# post-reshard content must hash-match the original table exactly, so
+# any row lost, duplicated, or corrupted by the move-only-changed-
+# buckets migration fails the gate. The moved-volume (~1/new_n) and
+# grow-only-moves-to-new-shards properties are unit-asserted in
+# tests/test_reshard.py.
+_RESHARD_OLD_N = 4
+_RESHARD_NEW_N = 5
+
+_RESHARD_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
+@query("rendezvous_reshard_roundtrip", _RESHARD_SQL)
+def rendezvous_reshard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (4 shards) + reshard (5 shards) + full read of a v2
+    bucketed orders store — content identity across an online HRW
+    reshard, under the exact gate. The scratch store is rebuilt only
+    when absent/incomplete (complete = spec says 5 shards and both
+    generations committed), mirroring bucketed_time_travel."""
+    from fastetl_spark.io.bucketed import (
+        list_generations,
+        read_bucket_spec,
+        read_bucketed,
+        reshard_bucketed,
+        write_bucketed,
+    )
+    from fastetl_spark.io.readers import ensure_parallelism, read_table
+    from fastetl_spark.operators.dedup_index import _scratch_index_path
+
+    orders = ensure_parallelism(read_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dest = _scratch_index_path(sf_dir, "reshard")
+    spec = read_bucket_spec(spark, dest)
+    complete = (
+        spec is not None
+        and spec.get("n_shards") == _RESHARD_NEW_N
+        and len(list_generations(spark, dest)) >= 2
+    )
+    if not complete:
+        import shutil
+
+        from fastetl_spark.io.fsutil import vacuum_dest
+
+        shutil.rmtree(dest, ignore_errors=True)
+        vacuum_dest(spark, dest)
+        write_bucketed(
+            orders, dest, ["o_orderkey"], 64, atomic=True,
+            n_shards=_RESHARD_OLD_N,
+        )
+        reshard_bucketed(spark, dest, _RESHARD_NEW_N)
+    return read_bucketed(spark, dest)
