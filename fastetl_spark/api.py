@@ -650,6 +650,18 @@ class Engine:
 
         return bm25_query_scores(docs, queries, k=k)
 
+    def train_bpe(self, docs: DataFrame, iterations: int = 3,
+                  top: int = 30) -> DataFrame:
+        """Run `iterations` exact BPE merges over the corpus vocabulary
+        (operators/features.bpe_merge_loop_tokens, gated by the
+        `bpe_merge_loop` query) and return the top token frequencies
+        after training. Per iteration: one vocabulary-sized pair count
+        with a deterministic argmax (a single collected row — the model
+        step), one literal string-replace merge application."""
+        from fastetl_spark.operators.features import bpe_merge_loop_tokens
+
+        return bpe_merge_loop_tokens(docs, iterations=iterations, top=top)
+
     def lm_score(self, docs: DataFrame) -> DataFrame:
         """Per-doc stupid-backoff trigram LM score against the corpus's
         own n-gram counts (operators/retrieval.stupid_backoff_scores) —

@@ -1470,6 +1470,119 @@ def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-key ACF (sharded by event_type) -----------------------------------
+
+# The per-series form of acf_lag_profile: every arithmetic identity is
+# the same, but the grid, stats, centering, lag join, and normalization
+# are all PARTITIONED BY the series key — the "shard by series key at
+# scale" note above, implemented. Two wins at 100 TB: (a) every
+# exchange is keyed (no single-partition stage anywhere — the global
+# form's grid/centered frames are one series wide), and (b) the
+# overflow bound n^1.5 * max_x < 3e9 applies PER KEY, so a million
+# short series are safe where one concatenated series would wrap.
+_ACF_KEY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_ACF_HOUR_US} AS h, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+), grid0 AS (
+  SELECT b.event_type, g.h
+  FROM bounds b, unnest(generate_series(b.h0, b.h1)) AS g(h)
+), grid AS (
+  SELECT g.event_type, g.h, COALESCE(hr.x, 0) AS x
+  FROM grid0 g
+  LEFT JOIN hourly hr ON hr.event_type = g.event_type AND hr.h = g.h
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM grid GROUP BY 1
+), centered AS (
+  SELECT g.event_type, g.h, CAST(st.n * g.x - st.s AS BIGINT) AS c
+  FROM grid g JOIN stats st USING (event_type)
+), den AS (
+  SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS den
+  FROM centered GROUP BY 1
+)
+SELECT a.event_type, l.lag,
+       CAST(SUM(a.c * b.c) AS BIGINT) AS numerator,
+       MAX(d.den) AS denominator,
+       CAST(SUM(a.c * b.c) AS DOUBLE) / CAST(MAX(d.den) AS DOUBLE) AS acf
+FROM (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag) l
+JOIN centered a ON TRUE
+JOIN centered b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+JOIN den d ON d.event_type = a.event_type
+WHERE d.den > 0
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("acf_by_event_type", _ACF_KEY_SQL)
+def acf_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..{_ACF_MAX_LAG} PER event_type — the sharded form
+    of acf_lag_profile. Each series densifies its own [min, max] hour
+    grid (explode of a per-key sequence — parallel across keys), and
+    every downstream step (stats, centering, den, the lag self-join,
+    the final normalization) is keyed by event_type, so the plan has no
+    single-partition exchange and the BIGINT overflow bound holds per
+    series, not for the concatenation. Constant series (den = 0) are
+    excluded in both engines (0/0 is undefined, not data)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_ACF_HOUR_US}").alias("h"),
+    )
+    hourly = e.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = (
+        bounds.select(
+            "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+        )
+        .join(hourly, ["event_type", "h"], "left")
+        .withColumn("x", F.coalesce(F.col("x"), F.lit(0).cast("long")))
+    )
+    stats = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    centered = grid.join(stats, "event_type").select(
+        "event_type", "h", (F.col("n") * F.col("x") - F.col("s")).alias("c")
+    )
+    den = centered.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("den")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    b = centered.select(
+        F.col("event_type").alias("et_b"),
+        F.col("h").alias("hb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        centered.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("hb") == F.col("h") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("numerator"))
+    )
+    return (
+        pairs.join(den, "event_type")
+        .filter(F.col("den") > 0)
+        .select(
+            "event_type",
+            "lag",
+            "numerator",
+            F.col("den").alias("denominator"),
+            (
+                F.col("numerator").cast("double") / F.col("den").cast("double")
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
 # --- corpus novelty curve (vocabulary growth per ingest batch) ------------
 
 _VG_BATCH = 100  # docs per ingest batch (doc_id order = arrival order)

@@ -292,6 +292,182 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE merge LOOP (3 unrolled training iterations, gated) ----------------
+#
+# bpe_first_merges stops at the candidate table; this is the training
+# loop itself — the kmeans_lloyd_exact pattern applied to the tokenizer:
+# a fixed number of merges, each iteration = (count adjacent token
+# pairs weighted by word frequency) -> (argmax with a deterministic
+# n DESC, x, y tie-break) -> (apply the merge to every word), unrolled
+# as generated CTEs in the oracle.
+#
+# Token sequences are carried as guard-wrapped strings: each token is
+# \x1f<tok>\x1f and the sequence is their concatenation, so applying a
+# merge (x, y) -> xy is ONE literal string replace of \x1fx\x1f\x1fy\x1f
+# with \x1fxy\x1f — and because standard replace() scans left-to-right
+# over NON-overlapping matches in both engines (verified identical),
+# the application IS BPE's leftmost-greedy merge, including the "aaa"
+# -> [aa, a] overlap case. The guards make false sub-token matches
+# impossible. Like all string-valued BPE, two merge paths that produce
+# the same surface string become indistinguishable afterwards (real
+# tokenizers use ids); both engines share the simplification, and the
+# argmax tie-break makes the whole loop deterministic.
+#
+# Scale shape: everything after the first groupBy runs on the WORD
+# VOCABULARY (distinct words + frequencies), never the corpus — the
+# classic BPE trainer's working set. Pair counting is a bounded
+# generator fan-out + map-side-combinable sum; each argmax collects ONE
+# row (the model, exactly as lloyd collects k*d centroid sums); merge
+# application is a pure per-row expression. \x1f never occurs in the
+# fixture corpus (ASCII text), matching real trainers' reserved-byte
+# assumption.
+
+_BPE_LOOP_ITERS = 3
+_BPE_LOOP_TOP = 30
+_BPE_SEP = "\x1f"
+
+
+def _bpe_loop_sql() -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    parts = [
+        f"""v1 AS (
+  SELECT regexp_replace(word, '(?s)(.)', {sep}||'\\1'||{sep}, 'g') AS seq,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0
+  GROUP BY 1
+)"""
+    ]
+    for t in range(1, _BPE_LOOP_ITERS + 1):
+        parts.append(
+            f"""tok{t} AS (
+  SELECT freq, string_split(substring(seq, 2, length(seq) - 2), {sep2}) AS toks
+  FROM v{t}
+), pc{t} AS (
+  SELECT toks[i] AS x, toks[i+1] AS y, CAST(SUM(freq) AS BIGINT) AS n
+  FROM tok{t}, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  GROUP BY 1, 2
+), best{t} AS (
+  SELECT x, y FROM pc{t} ORDER BY n DESC, x, y LIMIT 1
+), v{t + 1} AS (
+  SELECT replace(v.seq, {sep}||b.x||{sep}||{sep}||b.y||{sep},
+                 {sep}||b.x||b.y||{sep}) AS seq,
+         v.freq
+  FROM v{t} v CROSS JOIN best{t} b
+)"""
+        )
+    last = _BPE_LOOP_ITERS + 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+final_tok AS (
+  SELECT unnest(string_split(substring(seq, 2, length(seq) - 2), {sep2}))
+           AS token,
+         freq
+  FROM v{last}
+), counts AS (
+  SELECT token, CAST(SUM(freq) AS BIGINT) AS n FROM final_tok GROUP BY 1
+)
+SELECT token, n, rank FROM (
+  SELECT token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= {_BPE_LOOP_TOP}
+ORDER BY rank
+"""
+    )
+
+
+def bpe_merge_loop_tokens(
+    docs: DataFrame, iterations: int = _BPE_LOOP_ITERS, top: int = _BPE_LOOP_TOP
+) -> DataFrame:
+    """Run `iterations` BPE merges over the corpus vocabulary and return
+    the top-`top` resulting token frequencies (token, n, rank) — the
+    distribution gates every argmax AND every merge application, since
+    any wrong pick or wrong replacement changes downstream counts."""
+    from fastetl_spark.checkpointing import materialize
+
+    sep = _BPE_SEP
+    vocab = materialize(
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("word", r"(?s)(.)", f"{sep}$1{sep}").alias("seq"),
+            "freq",
+        )
+    )
+    for _ in range(iterations):
+        toks = vocab.select(
+            "freq",
+            F.split(
+                F.expr("substring(seq, 2, length(seq) - 2)"), sep + sep
+            ).alias("toks"),
+        )
+        # guard: Spark sequence(1, 0) infers a NEGATIVE step and yields
+        # [1, 0], so a single-token word would index past the array
+        pair_gen = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("x"),
+                    F.element_at("toks", i + 1).alias("y"),
+                ),
+            ),
+        ).otherwise(
+            F.expr("CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>)")
+        )
+        pairs = toks.select("freq", F.explode(pair_gen).alias("p")).select(
+            "freq", "p.x", "p.y"
+        )
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "x", "y")
+            .limit(1)
+            .collect()[0]  # ONE row: the model step, as lloyd collects sums
+        )
+        vocab = vocab.select(
+            F.replace(
+                "seq",
+                F.lit(f"{sep}{best['x']}{sep}{sep}{best['y']}{sep}"),
+                F.lit(f"{sep}{best['x']}{best['y']}{sep}"),
+            ).alias("seq"),
+            "freq",
+        )
+    counts = (
+        vocab.select(
+            F.explode(
+                F.split(F.expr("substring(seq, 2, length(seq) - 2)"), sep + sep)
+            ).alias("token"),
+            "freq",
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select("token", "n", "rank")
+        .orderBy("rank")
+    )
+
+
+@query("bpe_merge_loop", _bpe_loop_sql())
+def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BPE_LOOP_TOP} token frequencies after {_BPE_LOOP_ITERS}
+    exact BPE merges over the corpus vocabulary — the tokenizer
+    TRAINING loop under the hash gate (candidate counting alone is
+    bpe_first_merges)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return bpe_merge_loop_tokens(d)
+
+
 # --- hard-negative mining band -------------------------------------------
 
 _NEG_LO = 6

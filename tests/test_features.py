@@ -145,3 +145,63 @@ def test_weighted_sample_wor_properties(spark):
     # deterministic across reruns
     again = sorted(map(tuple, weighted_sample_wor(df, "source", "doc_id", "w", k=4).collect()))
     assert again == sorted(map(tuple, got))
+
+
+def test_bpe_merge_loop_matches_reference_trainer(spark):
+    """The distributed merge loop must agree with a straightforward
+    single-process BPE trainer (overlap-counted pair stats, argmax with
+    the (n DESC, x, y) tie-break, leftmost-greedy application) on every
+    token count after N merges."""
+    from collections import Counter
+
+    from fastetl_spark.operators.features import bpe_merge_loop_tokens
+
+    texts = [
+        "hug hug hug pug pun bun hugs",
+        "hug pug pun pun hugs bun hug",
+        "aaa aa aaaa banana banana bandana",
+    ]
+
+    def ref_bpe(texts, iterations):
+        vocab = Counter(w for t in texts for w in t.split(" ") if w)
+        seqs = {w: [c for c in w] for w in vocab}
+        for _ in range(iterations):
+            pc = Counter()
+            for w, f in vocab.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p[0], p[1]))
+            for w in seqs:
+                s, out, i = seqs[w], [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and (s[i], s[i + 1]) == best
+                    ):
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+            # leftmost-greedy means a merged token never re-merges with
+            # the element it just consumed — matched by replace() scan
+        counts = Counter()
+        for w, f in vocab.items():
+            for t in seqs[w]:
+                counts[t] += f
+        return counts
+
+    for iters in (1, 3, 5):
+        expect = ref_bpe(texts, iters)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {
+            r["token"]: r["n"]
+            for r in bpe_merge_loop_tokens(docs, iterations=iters, top=1000).collect()
+        }
+        assert got == dict(expect), (iters, got, dict(expect))
