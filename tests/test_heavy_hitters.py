@@ -69,3 +69,64 @@ def test_bounded_k_respects_k_per_partition(spark):
     # the two dominant keys survive any MG(3) run over this stream
     toks = {r["token"] for r in got}
     assert {"a", "b"} <= toks
+
+
+def _mg_envelope_holds(got, exact):
+    err = got[0]["err_bound"]
+    assert all(r["err_bound"] == err for r in got)
+    for r in got:
+        assert r["est_count"] <= exact[r["token"]] <= r["est_count"] + err, (
+            r["token"], r["est_count"], exact[r["token"]], err,
+        )
+    for tok, true in exact.items():
+        if true > err:
+            assert tok in {r["token"] for r in got}, (tok, true, err)
+
+
+def _skew_layouts(spark):
+    """Two adversarial partition layouts over the SAME multiset:
+    (a) every heavy key colocated in ONE partition, noise elsewhere;
+    (b) the heavy keys' occurrences spread evenly across ALL partitions.
+    union() of coalesce(1) frames preserves each input as one partition,
+    so the layouts are deterministic, not hash-accidental."""
+    heavy = [("a",)] * 500 + [("b",)] * 300 + [("c",)] * 200
+    noise = [(f"n{i}_{j}",) for i in range(3) for j in range(120)]
+
+    def layout(parts):
+        # one list element per partition, flattened inside the partition
+        # — union/createDataFrame would fold local relations together
+        rdd = spark.sparkContext.parallelize(parts, len(parts)).flatMap(
+            lambda rows: rows
+        )
+        return spark.createDataFrame(rdd, "token string")
+
+    colocated = layout(
+        [heavy] + [noise[i * 120:(i + 1) * 120] for i in range(3)]
+    )
+    spread = layout(
+        [
+            [("a",)] * 125 + [("b",)] * 75 + [("c",)] * 50
+            + noise[i * 90:(i + 1) * 90]
+            for i in range(4)
+        ]
+    )
+    return {"colocated": colocated, "spread": spread}
+
+
+def test_skewed_partitioning_stress(spark):
+    """The est <= true <= est + err envelope and the exhaustive-twin
+    equivalence must hold under BOTH adversarial layouts — all heavy
+    keys in one partition, and heavy keys striped 1-per-partition."""
+    for name, tokens in _skew_layouts(spark).items():
+        assert tokens.rdd.getNumPartitions() == 4, name
+        exact = _exact_counts(tokens)
+        got = misra_gries_topk(tokens, _HH_PRODUCTION_K, topk=100_000).collect()
+        assert got, name
+        _mg_envelope_holds(got, exact)
+        # the dominant keys are far above any possible decrement mass
+        toks = {r["token"] for r in got}
+        assert {"a", "b", "c"} <= toks, (name, toks)
+        # exhaustive twin: k > vocabulary => exact counts in any layout
+        exh = misra_gries_topk(tokens, 100_000, topk=100_000).collect()
+        assert {r["token"]: r["est_count"] for r in exh} == exact, name
+        assert all(r["err_bound"] == 0 for r in exh), name
