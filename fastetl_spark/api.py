@@ -523,6 +523,17 @@ class Engine:
 
         return vacuum_dest(self.spark, path, keep_commit_markers)
 
+    def label_propagation(self, nodes: DataFrame, edges: DataFrame,
+                          iterations: int = 3) -> DataFrame:
+        """Deterministic synchronous label propagation over (src, dst)
+        edges (operators/graph.label_propagation, gated by the
+        `label_propagation_communities` query): (node, community) after
+        a fixed iteration count. PageRank's exchange profile — keyed
+        joins and map-side-combinable counts only."""
+        from fastetl_spark.operators.graph import label_propagation
+
+        return label_propagation(nodes, edges, iterations=iterations)
+
     def pagerank(self, nodes: DataFrame, edges: DataFrame,
                  iterations: int = 3, exact: bool = True) -> DataFrame:
         """Damped PageRank over (src, dst) edges (operators/graph):

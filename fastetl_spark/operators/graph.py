@@ -530,3 +530,106 @@ def neighbor_jaccard_pairs(
         .orderBy(F.desc("jaccard"), "node_a", "node_b")
         .limit(topk)
     )
+
+
+# --- label propagation communities (3 unrolled sync iterations, gated) -----
+
+# Synchronous LPA (Raghavan et al. 2007) made fully deterministic: every
+# node starts as its own label; each iteration every node adopts the
+# most frequent label among its (undirected, deduplicated) neighbors,
+# ties broken to the SMALLEST label; nodes with no neighbors keep their
+# label. A fixed iteration count + integer counts + total tie order make
+# the whole loop bit-exact in both engines — the same
+# unrolled-generated-CTE gating pattern as pagerank_doc_graph and
+# kmeans_lloyd_exact, now covering the community-detection family.
+_LPA_ITERATIONS = 3
+
+
+def _lpa_iter_sql(t: int) -> str:
+    return f"""c{t} AS (
+  SELECT u.dst AS node, l.lab, COUNT(*) AS c
+  FROM und u JOIN l{t - 1} l ON l.node = u.src
+  GROUP BY 1, 2
+), u{t} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+), l{t} AS (
+  SELECT p.node, COALESCE(u.lab, p.lab) AS lab
+  FROM l{t - 1} p LEFT JOIN u{t} u ON u.node = p.node
+)"""
+
+
+_LPA_SQL = f"""
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+), edges0 AS (
+  SELECT node AS src, (node + 1) % (SELECT COUNT(*) FROM nodes) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 3) % (SELECT COUNT(*) FROM nodes) FROM nodes
+), und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)
+), l0 AS (
+  SELECT node, node AS lab FROM nodes
+), {", ".join(_lpa_iter_sql(t) for t in range(1, _LPA_ITERATIONS + 1))}
+SELECT node, CAST(lab AS BIGINT) AS community
+FROM l{_LPA_ITERATIONS}
+ORDER BY node
+"""
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iterations: int = _LPA_ITERATIONS
+) -> DataFrame:
+    """Deterministic synchronous label propagation over (src, dst)
+    edges: returns (node, community) after `iterations` rounds.
+
+    Scale shape per iteration: ONE keyed join (labels onto the
+    symmetrized edge list, keyed by src), one map-side-combinable
+    groupBy((node, lab)), and one per-node argmax window — all shuffles
+    keyed by node, no global stage, no collect. Exactly PageRank's
+    exchange profile, so the billion-edge argument carries over; the
+    window's per-node row count is the node's distinct neighbor-label
+    count (bounded by degree), the same degree-locality triangle_count
+    relies on."""
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .transform(materialize)  # reused every iteration: cut the re-derive
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+    for _ in range(iterations):
+        neigh = und.join(
+            labels.select(F.col("node").alias("src"), "lab"), "src"
+        ).select(F.col("dst").alias("node"), "lab")
+        upd = (
+            neigh.groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("newlab"))
+        )
+        labels = labels.join(upd, "node", "left").select(
+            "node", F.coalesce("newlab", "lab").alias("lab")
+        )
+    return labels.select("node", F.col("lab").cast("long").alias("community"))
+
+
+@query("label_propagation_communities", _LPA_SQL)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_LPA_ITERATIONS}-iteration deterministic LPA over the synthetic
+    doc graph (symmetrized, deduplicated) — community detection under
+    the exact gate via the unrolled-CTE oracle."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    nodes, edges = _doc_graph(d, n)
+    return label_propagation(nodes, edges).orderBy("node")

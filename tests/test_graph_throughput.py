@@ -86,3 +86,41 @@ def test_resolved_link_edges_match_fixture_arithmetic(spark, sf_dir):
     indeg = Counter(dst for _, dst in got)
     assert len(indeg) <= len(src_of) // 5  # few distinct targets
     assert max(indeg.values()) >= 10  # each absorbing many in-links
+
+
+def test_label_propagation_separates_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: LPA must converge each
+    clique to its own minimum label and never merge them through the
+    bridge (the bridge endpoint sees 4 clique votes vs 1 outside vote)."""
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.operators.graph import label_propagation
+
+    c1, c2 = list(range(5)), list(range(10, 15))
+    edges = [(a, b) for i, a in enumerate(c1) for b in c1[i + 1:]]
+    edges += [(a, b) for i, a in enumerate(c2) for b in c2[i + 1:]]
+    edges += [(4, 10)]  # bridge
+    nodes = spark.createDataFrame([(n,) for n in c1 + c2], ["node"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(nodes, e, iterations=4).collect()
+    }
+    assert {got[n] for n in c1} == {0}
+    assert {got[n] for n in c2} == {10}
+
+
+def test_label_propagation_isolated_nodes_keep_labels(spark):
+    from fastetl_spark.operators.graph import label_propagation
+
+    nodes = spark.createDataFrame([(1,), (2,), (7,)], ["node"])
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(nodes, e, iterations=3).collect()
+    }
+    assert got[7] == 7  # no neighbors: label carried through every round
+    # neighbor-only SYNC updates make an isolated pair swap labels each
+    # round (the textbook sync-LPA oscillation — deterministic, and why
+    # the gated query pins a FIXED iteration count): odd rounds = swapped
+    assert got[1] == 2 and got[2] == 1
