@@ -648,6 +648,19 @@ class Engine:
 
         return bm25_topk(docs, terms=tuple(terms), k=k)
 
+    def project_vectors(self, vectors: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        k_dims: int = 16) -> DataFrame:
+        """Johnson-Lindenstrauss +-1 random projection to `k_dims`
+        exact integer components (operators/vector_sketch.jl_project,
+        gated by `jl_random_projection`): the dimensionality-reduction
+        primitive before clustering/ANN at scale. One explode +
+        broadcast weight table + map-side-combined groupBy."""
+        from fastetl_spark.operators.vector_sketch import jl_project
+
+        return jl_project(vectors, id_col=id_col, vec_col=vec_col,
+                          k_dims=k_dims)
+
     def bm25_search(self, docs: DataFrame, queries: DataFrame,
                     k: int = 10) -> DataFrame:
         """BM25 top-k docs PER QUERY for an arbitrary (query_id, terms

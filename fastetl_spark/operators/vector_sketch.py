@@ -235,3 +235,105 @@ def simhash_hamming_pairs(
     return cand.select(
         "vec_a", "vec_b", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# --- Johnson-Lindenstrauss random projection (gated) ------------------------
+#
+# The dimensionality-reduction primitive of the curation stack (Achlioptas
+# 2003: +-1 entries satisfy the JL lemma with the same guarantees as
+# Gaussian matrices): project the 64-dim embeddings onto K=16 +-1
+# hyperplanes derived from md5 parity — the SAME portable weight table
+# construction as the sign sketch above, but keeping the exact BIGINT
+# dot products instead of their signs. Downstream cosine/L2 comparisons
+# are invariant to the constant 1/sqrt(K) JL scaling, so components stay
+# raw integers and the gate needs no float argument at all.
+#
+# Scale shape: explode(embedding) x broadcast 16x64 weight table ->
+# groupBy(vec_id, k) with map-side combine — identical exchange profile
+# to the simhash signature build.
+
+_JL_K = 16
+
+_JL_SQL = f"""
+WITH weights AS (
+  SELECT k.k, d.d,
+         CASE WHEN ('0x' || substr(md5('jl:' || k.k || ':' || d.d), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS w
+  FROM (SELECT unnest(generate_series(0, {_JL_K - 1})) AS k) k
+  CROSS JOIN (SELECT unnest(generate_series(1, {_VS_DIM})) AS d) d
+), q AS (
+  SELECT vec_id, d.d,
+         CAST(floor(CAST(embedding[d.d] AS DOUBLE) * {_VS_SCALE}) AS BIGINT) AS qv
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, {_VS_DIM})) AS d) d
+)
+SELECT q.vec_id, w.k, CAST(SUM(w.w * q.qv) AS BIGINT) AS comp
+FROM q JOIN weights w ON w.d = q.d
+GROUP BY q.vec_id, w.k
+ORDER BY q.vec_id, w.k
+"""
+
+
+def _jl_weights(spark: SparkSession, k_dims: int, dim: int) -> DataFrame:
+    ks = spark.range(0, k_dims).select(F.col("id").cast("int").alias("k"))
+    ds = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
+    return ks.crossJoin(ds).select(
+        "k",
+        "d",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("jl:"), F.col("k"), F.lit(":"), F.col("d"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("w"),
+    )
+
+
+def jl_project(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_dims: int = _JL_K,
+    dim: int = _VS_DIM,
+) -> DataFrame:
+    """Project (id, array<float>) rows onto `k_dims` +-1 hyperplanes:
+    returns (vec_id, k, comp) with comp the exact integer dot product of
+    the quantized vector with hyperplane k. One explode + broadcast
+    weight join + map-side-combined groupBy — no wide shuffle."""
+    spark = vectors.sparkSession
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("d0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).cast("int").alias("d"),
+        F.floor(F.col("x").cast("double") * F.lit(_VS_SCALE))
+        .cast("long")
+        .alias("qv"),
+    )
+    w = _jl_weights(spark, k_dims, dim)
+    return (
+        q.join(F.broadcast(w), "d")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("w") * F.col("qv")).alias("comp"))
+        .select("vec_id", "k", "comp")
+    )
+
+
+@query("jl_random_projection", _JL_SQL)
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected to {_JL_K} dims via the md5-parity +-1
+    JL matrix — exact BIGINT components under the hash gate. Distance
+    preservation is property-tested in tests/test_vector_sketch.py."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return jl_project(e).orderBy("vec_id", "k")

@@ -186,3 +186,41 @@ def test_bm25_query_join_plan_is_index_shaped(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_jl_projection_preserves_distances(spark):
+    """The +-1 JL projection must roughly preserve pairwise L2 geometry:
+    after the 1/sqrt(K) scaling, squared distances in the projected
+    space should sit within a broad distortion band of the originals
+    (K=16 => typical relative error ~1/sqrt(16); we assert the median
+    stays under 50% and no systematic collapse/blow-up)."""
+    import math
+    import random
+
+    from fastetl_spark.operators.vector_sketch import _JL_K, jl_project
+
+    rng = random.Random(7)
+    dim = 64
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    proj = {}
+    for r in jl_project(df).collect():
+        proj.setdefault(r["vec_id"], {})[r["k"]] = r["comp"]
+    # quantized originals (what the operator actually projects)
+    q = {
+        i: [math.floor(float(x) * 1e6) for x in r["embedding"]]
+        for i, r in ((row["vec_id"], row) for row in df.collect())
+    }
+    dist = []
+    ids = sorted(proj)
+    for a in ids[:20]:
+        for b in ids[20:]:
+            d_orig = sum((xa - xb) ** 2 for xa, xb in zip(q[a], q[b]))
+            d_proj = sum(
+                (proj[a][k] - proj[b][k]) ** 2 for k in range(_JL_K)
+            ) / _JL_K
+            dist.append(d_proj / d_orig)
+    dist.sort()
+    med = dist[len(dist) // 2]
+    assert 0.5 < med < 2.0, med
+    assert dist[int(len(dist) * 0.9)] < 3.0, dist[-5:]
