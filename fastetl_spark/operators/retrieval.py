@@ -235,26 +235,15 @@ ORDER BY query_id, rank
 """
 
 
-def bm25_query_scores(
-    docs: DataFrame, queries: DataFrame, k: int = _BM25_QK
-) -> DataFrame:
-    """BM25 top-k docs per query over arbitrary (query_id, terms
-    array<string>) query sets via an inverted-index join.
-
-    Scale shape: the posting list (doc_id, term, tf, dl) is built by ONE
-    explode+groupBy scan of the corpus and is the only corpus-sized
-    shuffle (keyed by (doc_id, term) then term for df — exactly the
-    shuffles an inverted index IS). The query table is broadcast (query
-    workloads are human-sized; remove the hint for machine-generated
-    millions and AQE picks the join side). Candidate rows are only
-    (query term x matching doc) pairs — never |queries| x |corpus|. The
-    per-(query, doc) sum is fixed-point BIGINT (order-independent), and
-    the final top-k runs per query partition, parallel across queries.
-
-    Plan-width is O(1) in #terms — contrast bm25_topk's per-term
-    generated columns."""
+def doc_posting(docs: DataFrame) -> DataFrame:
+    """The inverted-index rows of a (doc_id, text) frame: (doc_id, dl,
+    term, tf) — one explode + groupBy scan. This is also the UNIT an
+    incremental index maintains: a new document contributes exactly its
+    own posting rows, independent of the rest of the corpus, so a
+    streaming ingest appends per-batch postings with no read-modify-
+    write (gated by streaming_posting_index_state)."""
     tok = docs.select("doc_id", F.split("text", " ").alias("tokens"))
-    posting = (
+    return (
         tok.select(
             "doc_id",
             F.size("tokens").alias("dl"),
@@ -263,11 +252,20 @@ def bm25_query_scores(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    stats = tok.agg(
+
+
+def bm25_from_posting(
+    posting: DataFrame, queries: DataFrame, k: int = _BM25_QK
+) -> DataFrame:
+    """BM25 top-k per query evaluated over a PRE-BUILT posting frame
+    (doc_id, dl, term, tf) — corpus statistics (n_docs, avgdl, df) are
+    re-derived from the index itself, so a maintained index scores
+    identically to a from-scratch build."""
+    docs_dl = posting.select("doc_id", "dl").distinct()
+    stats = docs_dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
-            F.sum(F.size("tokens")).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
     dft = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -309,6 +307,27 @@ def bm25_query_scores(
             "rank",
         )
     )
+
+
+def bm25_query_scores(
+    docs: DataFrame, queries: DataFrame, k: int = _BM25_QK
+) -> DataFrame:
+    """BM25 top-k docs per query over arbitrary (query_id, terms
+    array<string>) query sets via an inverted-index join.
+
+    Scale shape: the posting list (doc_id, dl, term, tf) is built by ONE
+    explode+groupBy scan of the corpus and is the only corpus-sized
+    shuffle (keyed by (doc_id, term) then term for df — exactly the
+    shuffles an inverted index IS). The query table is broadcast (query
+    workloads are human-sized; remove the hint for machine-generated
+    millions and AQE picks the join side). Candidate rows are only
+    (query term x matching doc) pairs — never |queries| x |corpus|. The
+    per-(query, doc) sum is fixed-point BIGINT (order-independent), and
+    the final top-k runs per query partition, parallel across queries.
+
+    Plan-width is O(1) in #terms — contrast bm25_topk's per-term
+    generated columns."""
+    return bm25_from_posting(doc_posting(docs), queries, k=k)
 
 
 @query("bm25_query_join", _BM25_QJ_SQL)

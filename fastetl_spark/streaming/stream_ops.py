@@ -1053,3 +1053,76 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "token", "est_count", "err_bound", "rank"
     )
+
+
+def make_posting_batch(dest_path: str):
+    """foreachBatch body for incremental INVERTED-INDEX maintenance:
+    each document micro-batch contributes exactly its own posting rows
+    (doc_id, dl, term, tf) — no read-modify-write, because a document's
+    postings are independent of the rest of the corpus — appended under
+    the standard per-batch commit marker so a redelivered batch is a
+    no-op instead of a double-count."""
+    from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
+    from fastetl_spark.operators.retrieval import doc_posting
+
+    commits_dir = dest_path.rstrip("/") + ".__commits__"
+
+    def posting_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{commits_dir}/{int(batch_id)}"
+        fs, path_cls = hadoop_fs(spark, dest_path)
+        if fs.exists(path_cls(marker)):
+            return  # redelivered batch: postings already appended
+        doc_posting(batch_df.select("doc_id", "text")).write.mode(
+            "append"
+        ).parquet(dest_path)
+        write_text_file(spark, marker, "")
+
+    return posting_batch
+
+
+def _stream_posting_sql() -> str:
+    from fastetl_spark.operators.retrieval import _BM25_QJ_SQL
+
+    return _BM25_QJ_SQL
+
+
+@query("streaming_posting_index_state", _stream_posting_sql())
+def streaming_posting_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourteenth streaming gate: INVERTED-INDEX maintenance. The
+    documents table arrives as 3 real micro-batches
+    (maxFilesPerTrigger=1); each batch appends its own posting rows
+    under a commit marker; then the BM25 query workload is scored FROM
+    the maintained index (bm25_from_posting re-derives n_docs/avgdl/df
+    from the index itself) and must hash-match the from-scratch oracle
+    (_BM25_QJ_SQL over the whole corpus). A lost batch shifts df/avgdl
+    and every score; a double-append shifts tf — either fails the hash.
+    This is the streaming half of the retrieval stack: the index IS the
+    state, and its maintenance is append-only per batch."""
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.retrieval import (
+        _BM25_QUERY_SET,
+        bm25_from_posting,
+    )
+
+    root = _scratch_root(sf_dir, "stream_posting")
+    in_dir, dest, ckpt = f"{root}/in", f"{root}/dest", f"{root}/ckpt"
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _stage_slices(d, root, in_dir, F.col("doc_id") % 3)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_posting_batch(dest))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BM25_QUERY_SET],
+        "query_id int, terms array<string>",
+    )
+    return bm25_from_posting(spark.read.parquet(dest), queries)

@@ -266,3 +266,27 @@ def test_ivm_view_batch_redelivery_noop(spark, tmp_path):
     twice = sorted(map(tuple, spark.read.parquet(dest).collect()))
     assert once == twice
     assert len(once) == 3  # base row + two delta rows
+
+
+def test_posting_batch_redelivery_noop(spark, tmp_path):
+    """A redelivered document batch must not double-append its posting
+    rows, and the maintained index must equal a from-scratch build."""
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.operators.retrieval import doc_posting
+    from fastetl_spark.streaming.stream_ops import make_posting_batch
+
+    dest = str(tmp_path / "posting_dest")
+    docs1 = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], ["doc_id", "text"]
+    )
+    docs2 = spark.createDataFrame([(3, "a c c c")], ["doc_id", "text"])
+    batch = make_posting_batch(dest)
+    batch(docs1, 0)
+    batch(docs1, 0)  # redelivery: must be a no-op
+    batch(docs2, 1)
+    got = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    want = sorted(
+        map(tuple, doc_posting(docs1.unionByName(docs2)).collect())
+    )
+    assert got == want
