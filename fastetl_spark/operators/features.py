@@ -327,12 +327,16 @@ _BPE_LOOP_TOP = 30
 _BPE_SEP = "\x1f"
 
 
-def _bpe_loop_sql() -> str:
+def _bpe_chain_sql() -> str:
+    """The shared WITH-chain: trained vocabulary v{N+1} (word, seq,
+    freq) after _BPE_LOOP_ITERS unrolled merges — both BPE oracles
+    (merge loop, corpus encode) build their tails on it."""
     sep = "chr(31)"
     sep2 = f"{sep}||{sep}"
     parts = [
         f"""v1 AS (
-  SELECT regexp_replace(word, '(?s)(.)', {sep}||'\\1'||{sep}, 'g') AS seq,
+  SELECT word,
+         regexp_replace(word, '(?s)(.)', {sep}||'\\1'||{sep}, 'g') AS seq,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE length(word) > 0
@@ -351,16 +355,23 @@ def _bpe_loop_sql() -> str:
 ), best{t} AS (
   SELECT x, y FROM pc{t} ORDER BY n DESC, x, y LIMIT 1
 ), v{t + 1} AS (
-  SELECT replace(v.seq, {sep}||b.x||{sep}||{sep}||b.y||{sep},
+  SELECT v.word,
+         replace(v.seq, {sep}||b.x||{sep}||{sep}||b.y||{sep},
                  {sep}||b.x||b.y||{sep}) AS seq,
          v.freq
   FROM v{t} v CROSS JOIN best{t} b
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _bpe_loop_sql() -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
     last = _BPE_LOOP_ITERS + 1
     return (
         "WITH "
-        + ",\n".join(parts)
+        + _bpe_chain_sql()
         + f""",
 final_tok AS (
   SELECT unnest(string_split(substring(seq, 2, length(seq) - 2), {sep2}))
@@ -380,13 +391,11 @@ ORDER BY rank
     )
 
 
-def bpe_merge_loop_tokens(
-    docs: DataFrame, iterations: int = _BPE_LOOP_ITERS, top: int = _BPE_LOOP_TOP
-) -> DataFrame:
-    """Run `iterations` BPE merges over the corpus vocabulary and return
-    the top-`top` resulting token frequencies (token, n, rank) — the
-    distribution gates every argmax AND every merge application, since
-    any wrong pick or wrong replacement changes downstream counts."""
+def _bpe_train(docs: DataFrame, iterations: int) -> DataFrame:
+    """Train `iterations` BPE merges; return the tokenized vocabulary
+    (word, seq, freq) with seq the guard-wrapped token sequence after
+    all merges — the reusable core behind the merge-loop gate and the
+    corpus encoder."""
     from fastetl_spark.checkpointing import materialize
 
     sep = _BPE_SEP
@@ -396,6 +405,7 @@ def bpe_merge_loop_tokens(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             F.regexp_replace("word", r"(?s)(.)", f"{sep}$1{sep}").alias("seq"),
             "freq",
         )
@@ -432,6 +442,7 @@ def bpe_merge_loop_tokens(
             .collect()[0]  # ONE row: the model step, as lloyd collects sums
         )
         vocab = vocab.select(
+            "word",
             F.replace(
                 "seq",
                 F.lit(f"{sep}{best['x']}{sep}{sep}{best['y']}{sep}"),
@@ -439,6 +450,18 @@ def bpe_merge_loop_tokens(
             ).alias("seq"),
             "freq",
         )
+    return vocab
+
+
+def bpe_merge_loop_tokens(
+    docs: DataFrame, iterations: int = _BPE_LOOP_ITERS, top: int = _BPE_LOOP_TOP
+) -> DataFrame:
+    """Run `iterations` BPE merges over the corpus vocabulary and return
+    the top-`top` resulting token frequencies (token, n, rank) — the
+    distribution gates every argmax AND every merge application, since
+    any wrong pick or wrong replacement changes downstream counts."""
+    sep = _BPE_SEP
+    vocab = _bpe_train(docs, iterations)
     counts = (
         vocab.select(
             F.explode(
@@ -466,6 +489,76 @@ def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_first_merges)."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return bpe_merge_loop_tokens(d)
+
+
+def _bpe_encode_sql() -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    last = _BPE_LOOP_ITERS + 1
+    return (
+        "WITH "
+        + _bpe_chain_sql()
+        + f""",
+wtok AS (
+  SELECT word,
+         CAST(len(string_split(substring(seq, 2, length(seq) - 2), {sep2}))
+              AS BIGINT) AS n_tok
+  FROM v{last}
+), dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM dw JOIN wtok USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    )
+
+
+def bpe_encode_counts(
+    docs: DataFrame, iterations: int = _BPE_LOOP_ITERS
+) -> DataFrame:
+    """ENCODE the corpus with the trained merges: per-doc BPE token
+    counts (doc_id, n_words, n_tokens). The apply side of the
+    tokenizer: token counts per word come from the trained vocabulary
+    (a vocabulary-sized frame), and encoding is ONE broadcast-friendly
+    join of the corpus word stream against it — exactly how production
+    tokenizer fertility/budget passes run, with the model as a lookup
+    side, never re-deriving per document."""
+    sep = _BPE_SEP
+    vocab = _bpe_train(docs, iterations)
+    wtok = vocab.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), sep + sep)
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        dw.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("bpe_encode_corpus", _bpe_encode_sql())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts after encoding with the
+    {_BPE_LOOP_ITERS}-merge trained BPE — train-then-APPLY under the
+    hash gate (bpe_merge_loop gates training; this gates the encoder
+    path a token-budget/packing pipeline consumes)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return bpe_encode_counts(d)
 
 
 # --- hard-negative mining band -------------------------------------------
