@@ -1717,3 +1717,182 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared") * 1.0 / F.least("n_a", "n_b")).alias("overlap"),
         )
     )
+
+
+# --- population-stability drift (PSI) between time halves -------------------
+
+# The drift monitor a production feature pipeline runs before trusting a
+# new data window: bin the REFERENCE half's value distribution into
+# deciles (exact integer nearest-rank boundaries — the winsorize trick,
+# no float may touch a rank), count both halves into those bins, and
+# emit a per-bin drift term with +1/(n+10) Laplace smoothing so an
+# empty current bin stays finite. Per event_type, so every step is
+# keyed — no global stage. Output is PER-BIN (no float summation
+# anywhere; a consumer sums terms or flags any |term| spike).
+#
+# The gated statistic is the TRIANGULAR DISCRIMINATION term
+# (p - q)^2 / (p + q) rather than PSI's (p - q) * ln(p / q): it ranks
+# drifted bins the same way, but uses only +,-,*,/ on exactly-
+# representable inputs, so it is bit-deterministic across engines —
+# a first sweep showed java.lang.Math.log and DuckDB's libm ln REALLY
+# DO differ by 1 ulp on these inputs (the cross-libm exposure the BM25
+# note documents), which makes ln-based terms ungateable here. A
+# consumer wanting literal PSI applies ln to the same smoothed counts.
+# The split point is the integer midpoint of the event time range —
+# pure arithmetic, identical in both engines.
+
+_PSI_BINS = 10
+
+
+def _psi_bounds_sql() -> str:
+    ranks = ",\n".join(
+        f"         MIN(CASE WHEN rk = 1 + (({k} * (n - 1)) // 10) THEN value END) AS b{k}"
+        for k in range(1, _PSI_BINS)
+    )
+    bin_expr = " + ".join(
+        f"(CASE WHEN value > b{k} THEN 1 ELSE 0 END)" for k in range(1, _PSI_BINS)
+    )
+    return ranks, bin_expr
+
+
+_PSI_RANKS_SQL, _PSI_BIN_SQL = _psi_bounds_sql()
+
+_PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value, event_id, epoch_us(ts) AS us FROM events
+), mid AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+), tagged AS (
+  SELECT event_type, value, event_id, (us < mid.mid) AS is_ref
+  FROM ev CROSS JOIN mid
+), ref AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM tagged WHERE is_ref
+), bounds AS (
+  SELECT event_type,
+{_PSI_RANKS_SQL}
+  FROM ref GROUP BY event_type
+), binned AS (
+  SELECT t.event_type, t.is_ref, {_PSI_BIN_SQL} AS bin
+  FROM tagged t JOIN bounds USING (event_type)
+), grid AS (
+  SELECT b.event_type, g.bin
+  FROM (SELECT DISTINCT event_type FROM bounds) b
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) g
+), counts AS (
+  SELECT g.event_type, g.bin,
+         CAST(COALESCE(SUM(CASE WHEN b.is_ref THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(SUM(CASE WHEN b.is_ref THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_cur
+  FROM grid g
+  LEFT JOIN binned b ON b.event_type = g.event_type AND b.bin = g.bin
+  GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+  FROM counts GROUP BY 1
+)
+SELECT c.event_type, c.bin, c.n_ref, c.n_cur,
+       (CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.tot_ref + {_PSI_BINS} AS DOUBLE)
+        - CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.tot_cur + {_PSI_BINS} AS DOUBLE))
+       * (CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.tot_ref + {_PSI_BINS} AS DOUBLE)
+          - CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.tot_cur + {_PSI_BINS} AS DOUBLE))
+       / (CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.tot_ref + {_PSI_BINS} AS DOUBLE)
+          + CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.tot_cur + {_PSI_BINS} AS DOUBLE))
+         AS drift_term
+FROM counts c JOIN tot t USING (event_type)
+ORDER BY c.event_type, c.bin
+"""
+
+
+@query("value_drift_bins", _PSI_SQL)
+def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, decile-bin) drift terms (triangular
+    discrimination) between the first and second halves of the event
+    stream — reference-half boundaries by exact integer nearest-rank,
+    Laplace-smoothed proportions, one pinned RATIONAL IEEE shape per
+    output row (no transcendental, so no cross-libm exposure)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    mid = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type", "value", "event_id", (F.col("us") < F.col("mid")).alias("is_ref")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ref = tagged.filter("is_ref").select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ref.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rk")
+                    == 1 + F.expr(f"({k} * (n - 1)) div 10"),
+                    F.col("value"),
+                )
+            ).alias(f"b{k}")
+            for k in range(1, _PSI_BINS)
+        ]
+    )
+    bin_col = sum(
+        (
+            (F.col("value") > F.col(f"b{k}")).cast("int")
+            for k in range(2, _PSI_BINS)
+        ),
+        (F.col("value") > F.col("b1")).cast("int"),
+    )
+    binned = tagged.join(F.broadcast(bounds), "event_type").select(
+        "event_type", "is_ref", bin_col.alias("bin")
+    )
+    grid = (
+        bounds.select("event_type")
+        .crossJoin(
+            spark.range(0, _PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    counts = (
+        grid.join(binned, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("is_ref").cast("long")), F.lit(0)
+            ).cast("long").alias("n_ref"),
+            F.coalesce(
+                F.sum((~F.col("is_ref")).cast("long")), F.lit(0)
+            ).cast("long").alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("tot_ref") + _PSI_BINS
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("tot_cur") + _PSI_BINS
+    ).cast("double")
+    return (
+        counts.join(tot, "event_type")
+        .select(
+            "event_type",
+            "bin",
+            "n_ref",
+            "n_cur",
+            ((p - q) * (p - q) / (p + q)).alias("drift_term"),
+        )
+        .orderBy("event_type", "bin")
+    )
