@@ -633,3 +633,109 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     n = d.count()
     nodes, edges = _doc_graph(d, n)
     return label_propagation(nodes, edges).orderBy("node")
+
+
+# --- k-core peeling (fixed rounds, gated) -----------------------------------
+
+# Iterative k-core decomposition made gate-exact the same way as
+# LPA/PageRank: a FIXED number of peel rounds, each removing every node
+# whose degree in the current induced subgraph is < k. After enough
+# rounds this is the k-core; with a fixed count it is a deterministic
+# prefix of the peeling (the oracle unrolls the same rounds). Degrees
+# count distinct symmetrized neighbors (self-loops dropped — a self
+# edge is not support).
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def _kcore_iter_sql(t: int) -> str:
+    return f"""deg{t} AS (
+  SELECT u.src AS node, COUNT(*) AS deg
+  FROM und u
+  JOIN n{t - 1} a ON a.node = u.src
+  JOIN n{t - 1} b ON b.node = u.dst
+  GROUP BY 1
+), n{t} AS (
+  SELECT node FROM deg{t} WHERE deg >= {_KCORE_K}
+)"""
+
+
+_KCORE_SQL = f"""
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+), edges0 AS (
+  SELECT node AS src, (node + 1) % (SELECT COUNT(*) FROM nodes) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 3) % (SELECT COUNT(*) FROM nodes) FROM nodes
+  UNION ALL
+  -- a half-permutation third family: without it the base doc graph has
+  -- no 4-core at all (round-2 cascade empties it) — this makes the
+  -- peeling a gradual, genuinely cascading sequence (496/493/487/477
+  -- survivors over 4 rounds at n=500)
+  SELECT node, (node * 7 + 11) % (SELECT COUNT(*) FROM nodes) FROM nodes
+  WHERE node % 2 = 0
+), und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)
+  WHERE src <> dst
+), n0 AS (
+  SELECT node FROM nodes
+), {", ".join(_kcore_iter_sql(t) for t in range(1, _KCORE_ROUNDS + 1))}
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg
+FROM deg{_KCORE_ROUNDS} d JOIN n{_KCORE_ROUNDS} s ON s.node = d.node
+ORDER BY d.node
+"""
+
+
+def kcore_peel(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = _KCORE_K,
+    rounds: int = _KCORE_ROUNDS,
+) -> DataFrame:
+    """`rounds` peel rounds toward the k-core over (src, dst) edges;
+    returns the surviving (node, deg) with deg measured in the last
+    round's induced subgraph.
+
+    Scale shape per round: two semi-join-style keyed joins (edge
+    endpoints against the surviving node set) + one map-side-combinable
+    degree count — PageRank's exchange profile again; survivors shrink
+    monotonically so later rounds get cheaper. At true scale, run
+    rounds until a count of removed nodes hits zero (the count is one
+    scalar per round, like the CC fixpoint loop in dedup)."""
+    und = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(materialize)
+    )
+    surv = nodes.select("node")
+    deg = None
+    for _ in range(rounds):
+        a = surv.select(F.col("node").alias("src"))
+        b = surv.select(F.col("node").alias("dst"))
+        deg = (
+            und.join(a, "src").join(b, "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col("src").alias("node"), "deg")
+        )
+        surv = deg.filter(F.col("deg") >= k).select("node")
+    return deg.join(surv, "node").select("node", F.col("deg").cast("long").alias("deg"))
+
+
+@query("kcore_membership", _KCORE_SQL)
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_ROUNDS} peel rounds toward the {_KCORE_K}-core of the
+    symmetrized doc graph, under the exact gate via unrolled CTEs —
+    the dense-subgraph extractor of the graph family."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    nodes, edges = _doc_graph(d, n)
+    e3 = nodes.filter(F.col("node") % 2 == 0).select(
+        F.col("node").alias("src"), ((F.col("node") * 7 + 11) % n).alias("dst")
+    )
+    return kcore_peel(nodes, edges.unionAll(e3)).orderBy("node")

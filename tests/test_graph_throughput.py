@@ -124,3 +124,22 @@ def test_label_propagation_isolated_nodes_keep_labels(spark):
     # round (the textbook sync-LPA oscillation — deterministic, and why
     # the gated query pins a FIXED iteration count): odd rounds = swapped
     assert got[1] == 2 and got[2] == 1
+
+
+def test_kcore_peel_extracts_dense_subgraph(spark):
+    """A 5-clique with pendant chains: 4 rounds of k=3 peeling must keep
+    exactly the clique (every clique node has degree 4 within it) and
+    remove every chain node (cascade: the tip has degree 1, then its
+    parent, ...)."""
+    from fastetl_spark.operators.graph import kcore_peel
+
+    clique = list(range(5))
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    # chains hanging off node 0: 10-11-12 and 13-14
+    edges += [(0, 10), (10, 11), (11, 12), (0, 13), (13, 14)]
+    all_nodes = clique + [10, 11, 12, 13, 14]
+    nodes = spark.createDataFrame([(x,) for x in all_nodes], ["node"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["deg"] for r in kcore_peel(nodes, e, k=3, rounds=4).collect()}
+    assert set(got) == set(clique)
+    assert all(d == 4 for d in got.values())
