@@ -29,7 +29,7 @@ HEADLINE = [
     "dedup_increment_vs_corpus",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
-    "text_quality",
+    "label_propagation_communities",
     "sessionize_events",
     "q10_returned_items",
     "asof_join_prior_click",
@@ -60,7 +60,7 @@ HEADLINE = [
     "cdc_apply_roundtrip",
     "html_text_extract",
     "unigram_surprisal",
-    "url_domain_caps",
+    "rendezvous_reshard_roundtrip",
     "pagerank_link_graph",
     "bucketed_time_travel",
     "semantic_dedup",

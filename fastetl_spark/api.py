@@ -534,6 +534,16 @@ class Engine:
 
         return label_propagation(nodes, edges, iterations=iterations)
 
+    def kcore(self, nodes: DataFrame, edges: DataFrame, k: int = 4,
+              rounds: int = 4) -> DataFrame:
+        """Fixed-round peel toward the k-core (operators/graph.
+        kcore_peel, gated by `kcore_membership`): surviving (node, deg)
+        after `rounds` removals of degree<k nodes. At scale loop until
+        the per-round removed-count hits zero."""
+        from fastetl_spark.operators.graph import kcore_peel
+
+        return kcore_peel(nodes, edges, k=k, rounds=rounds)
+
     def pagerank(self, nodes: DataFrame, edges: DataFrame,
                  iterations: int = 3, exact: bool = True) -> DataFrame:
         """Damped PageRank over (src, dst) edges (operators/graph):
