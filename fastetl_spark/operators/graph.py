@@ -589,14 +589,12 @@ def label_propagation(
 
     Scale shape per iteration: ONE keyed join (labels onto the
     symmetrized edge list, keyed by src), one map-side-combinable
-    groupBy((node, lab)), and one per-node argmax window — all shuffles
-    keyed by node, no global stage, no collect. Exactly PageRank's
-    exchange profile, so the billion-edge argument carries over; the
-    window's per-node row count is the node's distinct neighbor-label
-    count (bounded by degree), the same degree-locality triangle_count
-    relies on."""
-    from pyspark.sql.window import Window
-
+    groupBy((node, lab)), and one per-node struct-argmax AGGREGATE
+    (max over (count, -label) — ties to the smallest label) — every
+    shuffle keyed by node, no sort window, no global stage, no collect.
+    Exactly PageRank's exchange profile, so the billion-edge argument
+    carries over. Labels materialize per iteration so the lineage (and
+    plan) stays linear in the round count."""
     und = (
         edges.select("src", "dst")
         .unionAll(
@@ -606,7 +604,6 @@ def label_propagation(
         .transform(materialize)  # reused every iteration: cut the re-derive
     )
     labels = nodes.select("node", F.col("node").alias("lab"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
     for _ in range(iterations):
         neigh = und.join(
             labels.select(F.col("node").alias("src"), "lab"), "src"
@@ -614,12 +611,18 @@ def label_propagation(
         upd = (
             neigh.groupBy("node", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("lab").alias("newlab"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("newlab"))
         )
-        labels = labels.join(upd, "node", "left").select(
-            "node", F.coalesce("newlab", "lab").alias("lab")
+        labels = materialize(
+            labels.join(upd, "node", "left").select(
+                "node", F.coalesce("newlab", "lab").alias("lab")
+            )
         )
     return labels.select("node", F.col("lab").cast("long").alias("community"))
 
@@ -717,7 +720,9 @@ def kcore_peel(
     for _ in range(rounds):
         a = surv.select(F.col("node").alias("src"))
         b = surv.select(F.col("node").alias("dst"))
-        deg = (
+        # materialize per round: keeps the plan linear in round count
+        # instead of re-deriving the whole peel cascade on every join
+        deg = materialize(
             und.join(a, "src").join(b, "dst")
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
