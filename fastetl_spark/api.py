@@ -705,6 +705,17 @@ class Engine:
 
         return stupid_backoff_scores(docs)
 
+    def drift_report(self, sf_dir: str) -> DataFrame:
+        """Two-halves value-drift report per event_type
+        (operators/analytics.value_drift_bins, gated): reference-half
+        decile bins, Laplace-smoothed per-bin triangular-discrimination
+        terms — the pre-publish distribution check a feature pipeline
+        runs on a new window. Sum drift_term per event_type downstream
+        and alert on a threshold (0.1/0.25 are PSI's usual bands)."""
+        from fastetl_spark.operators.analytics import value_drift_bins
+
+        return value_drift_bins(self.spark, sf_dir)
+
     def heavy_hitters(self, df: DataFrame, key_col: str,
                       k: int = 64, topk: int = 20) -> DataFrame:
         """Misra-Gries frequent items (operators/heavy_hitters): k

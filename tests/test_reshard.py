@@ -160,3 +160,30 @@ def test_sharded_requires_atomic_layout(spark, tmp_path):
     write_bucketed(df, str(tmp_path / "y"), ["k"], 4)  # v1
     with pytest.raises(ValueError, match="v2|atomic"):
         reshard_bucketed(spark, str(tmp_path / "y"), 2)
+
+
+def test_hrw_stability_property():
+    """HRW invariants at arbitrary shard counts (pure driver-side
+    property — no Spark): growing n -> n+1 only ever moves keys TO the
+    new shard, shrinking is the exact inverse, and the moved fraction
+    concentrates near 1/(n+1)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(min_value=1, max_value=12))
+    def check(n):
+        keys = range(400)
+        old = {k: _hrw_shard(k, n) for k in keys}
+        new = {k: _hrw_shard(k, n + 1) for k in keys}
+        moved = [k for k in keys if old[k] != new[k]]
+        assert all(new[k] == n for k in moved)  # only to the NEW shard
+        frac = len(moved) / len(old)
+        # binomial(400, 1/(n+1)) stays inside a generous 4-sigma band
+        import math
+
+        p = 1 / (n + 1)
+        sigma = math.sqrt(p * (1 - p) / 400)
+        assert abs(frac - p) < 4 * sigma + 0.01, (n, frac, p)
+
+    check()
