@@ -127,7 +127,12 @@ def main() -> None:
     build_dirs = [sf_dir] + (
         # the 10x scaling guard may re-run the _index queries at the next
         # sf down; pre-build there too so its small_sec is probe-only
-        [small_dir] if os.path.isdir(small_dir) else []
+        # (skip when bench runs AT sf0.01 — a duplicate pass would
+        # overwrite the just-recorded build wall with None)
+        [small_dir]
+        if os.path.isdir(small_dir)
+        and os.path.abspath(small_dir) != os.path.abspath(sf_dir.rstrip("/"))
+        else []
     )
     for d in build_dirs:
         emb = _ep(_rt(spark, d, "embeddings"))

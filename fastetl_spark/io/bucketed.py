@@ -242,6 +242,8 @@ def write_bucketed(
             "n_shards requires the atomic (v2) layout — the shard map "
             "rides on manifests (write_bucketed(..., atomic=True))"
         )
+    if n_shards is not None and n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     spark = df.sparkSession
     out = df.withColumn(BUCKET_COL, bucket_id(keys, n_buckets))
     if one_file_per_bucket:
@@ -795,9 +797,19 @@ def shard_map(spark: SparkSession, path: str) -> dict[int, int]:
 def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
     """One shard's rows (bucket dirs owned by `shard` in the latest
     manifest) — the per-worker view a sharded stateful consumer reads.
-    Empty-but-typed frame when the shard owns no populated bucket."""
+    Empty-but-typed frame when the shard owns no populated bucket.
+    Dirs and placement come from ONE manifest read — re-resolving the
+    placement separately could tear across a racing reshard commit
+    (gen-N dirs paired with gen-N+1 ownership = a bucket served to two
+    workers)."""
     m = read_manifest(spark, path)
-    shards = shard_map(spark, path)
+    if m is None or "shards" not in m:
+        raise ValueError(
+            f"{path} has no shard layer — create with "
+            "write_bucketed(..., atomic=True, n_shards=N) or run "
+            "reshard_bucketed once to initialize placement"
+        )
+    shards = m["shards"]
     base = path.rstrip("/")
     dirs = [
         f"{base}/{d}"

@@ -1756,10 +1756,14 @@ def _psi_bounds_sql() -> str:
 
 
 _PSI_RANKS_SQL, _PSI_BIN_SQL = _psi_bounds_sql()
+_PSI_COALESCE_SQL = ", ".join(
+    f"COALESCE(b.b{k}, 'Infinity'::DOUBLE) AS b{k}" for k in range(1, _PSI_BINS)
+)
 
 _PSI_SQL = f"""
 WITH ev AS (
   SELECT event_type, value, event_id, epoch_us(ts) AS us FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
 ), mid AS (
   SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
 ), tagged AS (
@@ -1770,10 +1774,18 @@ WITH ev AS (
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM tagged WHERE is_ref
-), bounds AS (
+), bounds0 AS (
   SELECT event_type,
 {_PSI_RANKS_SQL}
   FROM ref GROUP BY event_type
+), bounds AS (
+  -- LEFT join from ALL event types: a type with no reference-half rows
+  -- (brand-new after the midpoint — the strongest drift signal) gets
+  -- +infinity boundaries, so every current row lands in bin 0 and the
+  -- report SHOWS it (n_ref = 0, q0 large) instead of dropping it
+  SELECT a.event_type, {_PSI_COALESCE_SQL}
+  FROM (SELECT DISTINCT event_type FROM tagged) a
+  LEFT JOIN bounds0 b USING (event_type)
 ), binned AS (
   SELECT t.event_type, t.is_ref, {_PSI_BIN_SQL} AS bin
   FROM tagged t JOIN bounds USING (event_type)
@@ -1816,11 +1828,22 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row (no transcendental, so no cross-libm exposure)."""
     from pyspark.sql.window import Window
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type",
-        "value",
-        "event_id",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "value",
+            "event_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        )
+        # NULLs filtered up front IN BOTH ENGINES: SQL's CASE and
+        # Spark's boolean cast disagree on NULL comparisons (bin 0 vs
+        # row dropped) — a NULL is not a distribution observation
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("us").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
     )
     mid = ev.agg(
         ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
@@ -1836,7 +1859,7 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    bounds = ref.groupBy("event_type").agg(
+    bounds0 = ref.groupBy("event_type").agg(
         *[
             F.min(
                 F.when(
@@ -1847,6 +1870,21 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"b{k}")
             for k in range(1, _PSI_BINS)
         ]
+    )
+    # LEFT join from ALL types with +inf fallback boundaries: a type
+    # with no reference rows (appeared after the midpoint) reports all
+    # its rows in bin 0 instead of vanishing from the drift report
+    bounds = (
+        tagged.select("event_type")
+        .distinct()
+        .join(bounds0, "event_type", "left")
+        .select(
+            "event_type",
+            *[
+                F.coalesce(F.col(f"b{k}"), F.lit(float("inf"))).alias(f"b{k}")
+                for k in range(1, _PSI_BINS)
+            ],
+        )
     )
     bin_col = sum(
         (

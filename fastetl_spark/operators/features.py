@@ -434,21 +434,33 @@ def _bpe_train(docs: DataFrame, iterations: int) -> DataFrame:
         pairs = toks.select("freq", F.explode(pair_gen).alias("p")).select(
             "freq", "p.x", "p.y"
         )
-        best = (
+        best_rows = (
             pairs.groupBy("x", "y")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), "x", "y")
             .limit(1)
-            .collect()[0]  # ONE row: the model step, as lloyd collects sums
+            .collect()  # ONE row: the model step, as lloyd collects sums
         )
-        vocab = vocab.select(
-            "word",
-            F.replace(
-                "seq",
-                F.lit(f"{sep}{best['x']}{sep}{sep}{best['y']}{sep}"),
-                F.lit(f"{sep}{best['x']}{best['y']}{sep}"),
-            ).alias("seq"),
-            "freq",
+        if not best_rows:
+            # every word is a single token: no pair left to merge.
+            # NOTE the gated oracle cannot express this early stop (its
+            # CROSS JOIN of an empty best would empty the vocabulary) —
+            # the gate fixture always has pairs; this branch protects
+            # the public API on degenerate corpora.
+            break
+        best = best_rows[0]
+        # materialize per merge: keeps each pair-count job linear in
+        # the iteration count instead of re-running t stacked replaces
+        vocab = materialize(
+            vocab.select(
+                "word",
+                F.replace(
+                    "seq",
+                    F.lit(f"{sep}{best['x']}{sep}{sep}{best['y']}{sep}"),
+                    F.lit(f"{sep}{best['x']}{best['y']}{sep}"),
+                ).alias("seq"),
+                "freq",
+            )
         )
     return vocab
 

@@ -706,6 +706,8 @@ def kcore_peel(
     monotonically so later rounds get cheaper. At true scale, run
     rounds until a count of removed nodes hits zero (the count is one
     scalar per round, like the CC fixpoint loop in dedup)."""
+    if rounds < 1:
+        raise ValueError(f"kcore_peel needs rounds >= 1, got {rounds}")
     und = (
         edges.select("src", "dst")
         .unionAll(

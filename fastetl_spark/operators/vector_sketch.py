@@ -304,13 +304,25 @@ def jl_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k_dims: int = _JL_K,
-    dim: int = _VS_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Project (id, array<float>) rows onto `k_dims` +-1 hyperplanes:
     returns (vec_id, k, comp) with comp the exact integer dot product of
     the quantized vector with hyperplane k. One explode + broadcast
-    weight join + map-side-combined groupBy — no wide shuffle."""
+    weight join + map-side-combined groupBy — no wide shuffle.
+
+    `dim` defaults to the first row's vector length (one tiny lookup
+    job) — an explicit wrong dim would silently TRUNCATE every dot
+    product through the inner weight join, so deriving it is the safe
+    default; pass it explicitly in plan-only contexts (the gated query
+    pins the fixture's {_VS_DIM})."""
     spark = vectors.sparkSession
+    if dim is None:
+        first = vectors.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            dim = _VS_DIM  # empty input: any table works, output empty
+        else:
+            dim = int(first["d"])
     q = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(vec_col).alias("d0", "x"),
@@ -336,4 +348,4 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     JL matrix — exact BIGINT components under the hash gate. Distance
     preservation is property-tested in tests/test_vector_sketch.py."""
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
-    return jl_project(e).orderBy("vec_id", "k")
+    return jl_project(e, dim=_VS_DIM).orderBy("vec_id", "k")

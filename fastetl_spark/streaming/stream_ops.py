@@ -1059,9 +1059,14 @@ def make_posting_batch(dest_path: str):
     """foreachBatch body for incremental INVERTED-INDEX maintenance:
     each document micro-batch contributes exactly its own posting rows
     (doc_id, dl, term, tf) — no read-modify-write, because a document's
-    postings are independent of the rest of the corpus — appended under
-    the standard per-batch commit marker so a redelivered batch is a
-    no-op instead of a double-count."""
+    postings are independent of the rest of the corpus.
+
+    Idempotency does NOT rest on the commit marker alone (an append +
+    marker-after-write leaves a crash window that would double-append on
+    redelivery): every batch OVERWRITES its own partition directory
+    ``__batch=<id>/``, so re-running a batch — marker present or not —
+    converges to the same files. The marker only short-circuits the
+    rewrite."""
     from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
     from fastetl_spark.operators.retrieval import doc_posting
 
@@ -1072,10 +1077,10 @@ def make_posting_batch(dest_path: str):
         marker = f"{commits_dir}/{int(batch_id)}"
         fs, path_cls = hadoop_fs(spark, dest_path)
         if fs.exists(path_cls(marker)):
-            return  # redelivered batch: postings already appended
+            return  # redelivered batch: partition already written
         doc_posting(batch_df.select("doc_id", "text")).write.mode(
-            "append"
-        ).parquet(dest_path)
+            "overwrite"
+        ).parquet(f"{dest_path.rstrip('/')}/__batch={int(batch_id)}")
         write_text_file(spark, marker, "")
 
     return posting_batch
@@ -1125,4 +1130,5 @@ def streaming_posting_index_state(spark: SparkSession, sf_dir: str) -> DataFrame
         [(qid, list(terms)) for qid, terms in _BM25_QUERY_SET],
         "query_id int, terms array<string>",
     )
-    return bm25_from_posting(spark.read.parquet(dest), queries)
+    posting = spark.read.parquet(dest).drop("__batch")
+    return bm25_from_posting(posting, queries)

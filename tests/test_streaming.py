@@ -285,8 +285,17 @@ def test_posting_batch_redelivery_noop(spark, tmp_path):
     batch(docs1, 0)
     batch(docs1, 0)  # redelivery: must be a no-op
     batch(docs2, 1)
-    got = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    got = sorted(map(tuple, spark.read.parquet(dest).drop("__batch").collect()))
     want = sorted(
         map(tuple, doc_posting(docs1.unionByName(docs2)).collect())
     )
     assert got == want
+    # crash-window redelivery: marker missing but partition written —
+    # re-running the batch must converge, not double-append
+    import os
+    import shutil
+
+    shutil.rmtree(dest + ".__commits__", ignore_errors=True)
+    batch(docs1, 0)
+    again = sorted(map(tuple, spark.read.parquet(dest).drop("__batch").collect()))
+    assert again == want
