@@ -705,16 +705,21 @@ class Engine:
 
         return stupid_backoff_scores(docs)
 
-    def drift_report(self, sf_dir: str) -> DataFrame:
-        """Two-halves value-drift report per event_type
-        (operators/analytics.value_drift_bins, gated): reference-half
-        decile bins, Laplace-smoothed per-bin triangular-discrimination
-        terms — the pre-publish distribution check a feature pipeline
-        runs on a new window. Sum drift_term per event_type downstream
-        and alert on a threshold (0.1/0.25 are PSI's usual bands)."""
-        from fastetl_spark.operators.analytics import value_drift_bins
+    def drift_report(self, df: DataFrame, key_col: str = "event_type",
+                     value_col: str = "value", order_col: str = "event_id",
+                     us_col: str = "us") -> DataFrame:
+        """Two-halves value-drift report per key over any (key, value,
+        order, epoch-micros) frame (operators/analytics.drift_bins,
+        gated by `value_drift_bins`): reference-half decile bins,
+        Laplace-smoothed per-bin triangular-discrimination terms — the
+        pre-publish distribution check a feature pipeline runs on a new
+        window. A key first seen after the midpoint reports all its
+        rows in bin 0 (maximal drift). Sum drift_term per key
+        downstream; 0.1/0.25 are PSI's usual alert bands."""
+        from fastetl_spark.operators.analytics import drift_bins
 
-        return value_drift_bins(self.spark, sf_dir)
+        return drift_bins(df, key_col=key_col, value_col=value_col,
+                          order_col=order_col, us_col=us_col)
 
     def heavy_hitters(self, df: DataFrame, key_col: str,
                       k: int = 64, topk: int = 20) -> DataFrame:

@@ -1819,31 +1819,33 @@ ORDER BY c.event_type, c.bin
 """
 
 
-@query("value_drift_bins", _PSI_SQL)
-def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(event_type, decile-bin) drift terms (triangular
-    discrimination) between the first and second halves of the event
-    stream — reference-half boundaries by exact integer nearest-rank,
-    Laplace-smoothed proportions, one pinned RATIONAL IEEE shape per
-    output row (no transcendental, so no cross-libm exposure)."""
+def drift_bins(
+    ev: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    us_col: str = "us",
+) -> DataFrame:
+    """Two-halves drift report over an arbitrary (key, value, order,
+    epoch-micros) frame — the reusable core behind the gated query and
+    Engine.drift_report. NULL key/value/timestamp rows are dropped (a
+    NULL is not a distribution observation, and NULL comparison
+    semantics diverge between engines); a key with no reference-half
+    rows still reports — all its rows land in bin 0 against +infinity
+    fallback boundaries, so a brand-new key shows as maximal drift
+    instead of vanishing."""
     from pyspark.sql.window import Window
 
-    ev = (
-        read_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            "value",
-            "event_id",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
-        )
-        # NULLs filtered up front IN BOTH ENGINES: SQL's CASE and
-        # Spark's boolean cast disagree on NULL comparisons (bin 0 vs
-        # row dropped) — a NULL is not a distribution observation
-        .filter(
-            F.col("value").isNotNull()
-            & F.col("us").isNotNull()
-            & F.col("event_type").isNotNull()
-        )
+    spark = ev.sparkSession
+    ev = ev.select(
+        F.col(key_col).alias("event_type"),
+        F.col(value_col).alias("value"),
+        F.col(order_col).alias("event_id"),
+        F.col(us_col).alias("us"),
+    ).filter(
+        F.col("value").isNotNull()
+        & F.col("us").isNotNull()
+        & F.col("event_type").isNotNull()
     )
     mid = ev.agg(
         ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
@@ -1934,3 +1936,19 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+@query("value_drift_bins", _PSI_SQL)
+def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, decile-bin) drift terms (triangular
+    discrimination) between the first and second halves of the event
+    stream — reference-half boundaries by exact integer nearest-rank,
+    Laplace-smoothed proportions, one pinned RATIONAL IEEE shape per
+    output row (no transcendental, so no cross-libm exposure)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    return drift_bins(ev)
