@@ -721,6 +721,18 @@ class Engine:
         return drift_bins(df, key_col=key_col, value_col=value_col,
                           order_col=order_col, us_col=us_col)
 
+    def bootstrap_means(self, df: DataFrame, key_col: str, id_col: str,
+                        qv_col: str, reps: int = 32) -> DataFrame:
+        """Poisson-bootstrap replicate means per key over an integer-
+        quantized value column (operators/analytics.
+        poisson_bootstrap_means, gated by `bootstrap_mean_ci`):
+        distribution-free uncertainty with NO resampling shuffle — the
+        bootstrap form that scales to a 100 TB fact table. Take
+        nearest-rank quantiles of boot_mean across reps for the CI."""
+        from fastetl_spark.operators.analytics import poisson_bootstrap_means
+
+        return poisson_bootstrap_means(df, key_col, id_col, qv_col, reps=reps)
+
     def heavy_hitters(self, df: DataFrame, key_col: str,
                       k: int = 64, topk: int = 20) -> DataFrame:
         """Misra-Gries frequent items (operators/heavy_hitters): k

@@ -1952,3 +1952,126 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
     )
     return drift_bins(ev)
+
+
+# --- Poisson-bootstrap confidence intervals ---------------------------------
+
+# The bootstrap that actually runs at 100 TB: classic resampling needs a
+# multinomial draw over ALL rows (global coordination), but Poisson(1)
+# draw counts per (row, replicate) are independent — one generator
+# fan-out, no shuffle beyond the final per-replicate aggregate (Chamandy
+# et al., "Estimating Uncertainty for Massive Data Streams", Google
+# 2012). Determinism: the draw count comes from a 60-bit md5 uniform
+# compared against PRE-COMPUTED integer thresholds floor(CDF_Pois1(k) *
+# 2^60) (k capped at 5; tail mass 0.37%), values are integer-quantized
+# cents, so per-replicate sums are exact BIGINTs and boot_mean is one
+# pinned division.
+
+_BOOT_REPS = 32
+_BOOT_T = (  # floor(CDF(k) * 2^60) for k = 0..4, Poisson(lambda=1)
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+
+_BOOT_K_SQL = " + ".join(
+    f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_T
+)
+
+_BOOT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS qv
+  FROM events WHERE value IS NOT NULL
+), draws AS (
+  SELECT e.event_type, e.qv, r.rep,
+         ('0x' || substr(md5(e.event_id || ':' || r.rep), 1, 15))::BIGINT AS u
+  FROM ev e
+  CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS rep) r
+), counted AS (
+  SELECT event_type, rep, qv, {_BOOT_K_SQL} AS k FROM draws
+)
+SELECT event_type, CAST(rep AS INT) AS rep,
+       CAST(SUM(k) AS BIGINT) AS n_draws,
+       CAST(SUM(k * qv) AS BIGINT) AS sum_qv,
+       CAST(SUM(k * qv) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) / 100.0
+         AS boot_mean
+FROM counted
+GROUP BY 1, 2
+HAVING SUM(k) > 0
+ORDER BY 1, 2
+"""
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    qv_col: str,
+    reps: int = _BOOT_REPS,
+) -> DataFrame:
+    """Per-(key, replicate) Poisson-bootstrap resampled means over an
+    integer-quantized value column: (key, rep, n_draws, sum_qv,
+    boot_mean). Consumers take nearest-rank quantiles of boot_mean
+    across replicates for the CI. One generator fan-out (x reps), one
+    map-side-combinable aggregate — no resampling shuffle, the property
+    that makes the bootstrap feasible on a 100 TB fact table."""
+    spark = df.sparkSession
+    reps_df = spark.range(0, reps).select(F.col("id").cast("int").alias("rep"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("rep"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = sum(
+        ((u >= F.lit(t)).cast("int") for t in _BOOT_T[1:]),
+        (u >= F.lit(_BOOT_T[0])).cast("int"),
+    )
+    drawn = df.crossJoin(F.broadcast(reps_df)).select(
+        F.col(key_col).alias("event_type"),
+        "rep",
+        F.col(qv_col).alias("qv"),
+        k.alias("k"),
+    )
+    return (
+        drawn.groupBy("event_type", "rep")
+        .agg(
+            F.sum("k").alias("n_draws"),
+            F.sum(F.col("k") * F.col("qv")).alias("sum_qv"),
+        )
+        .filter(F.col("n_draws") > 0)
+        .select(
+            "event_type",
+            "rep",
+            "n_draws",
+            "sum_qv",
+            (
+                F.col("sum_qv").cast("double")
+                / F.col("n_draws").cast("double")
+                / F.lit(100.0)
+            ).alias("boot_mean"),
+        )
+        .orderBy("event_type", "rep")
+    )
+
+
+@query("bootstrap_mean_ci", _BOOT_SQL)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_BOOT_REPS} Poisson-bootstrap replicate means of event value per
+    event_type — distribution-free uncertainty for the per-type mean,
+    under the exact gate (md5-uniform draws vs integer CDF thresholds,
+    exact cent sums, one pinned division per output row)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("qv"),
+    )
+    return poisson_bootstrap_means(ev, "event_type", "event_id", "qv")
