@@ -66,6 +66,7 @@ from fastetl_spark.io.fsutil import (
     hadoop_fs,
     read_text_file,
     replace_dir,
+    replace_text_file,
     write_text_file,
 )
 
@@ -132,6 +133,8 @@ def read_manifest(spark: SparkSession, path: str) -> dict | None:
     m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
     if "shards" in m:
         m["shards"] = {int(k): int(v) for k, v in m["shards"].items()}
+    if "n_shards" in m:
+        m["n_shards"] = int(m["n_shards"])
     return m
 
 
@@ -141,6 +144,7 @@ def _commit_manifest(
     gen: int,
     buckets: dict[int, str],
     shards: dict[int, int] | None = None,
+    n_shards: int | None = None,
 ) -> None:
     """THE atomic publish step: write the manifest to a hidden tmp name,
     then rename onto `_manifest_<gen>.json` (rename-to-new-name is
@@ -151,7 +155,10 @@ def _commit_manifest(
     ``shards`` (sharded destinations only) is the bucket -> rendezvous
     shard placement map — per-bucket provenance carried on every
     generation so a reader/mover always knows which shard owns which
-    bucket dirs as of this gen."""
+    bucket dirs as of this gen. ``n_shards`` rides along as the ring
+    size the map was computed for: the MANIFEST is the source of truth
+    for shard placement (it commits atomically with the data pointer),
+    the spec file is a convenience mirror refreshed after commit."""
     fs, path_cls = hadoop_fs(spark, path)
     base = path.rstrip("/")
     tmp = f"{base}/.{MANIFEST_PREFIX}{gen}.json.tmp"
@@ -159,6 +166,8 @@ def _commit_manifest(
     m: dict = {"gen": gen, "buckets": {str(k): v for k, v in buckets.items()}}
     if shards is not None:
         m["shards"] = {str(k): int(v) for k, v in shards.items()}
+    if n_shards is not None:
+        m["n_shards"] = int(n_shards)
     write_text_file(
         spark,
         tmp,
@@ -287,7 +296,7 @@ def write_bucketed(
         if n_shards is not None
         else None
     )
-    _commit_manifest(spark, path, gen, buckets, shards=shards)
+    _commit_manifest(spark, path, gen, buckets, shards=shards, n_shards=n_shards)
     spec: dict = {
         "version": SPEC_VERSION_ATOMIC,
         "keys": list(keys),
@@ -334,6 +343,8 @@ def _read_manifest_gen(spark: SparkSession, path: str, gen: int) -> dict:
     m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
     if "shards" in m:
         m["shards"] = {int(k): int(v) for k, v in m["shards"].items()}
+    if "n_shards" in m:
+        m["n_shards"] = int(m["n_shards"])
     return m
 
 
@@ -867,7 +878,11 @@ def reshard_bucketed(
         m = read_manifest(spark, path)
         n_buckets = int(spec["n_buckets"])
         old_shards = m.get("shards")
-        old_n = int(spec.get("n_shards") or 0)
+        # the MANIFEST is the source of truth for the prior ring size
+        # (it commits atomically with the placement map); the spec is a
+        # mirror refreshed AFTER commit and can be one step stale if a
+        # previous reshard crashed between the two writes
+        old_n = int(m.get("n_shards") or spec.get("n_shards") or 0)
         new_shards = {b: _hrw_shard(b, new_n_shards) for b in range(n_buckets)}
         moved = (
             sorted(
@@ -897,9 +912,12 @@ def reshard_bucketed(
             rows_total = spark.read.parquet(
                 *[f"{base}/{d}" for d in m["buckets"].values()]
             ).count()
-        _commit_manifest(spark, path, next_gen, new_buckets, shards=new_shards)
+        _commit_manifest(
+            spark, path, next_gen, new_buckets,
+            shards=new_shards, n_shards=int(new_n_shards),
+        )
         spec["n_shards"] = int(new_n_shards)
-        write_text_file(spark, _spec_path(path), json.dumps(spec))
+        replace_text_file(spark, _spec_path(path), json.dumps(spec))
         _gc_generations(spark, path, keep_gens=int(spec.get("keep_gens", 2)))
         return {
             "gen": next_gen,

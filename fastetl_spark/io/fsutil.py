@@ -61,6 +61,24 @@ def write_text_file(spark: SparkSession, path_str: str, text: str) -> None:
         out.close()
 
 
+def replace_text_file(spark: SparkSession, path_str: str, text: str) -> None:
+    """Overwrite a small control file via tmp-write + rename (the
+    pattern manifest commits use): a concurrent reader sees the old
+    content or the new content, never a torn partial write — the
+    rename, not the write, publishes. The delete/rename window can
+    leave the file briefly ABSENT after a crash; callers treat a
+    missing control file as 'rebuild', which is the safe direction."""
+    fs, path_cls = hadoop_fs(spark, path_str)
+    base, _, name = path_str.rstrip("/").rpartition("/")
+    tmp_str = f"{base}/.{name}.tmp"
+    write_text_file(spark, tmp_str, text)
+    p = path_cls(path_str)
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(path_cls(tmp_str), p):
+        raise IOError(f"replace_text_file: could not publish {path_str}")
+
+
 def read_text_file(spark: SparkSession, path_str: str) -> str | None:
     """Read a small control file; None when absent."""
     fs, path_cls = hadoop_fs(spark, path_str)

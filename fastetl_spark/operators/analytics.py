@@ -1744,7 +1744,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSI_BINS = 10
 
 
-def _psi_bounds_sql() -> str:
+def _psi_bounds_sql() -> tuple[str, str]:
     ranks = ",\n".join(
         f"         MIN(CASE WHEN rk = 1 + (({k} * (n - 1)) // 10) THEN value END) AS b{k}"
         for k in range(1, _PSI_BINS)
@@ -1847,8 +1847,12 @@ def drift_bins(
         & F.col("us").isNotNull()
         & F.col("event_type").isNotNull()
     )
+    # integer floor-div midpoint (matches the oracle's (MIN+MAX)//2):
+    # a double (min+max)/2 loses integer resolution past 2^53 — e.g.
+    # nanosecond epochs through the public us_col — and rows at the
+    # midpoint would be tagged into different halves across engines
     mid = ev.agg(
-        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+        F.expr("(MIN(us) + MAX(us)) div 2").alias("mid")
     )
     tagged = ev.crossJoin(F.broadcast(mid)).select(
         "event_type", "value", "event_id", (F.col("us") < F.col("mid")).alias("is_ref")

@@ -255,12 +255,30 @@ def doc_posting(docs: DataFrame) -> DataFrame:
 
 
 def bm25_from_posting(
-    posting: DataFrame, queries: DataFrame, k: int = _BM25_QK
+    posting: DataFrame,
+    queries: DataFrame,
+    k: int = _BM25_QK,
+    assume_unique: bool = True,
 ) -> DataFrame:
     """BM25 top-k per query evaluated over a PRE-BUILT posting frame
     (doc_id, dl, term, tf) — corpus statistics (n_docs, avgdl, df) are
     re-derived from the index itself, so a maintained index scores
-    identically to a from-scratch build."""
+    identically to a from-scratch build.
+
+    UNIQUENESS CONTRACT (``assume_unique=True``, the default): posting
+    must hold at most one row per (doc_id, term) and a single dl per
+    doc_id — what ``doc_posting`` and the marker-deduped incremental
+    appends produce. An index where a document was RE-ingested in a
+    later batch violates it (df, n_docs and tf all double-count, no
+    error); pass ``assume_unique=False`` to consolidate first — one
+    extra (doc_id, term)-keyed shuffle that sums tf and takes the
+    latest (max) dl per doc."""
+    if not assume_unique:
+        posting = posting.groupBy("doc_id", "term").agg(
+            F.sum("tf").alias("tf"), F.max("dl").alias("dl")
+        )
+        dl_fix = posting.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        posting = posting.drop("dl").join(dl_fix, "doc_id")
     docs_dl = posting.select("doc_id", "dl").distinct()
     stats = docs_dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

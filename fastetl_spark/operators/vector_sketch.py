@@ -311,18 +311,20 @@ def jl_project(
     the quantized vector with hyperplane k. One explode + broadcast
     weight join + map-side-combined groupBy — no wide shuffle.
 
-    `dim` defaults to the first row's vector length (one tiny lookup
-    job) — an explicit wrong dim would silently TRUNCATE every dot
-    product through the inner weight join, so deriving it is the safe
-    default; pass it explicitly in plan-only contexts (the gated query
-    pins the fixture's {_VS_DIM})."""
+    `dim` defaults to the MAX vector length over the input (one
+    metadata-cheap agg job) — a too-small dim (the first row of a
+    ragged input, or an explicit wrong value) would silently TRUNCATE
+    longer vectors' dot products through the inner weight join, so the
+    derived default covers every row; shorter rows just contribute
+    fewer terms. Pass it explicitly in plan-only contexts (the gated
+    query pins the fixture's {_VS_DIM})."""
     spark = vectors.sparkSession
     if dim is None:
-        first = vectors.select(F.size(vec_col).alias("d")).first()
-        if first is None:
+        row = vectors.agg(F.max(F.size(vec_col)).alias("d")).first()
+        if row is None or row["d"] is None:
             dim = _VS_DIM  # empty input: any table works, output empty
         else:
-            dim = int(first["d"])
+            dim = int(row["d"])
     q = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(vec_col).alias("d0", "x"),
