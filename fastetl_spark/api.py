@@ -707,7 +707,8 @@ class Engine:
 
     def drift_report(self, df: DataFrame, key_col: str = "event_type",
                      value_col: str = "value", order_col: str = "event_id",
-                     us_col: str = "us") -> DataFrame:
+                     us_col: str = "us", exact: bool = True,
+                     accuracy: int = 10_000) -> DataFrame:
         """Two-halves value-drift report per key over any (key, value,
         order, epoch-micros) frame (operators/analytics.drift_bins,
         gated by `value_drift_bins`): reference-half decile bins,
@@ -715,11 +716,57 @@ class Engine:
         pre-publish distribution check a feature pipeline runs on a new
         window. A key first seen after the midpoint reports all its
         rows in bin 0 (maximal drift). Sum drift_term per key
-        downstream; 0.1/0.25 are PSI's usual alert bands."""
+        downstream; 0.1/0.25 are PSI's usual alert bands.
+
+        ``exact=False`` is the scale path: decile boundaries from
+        percentile_approx sketches (no per-key sort window — the exact
+        mode's window degrades to a skewed single-partition sort when
+        the key has few distinct values). Bit-equal to exact whenever
+        ``accuracy`` covers the largest key's reference rows; rank
+        error <= n/accuracy otherwise."""
         from fastetl_spark.operators.analytics import drift_bins
 
         return drift_bins(df, key_col=key_col, value_col=value_col,
-                          order_col=order_col, us_col=us_col)
+                          order_col=order_col, us_col=us_col,
+                          exact=exact, accuracy=accuracy)
+
+    def winsorize_report(self, df: DataFrame, key_col: str,
+                         value_col: str, order_col: str,
+                         lo_pct: int = 5, hi_pct: int = 95,
+                         exact: bool = True,
+                         accuracy: int = 10_000) -> DataFrame:
+        """Per-key winsorization bounds + clamp counts
+        (operators/curation2.winsorize_bounds, gated by
+        `winsorize_event_values`): (key, n, lo, hi, n_below, n_above)
+        at the p{lo_pct}/p{hi_pct} disc order statistics.
+        ``exact=False`` swaps the per-key rank window for
+        percentile_approx sketches (operators/quantiles) — the plan for
+        low-cardinality keys at 100 TB; bit-equal to exact while
+        ``accuracy`` covers the largest key."""
+        from fastetl_spark.operators.curation2 import winsorize_bounds
+
+        return winsorize_bounds(df, key_col, value_col, order_col,
+                                lo_pct=lo_pct, hi_pct=hi_pct,
+                                exact=exact, accuracy=accuracy)
+
+    def quantile_normalize(self, df: DataFrame, key_col: str,
+                           value_col: str, order_col: str,
+                           levels: int = 128, exact: bool = True,
+                           accuracy: int = 10_000) -> DataFrame:
+        """Quantile-mapping normalization
+        (operators/curation2.quantile_map_values, gated by
+        `quantile_mapping_normalize`): each value mapped to the global
+        distribution's value at its per-key relative rank through a
+        ``levels+1``-point percentile_disc grid. ``exact=False``
+        replaces the per-key rank window with shared
+        percentile_approx grid boundaries (within one level of exact on
+        distinct values) — use when key cardinality is low and the sort
+        window would skew."""
+        from fastetl_spark.operators.curation2 import quantile_map_values
+
+        return quantile_map_values(df, key_col, value_col, order_col,
+                                   levels=levels, exact=exact,
+                                   accuracy=accuracy)
 
     def bootstrap_means(self, df: DataFrame, key_col: str, id_col: str,
                         qv_col: str, reps: int = 32) -> DataFrame:

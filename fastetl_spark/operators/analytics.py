@@ -1745,8 +1745,13 @@ _PSI_BINS = 10
 
 
 def _psi_bounds_sql() -> tuple[str, str]:
+    # DISC rank ceil(k*n/10) as exact integers — the convention Spark's
+    # percentile_approx implements at covering accuracy (its internal
+    # double ceil(p*n) never diverges from this integer form for decile
+    # probs, n <= 50M), so drift_bins(exact=False, accuracy>=n) is
+    # bit-equal to the gated exact path
     ranks = ",\n".join(
-        f"         MIN(CASE WHEN rk = 1 + (({k} * (n - 1)) // 10) THEN value END) AS b{k}"
+        f"         MIN(CASE WHEN rk = ({k} * n + 9) // 10 THEN value END) AS b{k}"
         for k in range(1, _PSI_BINS)
     )
     bin_expr = " + ".join(
@@ -1825,6 +1830,8 @@ def drift_bins(
     value_col: str = "value",
     order_col: str = "event_id",
     us_col: str = "us",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Two-halves drift report over an arbitrary (key, value, order,
     epoch-micros) frame — the reusable core behind the gated query and
@@ -1833,9 +1840,16 @@ def drift_bins(
     semantics diverge between engines); a key with no reference-half
     rows still reports — all its rows land in bin 0 against +infinity
     fallback boundaries, so a brand-new key shows as maximal drift
-    instead of vanishing."""
-    from pyspark.sql.window import Window
+    instead of vanishing.
 
+    Boundary modes (operators/quantiles.group_quantile_bounds):
+    ``exact=True`` (the gated twin) ranks the reference half per key —
+    a sort window that degrades to a skewed near-single-partition sort
+    when the key column has few distinct values; ``exact=False`` is the
+    100 TB plan — percentile_approx decile sketches in a plain groupBy,
+    rank error <= n/accuracy, and BIT-EQUAL to exact when ``accuracy``
+    covers the largest key (both modes take the element at disc rank
+    ceil(k*n/10))."""
     spark = ev.sparkSession
     ev = ev.select(
         F.col(key_col).alias("event_type"),
@@ -1857,25 +1871,19 @@ def drift_bins(
     tagged = ev.crossJoin(F.broadcast(mid)).select(
         "event_type", "value", "event_id", (F.col("us") < F.col("mid")).alias("is_ref")
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ref = tagged.filter("is_ref").select(
+    from fastetl_spark.operators.quantiles import (
+        bin_by_bounds,
+        group_quantile_bounds,
+    )
+
+    bounds0 = group_quantile_bounds(
+        tagged.filter("is_ref"),
         "event_type",
         "value",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    bounds0 = ref.groupBy("event_type").agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("rk")
-                    == 1 + F.expr(f"({k} * (n - 1)) div 10"),
-                    F.col("value"),
-                )
-            ).alias(f"b{k}")
-            for k in range(1, _PSI_BINS)
-        ]
+        [(k, _PSI_BINS) for k in range(1, _PSI_BINS)],
+        order_col="event_id",
+        exact=exact,
+        accuracy=accuracy,
     )
     # LEFT join from ALL types with +inf fallback boundaries: a type
     # with no reference rows (appeared after the midpoint) reports all
@@ -1886,21 +1894,16 @@ def drift_bins(
         .join(bounds0, "event_type", "left")
         .select(
             "event_type",
-            *[
-                F.coalesce(F.col(f"b{k}"), F.lit(float("inf"))).alias(f"b{k}")
-                for k in range(1, _PSI_BINS)
-            ],
+            F.coalesce(
+                F.col("bounds"),
+                F.array(*[F.lit(float("inf"))] * (_PSI_BINS - 1)),
+            ).alias("bounds"),
         )
     )
-    bin_col = sum(
-        (
-            (F.col("value") > F.col(f"b{k}")).cast("int")
-            for k in range(2, _PSI_BINS)
-        ),
-        (F.col("value") > F.col("b1")).cast("int"),
-    )
     binned = tagged.join(F.broadcast(bounds), "event_type").select(
-        "event_type", "is_ref", bin_col.alias("bin")
+        "event_type",
+        "is_ref",
+        bin_by_bounds(F.col("value"), F.col("bounds")).alias("bin"),
     )
     grid = (
         bounds.select("event_type")
@@ -1956,6 +1959,24 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
     )
     return drift_bins(ev)
+
+
+@query("value_drift_bins_sketch", _PSI_SQL)
+def value_drift_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift report's SCALE plan under the exact hash gate:
+    boundaries from percentile_approx sketches (no per-key sort window
+    anywhere in the plan — tests/test_analytics_drift.py asserts it)
+    at an accuracy that covers every key, where the sketch is provably
+    the disc-rank element and therefore bit-equal to the exact twin
+    (`value_drift_bins`). The same oracle gates both; at 100 TB you
+    lower the accuracy and keep this plan."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    return drift_bins(ev, exact=False, accuracy=1_000_000)
 
 
 # --- Poisson-bootstrap confidence intervals ---------------------------------

@@ -452,12 +452,12 @@ WITH r AS (
   SELECT event_type, value, event_id,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), bounds AS (
   SELECT event_type, MAX(n) AS n,
-         MIN(CASE WHEN rk = 1 + ({_WZ_LO_PCT} * (n - 1)) // 100
+         MIN(CASE WHEN rk = ({_WZ_LO_PCT} * n + 99) // 100
                   THEN value END) AS lo,
-         MIN(CASE WHEN rk = 1 + ({_WZ_HI_PCT} * (n - 1)) // 100
+         MIN(CASE WHEN rk = ({_WZ_HI_PCT} * n + 99) // 100
                   THEN value END) AS hi
   FROM r GROUP BY event_type
 )
@@ -465,46 +465,83 @@ SELECT b.event_type, b.n, b.lo, b.hi,
        CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
        CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
 FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE e.value IS NOT NULL
 GROUP BY 1, 2, 3, 4
 """
 
 
+def winsorize_bounds(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    lo_pct: int = _WZ_LO_PCT,
+    hi_pct: int = _WZ_HI_PCT,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-key winsorization report: (key, n, lo, hi, n_below, n_above)
+    with lo/hi the p{{lo_pct}}/p{{hi_pct}} DISC order statistics
+    (element at rank ceil(p*n)) over non-NULL values and
+    n_below/n_above the clamp counts. The shared boundary core
+    (operators/quantiles.group_quantile_bounds) supplies both modes:
+    ``exact=True`` is the hash-gated rank window; ``exact=False`` is the
+    percentile_approx scale path — no per-key sort window, bit-equal to
+    exact whenever ``accuracy`` covers the largest key."""
+    from fastetl_spark.operators.quantiles import group_quantile_bounds
+
+    nn = df.filter(F.col(value_col).isNotNull())
+    b = group_quantile_bounds(
+        nn,
+        key_col,
+        value_col,
+        [(lo_pct, 100), (hi_pct, 100)],
+        order_col=order_col,
+        exact=exact,
+        accuracy=accuracy,
+    ).select(
+        key_col,
+        F.col("bounds")[0].alias("lo"),
+        F.col("bounds")[1].alias("hi"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        nn.join(broadcast(b), key_col)
+        .groupBy(key_col, "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("lo")).cast("long")).alias("n_below"),
+            F.sum((v > F.col("hi")).cast("long")).alias("n_above"),
+        )
+        .select(key_col, "n", "lo", "hi", "n_below", "n_above")
+    )
+
+
 @query("winsorize_event_values", _WINSOR_SQL)
 def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact nearest-rank p{_WZ_LO_PCT}/p{_WZ_HI_PCT} winsorization
-    bounds per event_type plus clamp counts. Unlike the GK-sketch
-    quantiles (tolerance-tested), the nearest-rank order statistic is
-    exact: the k-th smallest value of a multiset is tie-order-invariant,
-    and the bounds are parquet-passthrough doubles — hash-gateable.
-    One window pass for bounds, one broadcast-join pass for counts."""
+    """Exact DISC-rank p{_WZ_LO_PCT}/p{_WZ_HI_PCT} winsorization bounds
+    per event_type plus clamp counts, through the shared boundary core
+    (operators/quantiles). Unlike the GK-sketch quantiles
+    (tolerance-tested), the order statistic at rank ceil(p*n) — pure
+    integer arithmetic, no float may touch the rank — is exact and
+    tie-order-invariant, and the bounds are parquet-passthrough doubles,
+    so the whole report is hash-gateable. One window pass for bounds,
+    one broadcast-join pass for counts; winsorize_bounds(exact=False)
+    is the sketch-boundary scale twin."""
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    r = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    # nearest-rank index in pure integer arithmetic (p*(n-1))//100: a
-    # float 0.95*(n-1) would floor one short of DuckDB's exact DECIMAL
-    # literal whenever n-1 is a multiple of 20 (0.95 rounds DOWN in
-    # binary), so no floats may touch the rank
-    lo_rk = 1 + F.expr(f"({_WZ_LO_PCT} * (n - 1)) div 100")
-    hi_rk = 1 + F.expr(f"({_WZ_HI_PCT} * (n - 1)) div 100")
-    bounds = r.groupBy("event_type").agg(
-        F.max("n").alias("n"),
-        F.min(F.when(F.col("rk") == lo_rk, F.col("value"))).alias("lo"),
-        F.min(F.when(F.col("rk") == hi_rk, F.col("value"))).alias("hi"),
-    )
-    return (
-        ev.join(broadcast(bounds), "event_type")
-        .groupBy("event_type", "n", "lo", "hi")
-        .agg(
-            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_below"),
-            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_above"),
-        )
-        .select("event_type", "n", "lo", "hi", "n_below", "n_above")
+    return winsorize_bounds(ev, "event_type", "value", "event_id")
+
+
+@query("winsorize_sketch_bounds", _WINSOR_SQL)
+def winsorize_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization through the sketch-boundary SCALE plan
+    (winsorize_bounds(exact=False)) under the same exact oracle as
+    `winsorize_event_values`: percentile_approx at covering accuracy IS
+    the disc-rank order statistic, so the no-sort-window plan is
+    hash-gated, not merely tolerance-tested."""
+    ev = read_table(spark, sf_dir, "events")
+    return winsorize_bounds(
+        ev, "event_type", "value", "event_id", exact=False, accuracy=1_000_000
     )
 
 
@@ -708,6 +745,92 @@ FROM ranked, gq
 """
 
 
+def quantile_map_values(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    levels: int = _QM_LEVELS,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quantile-mapping normalization core: every row's value replaced
+    by the GLOBAL distribution's value at (approximately) the same
+    per-key relative rank, via a ``levels + 1``-point global
+    percentile_disc grid. Returns (order, key, value, level,
+    mapped_value); NULL values are dropped.
+
+    ``exact=True`` (the gated form): per-key rank window, level =
+    (r-1)*levels div (n-1) — exact integer arithmetic, hash-gated, but
+    a skewed near-single-partition sort when the key column has few
+    distinct values. ``exact=False`` (the 100 TB plan): level = # of
+    per-key percentile_approx grid boundaries the value REACHES
+    (operators/quantiles, strict=False binning) — sketch accuracy, no
+    sort window. The two conventions agree to within one level on
+    distinct values (|floor(r*L/n) - floor((r-1)*L/(n-1))| <= L/n + 1);
+    the approx mode is an estimator, not a bit-exact twin — use it when
+    the key cardinality, not the answer's last ulp, is the risk."""
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(order_col).alias("__o"),
+        F.col(key_col).alias("__k"),
+        F.col(value_col).alias("__v"),
+    )
+    qexprs = [
+        F.expr(
+            f"percentile_disc({l}.0 / {levels}) WITHIN GROUP (ORDER BY __v)"
+        ).alias(f"q{l}")
+        for l in range(levels + 1)
+    ]
+    glob = e.agg(*qexprs).select(
+        F.array(*[F.col(f"q{l}") for l in range(levels + 1)]).alias("g")
+    )
+    if exact:
+        w = Window.partitionBy("__k").orderBy("__v", "__o")
+        lv = e.select(
+            "__o",
+            "__k",
+            "__v",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy("__k")).alias("n"),
+        ).withColumn(
+            "level",
+            F.when(
+                F.col("n") > 1,
+                F.expr(f"CAST((r - 1) * {levels} div (n - 1) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    else:
+        from fastetl_spark.operators.quantiles import (
+            bin_by_bounds,
+            group_quantile_bounds,
+        )
+
+        b = group_quantile_bounds(
+            e,
+            "__k",
+            "__v",
+            [(l, levels) for l in range(1, levels + 1)],
+            order_col="__o",
+            exact=False,
+            accuracy=accuracy,
+        )
+        lv = e.join(broadcast(b), "__k").withColumn(
+            "level",
+            bin_by_bounds(
+                F.col("__v").cast("double"), F.col("bounds"), strict=False
+            ).cast("long"),
+        )
+    return lv.crossJoin(broadcast(glob)).select(
+        F.col("__o").alias(order_col),
+        F.col("__k").alias(key_col),
+        F.col("__v").alias(value_col),
+        "level",
+        F.element_at(F.col("g"), F.col("level").cast("int") + 1).alias(
+            "mapped_value"
+        ),
+    )
+
+
 @query("quantile_mapping_normalize", _qm_sql())
 def quantile_mapping_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-mapping normalization (the rank-based feature transform
@@ -726,38 +849,6 @@ def quantile_mapping_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(read_table(spark, sf_dir, "events")).select(
         "event_id", "event_type", "value"
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = e.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
-    )
-    qexprs = [
-        F.expr(
-            f"percentile_disc({l}.0 / {_QM_LEVELS}) WITHIN GROUP (ORDER BY value)"
-        ).alias(f"q{l}")
-        for l in range(_QM_LEVELS + 1)
-    ]
-    glob = e.agg(*qexprs).select(
-        F.array(*[F.col(f"q{l}") for l in range(_QM_LEVELS + 1)]).alias("g")
-    )
-    # integer floor-div via expr (no double division anywhere)
-    level = F.when(
-        F.col("n") > 1,
-        F.expr(f"CAST((r - 1) * {_QM_LEVELS} div (n - 1) AS BIGINT)"),
-    ).otherwise(F.lit(0).cast("long"))
-    return (
-        ranked.crossJoin(F.broadcast(glob))
-        .withColumn("level", level)
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            "level",
-            F.element_at(F.col("g"), F.col("level").cast("int") + 1).alias(
-                "mapped_value"
-            ),
-        )
+    return quantile_map_values(e, "event_type", "value", "event_id").select(
+        "event_id", "event_type", "value", "level", "mapped_value"
     )

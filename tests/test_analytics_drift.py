@@ -72,3 +72,145 @@ def test_poisson_bootstrap_statistics(spark):
     assert all(abs(m - true_mean) < 6 * se for m in means), means
     # and the replicates are not degenerate (actual resampling variance)
     assert max(means) > min(means)
+
+
+# --- approx-boundary scale path (round 8) ---------------------------------
+
+
+def test_drift_approx_bit_equals_exact_at_covering_accuracy(spark):
+    """drift_bins(exact=False, accuracy >= group) is bit-identical to
+    the gated exact path — both take the element at disc rank
+    ceil(k*n/10) (the gk_exhaustive_quantiles trick applied to the
+    drift boundaries)."""
+    from fastetl_spark.io.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "value", "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    exact = drift_bins(ev).collect()
+    approx = drift_bins(ev, exact=False, accuracy=1_000_000).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
+    # skewed/tied fixture: 3 keys, heavy duplication, sizes sharing no
+    # structure with the decile grid
+    rows = [
+        (f"k{v % 3}", float((v * v) % 23), v, v) for v in range(997)
+    ] + [("k0", 5.0, 10_000 + i, 10_000 + i) for i in range(313)]
+    df = _frame(spark, rows)
+    assert sorted(map(tuple, drift_bins(df).collect())) == sorted(
+        map(tuple, drift_bins(df, exact=False, accuracy=10_000).collect())
+    )
+
+
+def test_drift_approx_plan_has_no_sort_window(spark):
+    """The scale path must not plan a per-key sort window — that is the
+    whole point (a ~5-distinct-key rank sort degrades to a skewed
+    single-partition sort at 100x)."""
+    rows = [("a", float(v), v, v) for v in range(50)]
+    df = _frame(spark, rows)
+    plan = (
+        drift_bins(df, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "percentile_approx" in plan
+    # and the exact twin does use the window (guards against silently
+    # swapping the gated plan)
+    exact_plan = (
+        drift_bins(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in exact_plan
+
+
+def test_winsorize_approx_bit_equals_exact(spark):
+    from fastetl_spark.operators.curation2 import winsorize_bounds
+
+    rows = [
+        (f"k{v % 4}", float((7 * v) % 101), v, v) for v in range(1201)
+    ]
+    df = _frame(spark, rows)
+    exact = winsorize_bounds(df, "event_type", "value", "event_id").collect()
+    approx = winsorize_bounds(
+        df, "event_type", "value", "event_id", exact=False, accuracy=100_000
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
+    plan = (
+        winsorize_bounds(
+            df, "event_type", "value", "event_id", exact=False
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
+def test_quantile_map_approx_within_one_level(spark):
+    """The approx level convention (# grid boundaries reached) agrees
+    with the exact rank level to within ceil(L/n)+1 on distinct values;
+    mapped values are monotone in value within a key either way."""
+    from fastetl_spark.operators.curation2 import quantile_map_values
+
+    rows = [("a", float(v) + 0.25, v, v) for v in range(400)] + [
+        ("b", float(3 * v % 997), v + 1000, v) for v in range(300)
+    ]
+    df = _frame(spark, rows)
+    exact = {
+        r["event_id"]: r
+        for r in quantile_map_values(
+            df, "event_type", "value", "event_id", levels=128
+        ).collect()
+    }
+    approx = {
+        r["event_id"]: r
+        for r in quantile_map_values(
+            df, "event_type", "value", "event_id", levels=128,
+            exact=False, accuracy=100_000,
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, e in exact.items():
+        a = approx[k]
+        assert abs(a["level"] - e["level"]) <= 2, (k, e, a)
+    # monotone: higher value within a key never maps to a lower level
+    for res in (exact, approx):
+        for key in ("a", "b"):
+            pairs = sorted(
+                (r["value"], r["level"])
+                for r in res.values()
+                if r["event_type"] == key
+            )
+            levels = [lv for _, lv in pairs]
+            assert levels == sorted(levels)
+
+
+def test_group_quantile_bounds_modes_and_validation(spark):
+    import pytest
+
+    from fastetl_spark.operators.quantiles import group_quantile_bounds
+
+    rows = [("a", float(v), v, v) for v in range(100)] + [
+        ("b", 3.0, 200 + v, v) for v in range(7)
+    ]
+    df = _frame(spark, rows)
+    probs = [(1, 4), (1, 2), (19, 20), (1, 1)]
+    ex = {
+        r["event_type"]: list(r["bounds"])
+        for r in group_quantile_bounds(
+            df, "event_type", "value", probs, order_col="event_id"
+        ).collect()
+    }
+    # disc rank ceil(p*n) over 0..99: p=1/4 -> rank 25 -> 24.0, etc.
+    assert ex["a"] == [24.0, 49.0, 94.0, 99.0]
+    assert ex["b"] == [3.0, 3.0, 3.0, 3.0]
+    ap = {
+        r["event_type"]: list(r["bounds"])
+        for r in group_quantile_bounds(
+            df, "event_type", "value", probs,
+            order_col="event_id", exact=False, accuracy=100_000,
+        ).collect()
+    }
+    assert ap == ex
+    with pytest.raises(ValueError):
+        group_quantile_bounds(df, "event_type", "value", [(0, 10)])
+    with pytest.raises(ValueError):
+        group_quantile_bounds(df, "event_type", "value", [(11, 10)])

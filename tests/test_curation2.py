@@ -77,8 +77,9 @@ def test_winsorize_bounds_are_order_statistics(spark):
         )
         n = len(vals)
         assert r.n == n
-        assert r.lo == vals[int(0.05 * (n - 1))]
-        assert r.hi == vals[int(0.95 * (n - 1))]
+        # DISC convention: element at rank ceil(p*n), exact integers
+        assert r.lo == vals[(5 * n + 99) // 100 - 1]
+        assert r.hi == vals[(95 * n + 99) // 100 - 1]
         assert r.n_below == sum(1 for v in vals if v < r.lo)
         assert r.n_above == sum(1 for v in vals if v > r.hi)
         assert r.n_below <= 0.05 * n and r.n_above <= 0.05 * n + 1
