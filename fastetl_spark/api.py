@@ -524,25 +524,42 @@ class Engine:
         return vacuum_dest(self.spark, path, keep_commit_markers)
 
     def label_propagation(self, nodes: DataFrame, edges: DataFrame,
-                          iterations: int = 3) -> DataFrame:
+                          iterations: int = 3, converge: bool = False,
+                          max_iterations: int = 50) -> DataFrame:
         """Deterministic synchronous label propagation over (src, dst)
         edges (operators/graph.label_propagation, gated by the
         `label_propagation_communities` query): (node, community) after
-        a fixed iteration count. PageRank's exchange profile — keyed
-        joins and map-side-combinable counts only."""
+        a fixed iteration count, or — ``converge=True`` — after the
+        first zero-change round (one scalar count per round), capped at
+        ``max_iterations`` because sync LPA can oscillate. PageRank's
+        exchange profile — keyed joins and map-side-combinable counts
+        only."""
         from fastetl_spark.operators.graph import label_propagation
 
-        return label_propagation(nodes, edges, iterations=iterations)
+        return label_propagation(nodes, edges, iterations=iterations,
+                                 converge=converge,
+                                 max_iterations=max_iterations)
 
     def kcore(self, nodes: DataFrame, edges: DataFrame, k: int = 4,
-              rounds: int = 4) -> DataFrame:
-        """Fixed-round peel toward the k-core (operators/graph.
-        kcore_peel, gated by `kcore_membership`): surviving (node, deg)
-        after `rounds` removals of degree<k nodes. At scale loop until
-        the per-round removed-count hits zero."""
+              rounds: int | None = 4) -> DataFrame:
+        """Peel toward the k-core (operators/graph.kcore_peel, gated by
+        `kcore_membership` and — fixpoint form — `kcore_fixpoint`):
+        surviving (node, deg) after `rounds` removals of degree<k
+        nodes, or the true k-core with ``rounds=None`` (loop until a
+        round removes nothing; the peel is monotone so the fixpoint
+        always exists)."""
         from fastetl_spark.operators.graph import kcore_peel
 
         return kcore_peel(nodes, edges, k=k, rounds=rounds)
+
+    def modularity(self, labels: DataFrame, edges: DataFrame) -> DataFrame:
+        """Per-community exact Newman modularity terms of a partition
+        (operators/graph.modularity_terms, gated by `lpa_modularity`):
+        (community, within2, degree_sum, q_term); sum q_term for Q.
+        Integer edge/degree sums, one rational IEEE shape per row."""
+        from fastetl_spark.operators.graph import modularity_terms
+
+        return modularity_terms(labels, edges)
 
     def pagerank(self, nodes: DataFrame, edges: DataFrame,
                  iterations: int = 3, exact: bool = True) -> DataFrame:

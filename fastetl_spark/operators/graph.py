@@ -582,10 +582,20 @@ ORDER BY node
 
 
 def label_propagation(
-    nodes: DataFrame, edges: DataFrame, iterations: int = _LPA_ITERATIONS
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = _LPA_ITERATIONS,
+    converge: bool = False,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Deterministic synchronous label propagation over (src, dst)
-    edges: returns (node, community) after `iterations` rounds.
+    edges: returns (node, community) after `iterations` rounds, or —
+    with ``converge=True`` — after the first round that changes ZERO
+    labels (the CC-style fixpoint loop: one scalar changed-count action
+    per round), capped at ``max_iterations``. The cap is not cosmetic:
+    SYNCHRONOUS LPA can oscillate forever on bipartite-ish structures
+    (an isolated edge swaps labels every round), so a fixpoint may not
+    exist; hitting the cap returns that round's labels.
 
     Scale shape per iteration: ONE keyed join (labels onto the
     symmetrized edge list, keyed by src), one map-side-combinable
@@ -604,7 +614,8 @@ def label_propagation(
         .transform(materialize)  # reused every iteration: cut the re-derive
     )
     labels = nodes.select("node", F.col("node").alias("lab"))
-    for _ in range(iterations):
+    rounds = max_iterations if converge else iterations
+    for _ in range(rounds):
         neigh = und.join(
             labels.select(F.col("node").alias("src"), "lab"), "src"
         ).select(F.col("dst").alias("node"), "lab")
@@ -619,11 +630,21 @@ def label_propagation(
             )
             .select("node", (-F.col("m.nl")).alias("newlab"))
         )
-        labels = materialize(
+        nxt = materialize(
             labels.join(upd, "node", "left").select(
-                "node", F.coalesce("newlab", "lab").alias("lab")
+                "node",
+                F.coalesce("newlab", "lab").alias("lab"),
+                F.col("lab").alias("__prev"),
             )
         )
+        if converge:
+            # one scalar per round, like the CC fixpoint loop
+            changed = nxt.filter(F.col("lab") != F.col("__prev")).count()
+            labels = nxt.select("node", "lab")
+            if changed == 0:
+                break
+        else:
+            labels = nxt.select("node", "lab")
     return labels.select("node", F.col("lab").cast("long").alias("community"))
 
 
@@ -636,6 +657,101 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     n = d.count()
     nodes, edges = _doc_graph(d, n)
     return label_propagation(nodes, edges).orderBy("node")
+
+
+def modularity_terms(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-community Newman modularity terms of a partition over (src,
+    dst) edges: (community, within2, degree_sum, q_term) where, over
+    the SYMMETRIZED distinct edge list of size M2 = 2m, within2 = twice
+    the community's internal edge count, degree_sum = its total degree,
+    and q_term = (within2*M2 - degree_sum^2) / M2^2 — the c-th summand
+    of Q = sum_c(e_c/m - (d_c/2m)^2) as an exact integer rational
+    pushed through ONE double division, so the whole quality report is
+    hash-gateable (no transcendental, no fold-order exposure).
+
+    Scale shape: two keyed joins (labels onto each edge endpoint), one
+    map-side-combinable groupBy(community), one broadcast scalar (M2).
+    Sum q_term for the partition's Q; self-loops are dropped (they are
+    not support in the 2m normalization convention used here)."""
+    lab = labels.select("node", "community")
+    und = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(materialize)
+    )
+    j = (
+        und.join(lab.select(F.col("node").alias("src"),
+                            F.col("community").alias("cs")), "src")
+        .join(lab.select(F.col("node").alias("dst"),
+                         F.col("community").alias("cd")), "dst")
+    )
+    m2 = und.count()  # one scalar: the 2m normalizer
+    agg = j.groupBy(F.col("cs").alias("community")).agg(
+        F.sum((F.col("cs") == F.col("cd")).cast("long")).alias("within2"),
+        F.count(F.lit(1)).alias("degree_sum"),
+    )
+    num = F.col("within2") * F.lit(int(m2)) - F.col("degree_sum") * F.col(
+        "degree_sum"
+    )
+    return agg.select(
+        F.col("community").cast("long").alias("community"),
+        "within2",
+        "degree_sum",
+        (num.cast("double") / F.lit(float(m2 * m2))).alias("q_term"),
+    )
+
+
+_LPA_MOD_SQL = f"""
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+), edges0 AS (
+  SELECT node AS src, (node + 1) % (SELECT COUNT(*) FROM nodes) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 3) % (SELECT COUNT(*) FROM nodes) FROM nodes
+), und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)
+), l0 AS (
+  SELECT node, node AS lab FROM nodes
+), {", ".join(_lpa_iter_sql(t) for t in range(1, _LPA_ITERATIONS + 1))},
+undm AS (
+  SELECT src, dst FROM und WHERE src <> dst
+), m2 AS (
+  SELECT COUNT(*) AS m2 FROM undm
+), j AS (
+  SELECT a.lab AS cs, b.lab AS cd
+  FROM undm u JOIN l{_LPA_ITERATIONS} a ON a.node = u.src
+  JOIN l{_LPA_ITERATIONS} b ON b.node = u.dst
+), agg AS (
+  SELECT cs AS community,
+         CAST(SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS within2,
+         CAST(COUNT(*) AS BIGINT) AS degree_sum
+  FROM j GROUP BY 1
+)
+SELECT CAST(community AS BIGINT) AS community, within2, degree_sum,
+       CAST(within2 * m2.m2 - degree_sum * degree_sum AS DOUBLE)
+         / CAST(m2.m2 * m2.m2 AS DOUBLE) AS q_term
+FROM agg, m2
+ORDER BY community
+"""
+
+
+@query("lpa_modularity", _LPA_MOD_SQL)
+def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Newman modularity terms of the gated LPA partition
+    (`label_propagation_communities`) over the same doc graph — the
+    community-QUALITY gate the retrieval family already has
+    (ann_recall_at_k / dedup_lsh_eval): integer edge/degree sums per
+    community, one pinned rational IEEE shape per row."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    nodes, edges = _doc_graph(d, n)
+    labels = label_propagation(nodes, edges)
+    return modularity_terms(labels, edges).orderBy("community")
 
 
 # --- k-core peeling (fixed rounds, gated) -----------------------------------
@@ -694,20 +810,25 @@ def kcore_peel(
     nodes: DataFrame,
     edges: DataFrame,
     k: int = _KCORE_K,
-    rounds: int = _KCORE_ROUNDS,
+    rounds: int | None = _KCORE_ROUNDS,
 ) -> DataFrame:
-    """`rounds` peel rounds toward the k-core over (src, dst) edges;
-    returns the surviving (node, deg) with deg measured in the last
-    round's induced subgraph.
+    """Peel toward the k-core over (src, dst) edges; returns the
+    surviving (node, deg) with deg measured in the last round's induced
+    subgraph. ``rounds=N`` runs a fixed prefix of the peeling (the
+    gate-exact form — the oracle unrolls the same rounds);
+    ``rounds=None`` peels to the FIXPOINT: stop at the first round that
+    removes zero nodes (one scalar survivor-count action per round,
+    the CC-loop pattern). Unlike sync LPA the peel is monotone — the
+    survivor set only shrinks — so the fixpoint always exists and is
+    THE k-core; no iteration cap is needed (worst case |nodes| rounds,
+    each strictly smaller).
 
     Scale shape per round: two semi-join-style keyed joins (edge
     endpoints against the surviving node set) + one map-side-combinable
     degree count — PageRank's exchange profile again; survivors shrink
-    monotonically so later rounds get cheaper. At true scale, run
-    rounds until a count of removed nodes hits zero (the count is one
-    scalar per round, like the CC fixpoint loop in dedup)."""
-    if rounds < 1:
-        raise ValueError(f"kcore_peel needs rounds >= 1, got {rounds}")
+    monotonically so later rounds get cheaper."""
+    if rounds is not None and rounds < 1:
+        raise ValueError(f"kcore_peel needs rounds >= 1 or None, got {rounds}")
     und = (
         edges.select("src", "dst")
         .unionAll(
@@ -718,8 +839,10 @@ def kcore_peel(
         .transform(materialize)
     )
     surv = nodes.select("node")
+    prev = surv.count() if rounds is None else None
     deg = None
-    for _ in range(rounds):
+    done = 0
+    while rounds is None or done < rounds:
         a = surv.select(F.col("node").alias("src"))
         b = surv.select(F.col("node").alias("dst"))
         # materialize per round: keeps the plan linear in round count
@@ -731,7 +854,73 @@ def kcore_peel(
             .select(F.col("src").alias("node"), "deg")
         )
         surv = deg.filter(F.col("deg") >= k).select("node")
+        done += 1
+        if rounds is None:
+            c = surv.count()
+            if c == prev:
+                break
+            prev = c
     return deg.join(surv, "node").select("node", F.col("deg").cast("long").alias("deg"))
+
+
+# --- k-core FIXPOINT (converge-driven, gated) -------------------------------
+
+# The convergence-driven peel under the exact gate: a fixture whose
+# peeling provably reaches its fixpoint within the oracle's unrolled
+# depth (measured: 6 rounds at n=500, 5 at n=5000 — survivors 491/4991,
+# a genuine multi-round cascade to a NON-empty core), so the oracle can
+# unroll a fixed 8 rounds while the query runs the rounds=None loop:
+# past the fixpoint every additional unrolled round is a no-op, making
+# "loop until zero removals" and "depth-8 prefix" the same relation.
+_KCF_ROUNDS = 8
+
+_KCORE_FIX_SQL = f"""
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+), edges0 AS (
+  SELECT node AS src, (node + 1) % (SELECT COUNT(*) FROM nodes) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 3) % (SELECT COUNT(*) FROM nodes) FROM nodes
+  UNION ALL
+  SELECT node, (node * 7 + 11) % (SELECT COUNT(*) FROM nodes) FROM nodes
+  WHERE node % 2 = 0
+  UNION ALL
+  SELECT node, (node * 5 + 3) % (SELECT COUNT(*) FROM nodes) FROM nodes
+  WHERE node % 3 = 0
+), und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)
+  WHERE src <> dst
+), n0 AS (
+  SELECT node FROM nodes
+), {", ".join(_kcore_iter_sql(t) for t in range(1, _KCF_ROUNDS + 1))}
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg
+FROM deg{_KCF_ROUNDS} d JOIN n{_KCF_ROUNDS} s ON s.node = d.node
+ORDER BY d.node
+"""
+
+
+@query("kcore_fixpoint", _KCORE_FIX_SQL)
+def kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_KCORE_K}-core FIXPOINT (kcore_peel(rounds=None) — loop
+    until a round removes zero nodes, one scalar count per round) of a
+    four-family doc graph, gated against an {_KCF_ROUNDS}-round
+    unrolled oracle that provably overshoots the measured convergence
+    depth. This is the form that runs at scale — round count adapts to
+    the data instead of being a pinned prefix — and it sits under the
+    same exact hash gate as the fixed-round twin `kcore_membership`."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    nodes, edges = _doc_graph(d, n)
+    e3 = nodes.filter(F.col("node") % 2 == 0).select(
+        F.col("node").alias("src"), ((F.col("node") * 7 + 11) % n).alias("dst")
+    )
+    e4 = nodes.filter(F.col("node") % 3 == 0).select(
+        F.col("node").alias("src"), ((F.col("node") * 5 + 3) % n).alias("dst")
+    )
+    return kcore_peel(
+        nodes, edges.unionAll(e3).unionAll(e4), rounds=None
+    ).orderBy("node")
 
 
 @query("kcore_membership", _KCORE_SQL)

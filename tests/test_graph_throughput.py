@@ -143,3 +143,97 @@ def test_kcore_peel_extracts_dense_subgraph(spark):
     got = {r["node"]: r["deg"] for r in kcore_peel(nodes, e, k=3, rounds=4).collect()}
     assert set(got) == set(clique)
     assert all(d == 4 for d in got.values())
+
+
+# --- convergence-driven fixpoint modes (round 8) ---------------------------
+
+
+def test_kcore_fixpoint_equals_converged_prefix(spark):
+    """rounds=None (loop until zero removals) must equal any fixed
+    prefix that overshoots convergence — the relation the gated
+    kcore_fixpoint query relies on — and keep shrinking past the short
+    prefix the fixed-round twin pins."""
+    from fastetl_spark.operators.graph import kcore_peel
+
+    clique = list(range(5))
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    # k=2 on a chain is a genuine one-tip-per-round cascade (interior
+    # chain nodes hold degree 2 until their outer neighbor peels)
+    chain = [0, 10, 11, 12, 13, 14, 15]
+    edges += list(zip(chain, chain[1:]))
+    nodes = spark.createDataFrame(
+        [(x,) for x in clique + chain[1:]], ["node"]
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    fix = sorted(
+        map(tuple, kcore_peel(nodes, e, k=2, rounds=None).collect())
+    )
+    deep = sorted(
+        map(tuple, kcore_peel(nodes, e, k=2, rounds=10).collect())
+    )
+    assert fix == deep
+    assert {n for n, _ in fix} == set(clique)
+    # a 2-round prefix has NOT converged yet (chain only partly peeled)
+    short = {r["node"] for r in kcore_peel(nodes, e, k=2, rounds=2).collect()}
+    assert set(clique) < short
+
+
+def test_label_propagation_converge_mode(spark):
+    """converge=True stops at the first zero-change round and matches
+    any deeper fixed prefix on a converging fixture; on the textbook
+    sync-LPA oscillator it terminates at max_iterations instead of
+    hanging."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fastetl_spark.operators.graph import label_propagation
+
+    c1, c2 = list(range(5)), list(range(10, 15))
+    edges = [(a, b) for i, a in enumerate(c1) for b in c1[i + 1:]]
+    edges += [(a, b) for i, a in enumerate(c2) for b in c2[i + 1:]]
+    edges += [(4, 10)]
+    nodes = spark.createDataFrame([(n,) for n in c1 + c2], ["node"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    conv = sorted(
+        map(tuple, label_propagation(nodes, e, converge=True).collect())
+    )
+    assert conv == sorted(
+        map(tuple, label_propagation(nodes, e, iterations=8).collect())
+    )
+    # oscillator: isolated edge swaps labels every round, no fixpoint —
+    # the cap must end the loop (labels = max_iterations parity state)
+    onodes = spark.createDataFrame([(1,), (2,)], ["node"])
+    oe = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    capped = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            onodes, oe, converge=True, max_iterations=3
+        ).collect()
+    }
+    assert capped == {1: 2, 2: 1}  # 3 rounds = odd parity = swapped
+
+
+def test_modularity_terms_exact_values(spark):
+    """Two 4-cliques, no bridge: perfect 2-community partition. Each
+    clique: within2 = 12 (6 edges x2), degree_sum = 12, M2 = 24 ->
+    q_term = (12*24 - 144)/576 = 0.25 each, Q = 0.5 — the textbook
+    value for two equal disconnected cliques."""
+    from fastetl_spark.operators.graph import modularity_terms
+
+    c1, c2 = list(range(4)), list(range(10, 14))
+    edges = [(a, b) for i, a in enumerate(c1) for b in c1[i + 1:]]
+    edges += [(a, b) for i, a in enumerate(c2) for b in c2[i + 1:]]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(n, 0) for n in c1] + [(n, 10) for n in c2], ["node", "community"]
+    )
+    got = {r["community"]: r for r in modularity_terms(labels, e).collect()}
+    assert set(got) == {0, 10}
+    for c in (0, 10):
+        assert got[c]["within2"] == 12
+        assert got[c]["degree_sum"] == 12
+        assert got[c]["q_term"] == 0.25
+    # the all-one-community partition of the same graph scores lower
+    # (Q = 1 - 1 = 0): modularity must rank the true split above it
+    one = labels.select("node", F.lit(0).alias("community"))
+    q_one = sum(r["q_term"] for r in modularity_terms(one, e).collect())
+    assert abs(q_one) < 1e-12
