@@ -322,7 +322,10 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture corpus (ASCII text), matching real trainers' reserved-byte
 # assumption.
 
-_BPE_LOOP_ITERS = 3
+# 5 unrolled merges (round 8; was 3): the oracle CTE chain stays
+# manageable and the gate now covers two more genuinely-later merges —
+# tools/bpe_depth_perf.py + PERF.md #38 carry the depth evidence to 64
+_BPE_LOOP_ITERS = 5
 _BPE_LOOP_TOP = 30
 _BPE_SEP = "\x1f"
 
@@ -391,11 +394,22 @@ ORDER BY rank
     )
 
 
-def _bpe_train(docs: DataFrame, iterations: int) -> DataFrame:
+def _bpe_train(
+    docs: DataFrame, iterations: int, timings: list | None = None
+) -> DataFrame:
     """Train `iterations` BPE merges; return the tokenized vocabulary
     (word, seq, freq) with seq the guard-wrapped token sequence after
     all merges — the reusable core behind the merge-loop gate and the
-    corpus encoder."""
+    corpus encoder.
+
+    ``timings`` (optional, a caller-owned list) collects one dict per
+    merge: {"iter", "seconds", "pair", "pair_count"} — the wall of each
+    model step. Per-merge cost is VOCABULARY-sized (distinct words, not
+    corpus rows), so the walls should stay flat as the merge count
+    grows; tools/bpe_depth_perf.py records the 64-merge profile in
+    PERF.md."""
+    import time
+
     from fastetl_spark.checkpointing import materialize
 
     sep = _BPE_SEP
@@ -410,7 +424,8 @@ def _bpe_train(docs: DataFrame, iterations: int) -> DataFrame:
             "freq",
         )
     )
-    for _ in range(iterations):
+    for it in range(iterations):
+        t0 = time.monotonic()
         toks = vocab.select(
             "freq",
             F.split(
@@ -462,6 +477,15 @@ def _bpe_train(docs: DataFrame, iterations: int) -> DataFrame:
                 "freq",
             )
         )
+        if timings is not None:
+            timings.append(
+                {
+                    "iter": it + 1,
+                    "seconds": time.monotonic() - t0,
+                    "pair": f"{best['x']}+{best['y']}",
+                    "pair_count": int(best["n"]),
+                }
+            )
     return vocab
 
 

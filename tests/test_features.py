@@ -205,3 +205,44 @@ def test_bpe_merge_loop_matches_reference_trainer(spark):
             for r in bpe_merge_loop_tokens(docs, iterations=iters, top=1000).collect()
         }
         assert got == dict(expect), (iters, got, dict(expect))
+
+
+def test_bpe_train_depth_monotone(spark):
+    """Deeper training always completes its merge budget on a corpus
+    with pairs left, and the total corpus token count contracts
+    monotonically with depth (each merge replaces >= 1 two-token
+    occurrence with one token). Per-merge walls stay flat out to 64
+    merges — tools/bpe_depth_perf.py / PERF.md #38."""
+    from fastetl_spark.io.readers import ensure_parallelism, read_table
+    from fastetl_spark.operators.features import _bpe_train
+
+    docs = ensure_parallelism(
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+
+    def total_tokens(vocab):
+        from pyspark.sql import functions as F
+
+        from fastetl_spark.operators.features import _BPE_SEP
+
+        return vocab.select(
+            F.sum(
+                F.col("freq")
+                * F.size(
+                    F.split(
+                        F.expr("substring(seq, 2, length(seq) - 2)"),
+                        _BPE_SEP + _BPE_SEP,
+                    )
+                )
+            ).alias("t")
+        ).first()["t"]
+
+    counts = []
+    for depth in (1, 3, 6):
+        timings: list = []
+        vocab = _bpe_train(docs, depth, timings=timings)
+        assert len(timings) == depth  # loop ran its full budget
+        assert all(t["pair_count"] >= 1 for t in timings)
+        counts.append(total_tokens(vocab))
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] < counts[0]  # merges genuinely contracted tokens
