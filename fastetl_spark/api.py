@@ -689,17 +689,21 @@ class Engine:
                           k_dims=k_dims)
 
     def bm25_search(self, docs: DataFrame, queries: DataFrame,
-                    k: int = 10) -> DataFrame:
+                    k: int = 10,
+                    broadcast_queries: bool = True) -> DataFrame:
         """BM25 top-k docs PER QUERY for an arbitrary (query_id, terms
         array<string>) query frame (operators/retrieval.
         bm25_query_scores): inverted-index join — one posting-list scan
-        of the corpus, broadcast query terms, fixed-point exact
-        per-(query, doc) totals, per-query ranked output. The
-        arbitrary-workload form of `bm25` (which is fixed-term and
-        O(#terms) in plan width)."""
+        of the corpus, fixed-point exact per-(query, doc) totals,
+        per-query ranked output. The arbitrary-workload form of `bm25`
+        (which is fixed-term and O(#terms) in plan width). Queries are
+        broadcast by default (human-sized workloads); pass
+        ``broadcast_queries=False`` for machine-generated 10k+ query
+        sets — the joins stay keyed equi-joins on term (PERF.md #39)."""
         from fastetl_spark.operators.retrieval import bm25_query_scores
 
-        return bm25_query_scores(docs, queries, k=k)
+        return bm25_query_scores(docs, queries, k=k,
+                                 broadcast_queries=broadcast_queries)
 
     def train_bpe(self, docs: DataFrame, iterations: int = 3,
                   top: int = 30) -> DataFrame:

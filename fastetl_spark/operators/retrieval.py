@@ -259,11 +259,24 @@ def bm25_from_posting(
     queries: DataFrame,
     k: int = _BM25_QK,
     assume_unique: bool = True,
+    broadcast_queries: bool = True,
+    max_df: float | None = None,
 ) -> DataFrame:
     """BM25 top-k per query evaluated over a PRE-BUILT posting frame
     (doc_id, dl, term, tf) — corpus statistics (n_docs, avgdl, df) are
     re-derived from the index itself, so a maintained index scores
     identically to a from-scratch build.
+
+    ``max_df`` (fraction of n_docs, e.g. 0.3) is the candidate-volume
+    throttle for machine-sized workloads: query terms whose df exceeds
+    the cap are EXCLUDED from scoring. Candidate pairs are
+    sum(df(term)) over query terms, so one stopword-grade term drags in
+    the whole corpus while contributing the formula's SMALLEST (at
+    df > n/2, negative) idf weight — the standard stopword-pruning
+    approximation; PERF.md #39 measures it (116M -> 8.3M pairs at 0.3
+    on the 10k-query workload). Stats (n_docs, avgdl, df) are computed
+    BEFORE the cap, so retained terms score identically to the exact
+    form; None (default) scores every term exactly.
 
     UNIQUENESS CONTRACT (``assume_unique=True``, the default): posting
     must hold at most one row per (doc_id, term) and a single dl per
@@ -287,7 +300,15 @@ def bm25_from_posting(
         ).alias("avgdl"),
     )
     dft = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        # df cap AFTER stats: retained terms keep their exact weights;
+        # the join below then never materializes a capped term's
+        # corpus-sized posting slice
+        n_docs_v = docs_dl.count()
+        dft = dft.filter(F.col("df") <= int(max_df * n_docs_v))
     qt = queries.select("query_id", F.explode("terms").alias("term"))
+    if broadcast_queries:
+        qt = F.broadcast(qt)
     idf = F.log(
         ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
@@ -299,10 +320,13 @@ def bm25_from_posting(
     s_fp = F.floor(
         idf * (tf * F.lit(_BM25_K1_PLUS1)) / (tf + norm) * F.lit(_QJ_FP)
     ).cast("long")
+    # dft joins FIRST: it is term-cardinality (tiny vs posting), its
+    # output is still |qt| rows, and under max_df the inner join IS the
+    # prune — a capped term never touches its corpus-sized posting slice
     scored = (
-        F.broadcast(qt)
-        .join(posting, "term")
+        qt
         .join(dft, "term")
+        .join(posting, "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", s_fp.alias("s_fp"))
     )
@@ -328,7 +352,10 @@ def bm25_from_posting(
 
 
 def bm25_query_scores(
-    docs: DataFrame, queries: DataFrame, k: int = _BM25_QK
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = _BM25_QK,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """BM25 top-k docs per query over arbitrary (query_id, terms
     array<string>) query sets via an inverted-index join.
@@ -342,10 +369,16 @@ def bm25_query_scores(
     (query term x matching doc) pairs — never |queries| x |corpus|. The
     per-(query, doc) sum is fixed-point BIGINT (order-independent), and
     the final top-k runs per query partition, parallel across queries.
+    ``broadcast_queries=False`` drops the hint for machine-generated
+    workloads (10k+ queries): every join stays a keyed equi-join on
+    `term` — a shuffle join, never a nested loop — and AQE picks the
+    build side (PERF.md #39 carries the 10k-query evidence).
 
     Plan-width is O(1) in #terms — contrast bm25_topk's per-term
     generated columns."""
-    return bm25_from_posting(doc_posting(docs), queries, k=k)
+    return bm25_from_posting(
+        doc_posting(docs), queries, k=k, broadcast_queries=broadcast_queries
+    )
 
 
 @query("bm25_query_join", _BM25_QJ_SQL)

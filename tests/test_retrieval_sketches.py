@@ -224,3 +224,71 @@ def test_jl_projection_preserves_distances(spark):
     med = dist[len(dist) // 2]
     assert 0.5 < med < 2.0, med
     assert dist[int(len(dist) * 0.9)] < 3.0, dist[-5:]
+
+
+def test_bm25_machine_workload_and_max_df(spark):
+    """Machine-sized query sets (PERF.md #39): without the broadcast
+    hint the plan keeps keyed equi-joins (the only nested loop is the
+    1-row corpus-stats broadcast), and max_df prunes stopword-grade
+    terms' corpus-sized posting slices while retained terms score
+    BIT-identically (stats are computed before the cap)."""
+    import pyspark.sql.functions as F
+
+    from fastetl_spark.operators.retrieval import (
+        bm25_from_posting,
+        doc_posting,
+    )
+
+    # Zipfian toy corpus: 'the' is in every doc (df = n), tail terms in
+    # ~2% of docs. Queries mix one head term with tail terms.
+    n = 200
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "the alpha" + str(i % 50) + " beta" + str(i % 37) + " the",
+            )
+            for i in range(n)
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [
+            (qid, ["the", f"alpha{qid % 50}", f"beta{qid % 37}"])
+            for qid in range(100)
+        ],
+        "query_id long, terms array<string>",
+    )
+    posting = doc_posting(docs)
+    exact = bm25_from_posting(
+        posting, queries, k=5, broadcast_queries=False
+    )
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the single nested loop is the documented 1-row stats crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+    # candidate volume (top-k disabled via huge k): the head term drags
+    # every doc into every exact query; the cap keeps only the tail
+    # terms' small slices
+    n_exact = bm25_from_posting(
+        posting, queries, k=10**6, broadcast_queries=False
+    ).count()
+    n_capped = bm25_from_posting(
+        posting, queries, k=10**6, broadcast_queries=False, max_df=0.5
+    ).count()
+    assert 0 < n_capped < n_exact / 10
+    assert n_exact >= 100 * n  # ~every doc per query via the head term
+    # a tail-only query scores identically under the cap: rebuild one
+    # query without the head term and compare rows bit-for-bit
+    tail_q = spark.createDataFrame(
+        [(7, ["alpha7", "beta7"])], "query_id long, terms array<string>"
+    )
+    t_exact = sorted(map(tuple, bm25_from_posting(
+        posting, tail_q, k=5, broadcast_queries=False).collect()))
+    t_capped = sorted(map(tuple, bm25_from_posting(
+        posting, tail_q, k=5, broadcast_queries=False, max_df=0.5
+    ).collect()))
+    assert t_exact == t_capped
