@@ -149,6 +149,26 @@ def main() -> None:
             else:
                 ann_build[tag] = None  # warm scratch reused
 
+    # One scratch-COLD build per kind at the main sf, into a throwaway
+    # dir, every run (round-8 VERDICT ask #6): the committed
+    # BENCH_DETAIL then always carries a non-null build wall, so a
+    # build-path regression is visible round-over-round even when the
+    # probe path reuses a warm scratch. ~5-7 s/kind at sf0.1.
+    if os.environ.get("SPARK_GRAFT_SKIP_COLD_BUILD") != "1":
+        import shutil
+
+        emb_main = _ep(_rt(spark, sf_dir, "embeddings"))
+        for kind, build in (("ivf", build_ivf_index),
+                            ("ivfpq", build_ivfpq_index)):
+            tmp_idx = _scratch_index_path(sf_dir, f"{kind}_coldprobe")
+            shutil.rmtree(tmp_idx, ignore_errors=True)
+            start = time.perf_counter()
+            build(emb_main, tmp_idx, "vec_id", "embedding")
+            ann_build[f"{kind}_cold_build_sec"] = round(
+                time.perf_counter() - start, 3
+            )
+            shutil.rmtree(tmp_idx, ignore_errors=True)
+
     # best-of-N per query: repeats amortize codegen/JIT, GC pauses, and
     # ambient machine load so the figure reflects steady-state
     # throughput. Per-query median + spread are reported alongside so a

@@ -246,3 +246,66 @@ def test_bpe_train_depth_monotone(spark):
         counts.append(total_tokens(vocab))
     assert counts == sorted(counts, reverse=True)
     assert counts[-1] < counts[0]  # merges genuinely contracted tokens
+
+
+def test_vocab_oov_histogram_matches_ranked_and_plan(spark):
+    """The histogram/suffix-sum OOV core is bit-equal to the ranked
+    form on tie-heavy vocabularies (boundary token mass is
+    tie-invariant) and plans NO single-partition exchange — the point
+    of round-8 ask #7."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fastetl_spark.operators.features import vocab_oov_from_histogram
+
+    rng = random.Random(8)
+    # tie-heavy: counts drawn from a small set so every k boundary
+    # lands inside a tie group; spread cnt range to exercise bucketing
+    rows = [(f"t{i}", rng.choice([1, 2, 3, 5, 5, 5, 8, 8, 1000, 40000]))
+            for i in range(500)]
+    counts = spark.createDataFrame(rows, "term string, cnt long")
+    ks = (1, 7, 100, 499, 500, 501, 1000)
+    got = sorted(
+        map(tuple, vocab_oov_from_histogram(counts, ks=ks,
+                                            max_buckets=16).collect())
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    ks_df = spark.createDataFrame([(k,) for k in ks], "vocab_k int")
+    want = sorted(
+        map(
+            tuple,
+            ks_df.crossJoin(ranked)
+            .groupBy("vocab_k")
+            .agg(
+                F.sum("cnt").alias("total_tokens"),
+                F.coalesce(
+                    F.sum(F.when(F.col("rnk") > F.col("vocab_k"),
+                                 F.col("cnt"))),
+                    F.lit(0),
+                ).alias("oov_tokens"),
+            )
+            .select(
+                "vocab_k",
+                "total_tokens",
+                "oov_tokens",
+                (F.col("oov_tokens").cast("double")
+                 / F.col("total_tokens").cast("double")).alias("oov_rate"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    plan = (
+        vocab_oov_from_histogram(counts, ks=ks, max_buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    # empty vocabulary: report survives with NaN rates
+    empty = spark.createDataFrame([], "term string, cnt long")
+    out = vocab_oov_from_histogram(empty, ks=(4,)).collect()
+    assert len(out) == 1 and out[0]["total_tokens"] == 0
