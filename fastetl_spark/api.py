@@ -751,6 +751,21 @@ class Engine:
                           order_col=order_col, us_col=us_col,
                           exact=exact, accuracy=accuracy)
 
+    def contamination_report(self, train: DataFrame, eval_set: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 8,
+                             threshold: int = 1) -> DataFrame:
+        """Benchmark decontamination (operators/curation.
+        ngram_contamination, gated by `benchmark_ngram_contamination`):
+        per training doc, distinct n-gram overlap with the eval set +
+        contaminated flag — the GPT-3/Dolma pre-export leakage check.
+        Anti-join the flagged ids to decontaminate."""
+        from fastetl_spark.operators.curation import ngram_contamination
+
+        return ngram_contamination(train, eval_set, id_col=id_col,
+                                   text_col=text_col, n=n,
+                                   threshold=threshold)
+
     def winsorize_report(self, df: DataFrame, key_col: str,
                          value_col: str, order_col: str,
                          lo_pct: int = 5, hi_pct: int = 95,

@@ -522,3 +522,104 @@ def dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("keep_idx", lambda i: F.element_at(F.col("chunks"), i)), " "
         ).alias("cleaned_text"),
     )
+
+
+# --- benchmark decontamination (n-gram overlap vs an eval set) ------------
+
+# The decontamination pass every serious training pipeline runs before
+# export (GPT-3 appendix C / Dolma: drop training docs sharing long
+# n-grams with evaluation benchmarks). The eval set here is a held-out
+# slice of the corpus itself (doc_id % _DECON_MOD == 0) so the gate is
+# self-contained; the production core takes ANY eval frame.
+_DECON_N = 8  # n-gram length: long enough that overlap means leakage
+_DECON_MOD = 97
+_DECON_THRESH = 1  # >=1 shared 8-gram flags the doc
+
+_DECON_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest(g) AS gram FROM (
+    SELECT list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - {_DECON_N - 1}, 0)),
+             i -> array_to_string(string_split(text, ' ')[i : i + {_DECON_N - 1}], ' ')
+           ) AS g
+    FROM documents WHERE doc_id % {_DECON_MOD} = 0
+  )
+), tr AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - {_DECON_N - 1}, 0)),
+           i -> array_to_string(string_split(text, ' ')[i : i + {_DECON_N - 1}], ' ')
+         ))) AS gram
+  FROM documents WHERE doc_id % {_DECON_MOD} <> 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY 1
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM tr t JOIN ev e ON e.gram = t.gram
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_grams::BIGINT AS n_grams,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       COALESCE(h.n_hits, 0) >= {_DECON_THRESH} AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = _DECON_N,
+    threshold: int = _DECON_THRESH,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    DISTINCT n-word-grams also occur anywhere in the eval set, plus the
+    contaminated flag (n_hits >= threshold). Returns (doc_id, n_grams,
+    n_hits, contaminated) for every training doc with >= 1 gram
+    (shorter docs cannot leak an n-gram and are excluded, matching the
+    sizes-driven oracle).
+
+    Scale shape: eval grams are DISTINCT'd once (eval sets are
+    benchmark-sized — orders below the corpus), the overlap is one
+    equi-join keyed by the gram string, and both sides are generator
+    fan-outs (no corpus^2 anything). At 100 TB swap the gram string for
+    xxhash64(gram) to shrink the shuffle key — same plan shape."""
+    toks = F.split(F.col(text_col), " ")
+    ev = (
+        eval_set.select(
+            F.explode(word_shingles(toks, n=n)).alias("gram")
+        )
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(toks, n=n)).alias("gram"),
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = tr.join(ev, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+@query("benchmark_ngram_contamination", _DECON_SQL)
+def benchmark_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report of the corpus against its own held-out
+    eval slice (doc_id % {_DECON_MOD} == 0): distinct {_DECON_N}-gram
+    overlap counts per training doc, exact integers under the hash
+    gate — the pre-export leakage check (GPT-3 appx C / Dolma)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    return ngram_contamination(
+        d.filter(F.col("doc_id") % _DECON_MOD != 0),
+        d.filter(F.col("doc_id") % _DECON_MOD == 0),
+    )

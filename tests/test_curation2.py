@@ -192,3 +192,31 @@ def test_sparse_cosine_survives_repetitive_spam_doc(spark):
     out = sparse_cosine_pairs(docs, df_cap=10, threshold_tenths=5).collect()
     assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
     assert out[0].nn_a > 2**31  # the regime that used to overflow when squared
+
+
+def test_ngram_contamination_planted_leak(spark):
+    """A planted 8-gram leak is found exactly; clean docs report zero
+    hits; short docs (< n tokens) are excluded (they cannot leak)."""
+    from fastetl_spark.operators.curation import ngram_contamination
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words " + leak + " trailing text here"),
+            (2, "totally clean document with eight distinct words okay"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "benchmark question " + leak + " benchmark answer")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_contamination(train, ev).collect()}
+    assert set(got) == {1, 2}  # doc 3 has no 8-gram
+    assert got[1]["contaminated"] and got[1]["n_hits"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+    # n_grams counts DISTINCT grams of the doc itself
+    words = ("intro words " + leak + " trailing text here").split()
+    grams = {" ".join(words[i:i + 8]) for i in range(len(words) - 7)}
+    assert got[1]["n_grams"] == len(grams)

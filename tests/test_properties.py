@@ -115,10 +115,15 @@ def test_decimal_comma_garbage_is_null_not_error(spark, raws):
 
     df = spark.createDataFrame([(r,) for r in raws], "raw string")
     out = df.select(fix_decimal_comma("raw").alias("v")).collect()
+    # Spark's string->double cast trims like java.lang.String.trim():
+    # EVERY leading/trailing char <= U+0020 (controls included — found
+    # by hypothesis with '0\x08'), where Python's float() only accepts
+    # whitespace; model the Java trim before building the expectation
+    java_ws = "".join(chr(c) for c in range(0x21))
     for raw, r in zip(raws, out):
         # ANSI mode must never throw; unparseable input maps to NULL
         try:
-            expected = float(raw.replace(",", "."))
+            expected = float(raw.strip(java_ws).replace(",", "."))
         except ValueError:
             expected = None
         if expected is not None and expected != expected:  # NaN literals
