@@ -79,6 +79,12 @@ HEADLINE = [
     "embedding_simhash_neardup",
     "heavy_hitters_exhaustive",
     "node_neighbor_jaccard",
+    # round 8: scale-path twins + fixpoint graph ops + decontamination
+    "value_drift_bins_sketch",
+    "kcore_fixpoint",
+    "lpa_modularity",
+    "oov_rate_histogram",
+    "benchmark_ngram_contamination",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the
