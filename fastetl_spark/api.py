@@ -751,6 +751,28 @@ class Engine:
                           order_col=order_col, us_col=us_col,
                           exact=exact, accuracy=accuracy)
 
+    def monitor_drift(self, df: DataFrame, bounds: DataFrame,
+                      key_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+        """Bin a live frame (batch OR stream) against FROZEN per-key
+        boundary arrays (gated by `streaming_drift_monitor`): broadcast
+        join + bin_by_bounds + per-(key, bin) counts — the deployment
+        half of drift_report, stateless and windowless so it runs
+        per micro-batch at stream speed. ``bounds`` is (key, bounds
+        array<double>) from operators/quantiles.group_quantile_bounds
+        over the reference slice."""
+        from fastetl_spark.operators.quantiles import bin_by_bounds
+
+        return (
+            df.join(F.broadcast(bounds), key_col)
+            .select(
+                key_col,
+                bin_by_bounds(F.col(value_col), F.col("bounds")).alias("bin"),
+            )
+            .groupBy(key_col, "bin")
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+        )
+
     def contamination_report(self, train: DataFrame, eval_set: DataFrame,
                              id_col: str = "doc_id",
                              text_col: str = "text", n: int = 8,

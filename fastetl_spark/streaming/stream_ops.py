@@ -1132,3 +1132,134 @@ def streaming_posting_index_state(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     posting = spark.read.parquet(dest).drop("__batch")
     return bm25_from_posting(posting, queries)
+
+
+# --- 15th gate: streaming drift monitor -----------------------------------
+#
+# The deployment shape of the round-8 drift work: boundaries are FROZEN
+# from a batch reference slice (here the pre-midpoint half, exactly as
+# value_drift_bins derives it), then the LIVE stream is binned against
+# them through a stream-static broadcast join and counted per
+# (event_type, bin) in complete mode — a stateless windowless monitor
+# whose per-batch cost is one broadcast hash join + a map-side
+# combinable count. The oracle recomputes the identical reference
+# boundaries and bins the post-midpoint rows in batch SQL, so the gate
+# proves exact stream/batch equivalence of the monitor, not a
+# re-derivation. A key first seen in the stream still reports (bin 0
+# vs +inf fallback bounds), matching drift_bins semantics.
+
+
+def _stream_drift_sql() -> str:
+    from fastetl_spark.operators.analytics import (
+        _PSI_BIN_SQL,
+        _PSI_BINS,
+        _PSI_COALESCE_SQL,
+        _PSI_RANKS_SQL,
+    )
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, value, event_id, epoch_us(ts) AS us FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), mid AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+), tagged AS (
+  SELECT event_type, value, event_id, (us < mid.mid) AS is_ref
+  FROM ev CROSS JOIN mid
+), ref AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM tagged WHERE is_ref
+), bounds0 AS (
+  SELECT event_type,
+{_PSI_RANKS_SQL}
+  FROM ref GROUP BY event_type
+), bounds AS (
+  SELECT a.event_type, {_PSI_COALESCE_SQL}
+  FROM (SELECT DISTINCT event_type FROM tagged) a
+  LEFT JOIN bounds0 b USING (event_type)
+), binned AS (
+  SELECT t.event_type, t.is_ref, {_PSI_BIN_SQL} AS bin
+  FROM tagged t JOIN bounds USING (event_type)
+)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_cur
+FROM binned WHERE NOT is_ref
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("streaming_drift_monitor", _stream_drift_sql())
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live drift monitoring as a REAL Structured Streaming run: exact
+    decile boundaries frozen from the batch reference half
+    (operators/quantiles, disc convention), the event stream binned
+    against them via a stream-static broadcast join, per-(key, bin)
+    counts in complete mode — drained and checked against the batch
+    oracle. Downstream, joining n_ref per (key, bin) (a static frame)
+    and the drift_bins tail turns these counts into live PSI terms."""
+    from fastetl_spark.operators.analytics import _PSI_BINS
+    from fastetl_spark.operators.quantiles import (
+        bin_by_bounds,
+        group_quantile_bounds,
+    )
+
+    from fastetl_spark.io.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    ).filter(
+        F.col("value").isNotNull()
+        & F.col("us").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    mid = int(
+        ev.agg(F.expr("(MIN(us) + MAX(us)) div 2").alias("m")).first()["m"]
+    )
+    bounds0 = group_quantile_bounds(
+        ev.filter(F.col("us") < mid),
+        "event_type",
+        "value",
+        [(k, _PSI_BINS) for k in range(1, _PSI_BINS)],
+        order_col="event_id",
+    )
+    bounds = (
+        ev.select("event_type")
+        .distinct()
+        .join(bounds0, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(
+                F.col("bounds"),
+                F.array(*[F.lit(float("inf"))] * (_PSI_BINS - 1)),
+            ).alias("bounds"),
+        )
+    )
+    stream = _gated_events_stream(spark, sf_dir)
+    cur = (
+        stream.select(
+            "event_type",
+            "value",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        )
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("us").isNotNull()
+            & F.col("event_type").isNotNull()
+            & (F.col("us") >= mid)
+        )
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            bin_by_bounds(F.col("value"), F.col("bounds")).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    return _drain_to_memory(cur, "st_drift_", "complete").orderBy(
+        "event_type", "bin"
+    )
