@@ -760,14 +760,22 @@ class Engine:
         half of drift_report, stateless and windowless so it runs
         per micro-batch at stream speed. ``bounds`` is (key, bounds
         array<double>) from operators/quantiles.group_quantile_bounds
-        over the reference slice."""
+        over the reference slice. drift_bins semantics hold: NULL
+        values are not observations, and a key the reference never saw
+        (absent from ``bounds`` — the strongest drift signal) still
+        reports, every row in bin 0, instead of vanishing through an
+        inner join."""
         from fastetl_spark.operators.quantiles import bin_by_bounds
 
         return (
-            df.join(F.broadcast(bounds), key_col)
+            df.filter(F.col(value_col).isNotNull())
+            .join(F.broadcast(bounds), key_col, "left")
             .select(
                 key_col,
-                bin_by_bounds(F.col(value_col), F.col("bounds")).alias("bin"),
+                F.coalesce(
+                    bin_by_bounds(F.col(value_col), F.col("bounds")),
+                    F.lit(0),
+                ).alias("bin"),
             )
             .groupBy(key_col, "bin")
             .agg(F.count(F.lit(1)).alias("n_cur"))

@@ -315,11 +315,25 @@ def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
     do NOT prune buckets automatically (the hash is opaque to
     Catalyst); use ``read_buckets_for_keys`` for point lookups."""
     spec = read_bucket_spec(spark, path)
-    if spec is not None and spec["version"] == SPEC_VERSION_ATOMIC:
-        m = read_manifest(spark, path)
+    # The manifest, not the spec, decides whether this is a v2 root: a
+    # crash (or the atomic spec swap's delete/rename window) can leave
+    # the spec briefly ABSENT while manifests exist — falling through to
+    # the raw v1 read would then scan EVERY retained generation's bucket
+    # dirs and silently return duplicated rows.
+    m = (
+        read_manifest(spark, path)
+        if spec is None or spec["version"] == SPEC_VERSION_ATOMIC
+        else None
+    )
+    if m is not None:
         base = path.rstrip("/")
         dirs = [f"{base}/{d}" for d in m["buckets"].values()]
         return spark.read.parquet(*dirs)
+    if spec is not None and spec["version"] == SPEC_VERSION_ATOMIC:
+        raise IOError(
+            f"{path} has a v2 bucket spec but no committed manifest — "
+            "the destination was never published or is corrupt"
+        )
     return spark.read.parquet(path).drop(BUCKET_COL)
 
 

@@ -732,7 +732,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS r,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), gq AS (
   SELECT [{qlist}] AS g FROM events
 )

@@ -722,10 +722,17 @@ def vocab_oov_from_histogram(
     bounded by sqrt(2 * total_tokens) for ANY corpus (distinct counts
     summing to T), so every post-histogram frame is vanishingly small
     next to the corpus."""
+    from fastetl_spark.checkpointing import materialize
+
     spark = counts.sparkSession
-    hist = counts.groupBy("cnt").agg(
-        F.count(F.lit(1)).alias("nt"),
-        F.sum("cnt").alias("tok"),
+    # materialize: three downstream actions (scalar stats, bucket-total
+    # collect, the returned plan) must not each re-run the corpus-scale
+    # term aggregation feeding `counts`
+    hist = materialize(
+        counts.groupBy("cnt").agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum("cnt").alias("tok"),
+        )
     )
     row = hist.agg(
         F.max("cnt").alias("mx"),

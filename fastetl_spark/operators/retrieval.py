@@ -284,11 +284,15 @@ def bm25_from_posting(
     appends produce. An index where a document was RE-ingested in a
     later batch violates it (df, n_docs and tf all double-count, no
     error); pass ``assume_unique=False`` to consolidate first — one
-    extra (doc_id, term)-keyed shuffle that sums tf and takes the
-    latest (max) dl per doc."""
+    extra (doc_id, term)-keyed shuffle taking MAX(tf) and MAX(dl) per
+    key. MAX, not SUM: for the redelivery/re-ingestion case the
+    duplicate rows carry the SAME tf, so max is the true count where
+    sum would double it; for a genuinely UPDATED document neither is
+    recoverable without version metadata (max is then an upper bound —
+    rebuild the doc's postings if exact re-scoring of edits matters)."""
     if not assume_unique:
         posting = posting.groupBy("doc_id", "term").agg(
-            F.sum("tf").alias("tf"), F.max("dl").alias("dl")
+            F.max("tf").alias("tf"), F.max("dl").alias("dl")
         )
         dl_fix = posting.groupBy("doc_id").agg(F.max("dl").alias("dl"))
         posting = posting.drop("dl").join(dl_fix, "doc_id")
@@ -305,10 +309,10 @@ def bm25_from_posting(
         # the join below then never materializes a capped term's
         # corpus-sized posting slice
         n_docs_v = docs_dl.count()
-        dft = dft.filter(F.col("df") <= int(max_df * n_docs_v))
+        # max(1, ...): int() truncation on a small corpus would floor
+        # the cap to 0 and silently prune EVERY term
+        dft = dft.filter(F.col("df") <= max(1, int(max_df * n_docs_v)))
     qt = queries.select("query_id", F.explode("terms").alias("term"))
-    if broadcast_queries:
-        qt = F.broadcast(qt)
     idf = F.log(
         ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
@@ -322,10 +326,20 @@ def bm25_from_posting(
     ).cast("long")
     # dft joins FIRST: it is term-cardinality (tiny vs posting), its
     # output is still |qt| rows, and under max_df the inner join IS the
-    # prune — a capped term never touches its corpus-sized posting slice
+    # prune — a capped term never touches its corpus-sized posting
+    # slice. The broadcast hint goes on the qt+dft RESULT, not on qt:
+    # a hint on qt alone is consumed by the first join and the
+    # corpus-sized posting join would be left to size estimates.
+    if broadcast_queries:
+        # hint BOTH levels: qt for the dft join, and the joined result
+        # for the corpus-sized posting join (a hint on qt alone is
+        # consumed by the first join and posting would fall back to a
+        # size-estimated sort-merge join)
+        qtd = F.broadcast(F.broadcast(qt).join(dft, "term"))
+    else:
+        qtd = qt.join(dft, "term")
     scored = (
-        qt
-        .join(dft, "term")
+        qtd
         .join(posting, "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", s_fp.alias("s_fp"))

@@ -311,26 +311,33 @@ def jl_project(
     the quantized vector with hyperplane k. One explode + broadcast
     weight join + map-side-combined groupBy — no wide shuffle.
 
-    `dim` defaults to the MAX vector length over the input (one
-    metadata-cheap agg job) — a too-small dim (the first row of a
-    ragged input, or an explicit wrong value) would silently TRUNCATE
-    longer vectors' dot products through the inner weight join, so the
-    derived default covers every row; shorter rows just contribute
-    fewer terms. Pass it explicitly in plan-only contexts (the gated
-    query pins the fixture's {_VS_DIM})."""
+    `dim` defaults to the FIRST row's vector length (a one-row probe —
+    deriving the true max would cost a full pass over the array column
+    before the real job). Truncation can still never be silent: every
+    exploded position is guarded in-plan, so a ragged input with a
+    vector LONGER than the derived/passed dim fails the job with a
+    clear message instead of quietly dropping trailing components
+    through the inner weight join; shorter rows just contribute fewer
+    terms. Pass dim explicitly for ragged inputs (the gated query pins
+    the fixture's {_VS_DIM})."""
     spark = vectors.sparkSession
     if dim is None:
-        row = vectors.agg(F.max(F.size(vec_col)).alias("d")).first()
+        row = vectors.select(F.size(vec_col).alias("d")).first()
         if row is None or row["d"] is None:
             dim = _VS_DIM  # empty input: any table works, output empty
         else:
             dim = int(row["d"])
+    guard = (
+        f"CASE WHEN d0 < {int(dim)} THEN 0 ELSE CAST(assert_true("
+        f"false, 'jl_project: vector longer than dim={int(dim)} — pass "
+        f"dim= explicitly for ragged inputs') AS INT) END"
+    )
     q = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(vec_col).alias("d0", "x"),
     ).select(
         "vec_id",
-        (F.col("d0") + 1).cast("int").alias("d"),
+        (F.col("d0") + 1 + F.expr(guard)).cast("int").alias("d"),
         F.floor(F.col("x").cast("double") * F.lit(_VS_SCALE))
         .cast("long")
         .alias("qv"),

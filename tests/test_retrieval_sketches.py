@@ -276,6 +276,16 @@ def test_bm25_machine_workload_and_max_df(spark):
     n_exact = bm25_from_posting(
         posting, queries, k=10**6, broadcast_queries=False
     ).count()
+    # default path: the broadcast hint must survive onto the
+    # corpus-sized posting join (a hint on qt alone is consumed by the
+    # qt-dft join) — posting must never plan as a shuffle join
+    hinted_plan = (
+        bm25_from_posting(posting, queries, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in hinted_plan
+    assert "ShuffledHashJoin" not in hinted_plan
+
     n_capped = bm25_from_posting(
         posting, queries, k=10**6, broadcast_queries=False, max_df=0.5
     ).count()
