@@ -728,8 +728,8 @@ class Engine:
 
     def drift_report(self, df: DataFrame, key_col: str = "event_type",
                      value_col: str = "value", order_col: str = "event_id",
-                     us_col: str = "us", exact: bool = True,
-                     accuracy: int = 10_000) -> DataFrame:
+                     us_col: str = "us", exact: bool = False,
+                     accuracy: int | None = None) -> DataFrame:
         """Two-halves value-drift report per key over any (key, value,
         order, epoch-micros) frame (operators/analytics.drift_bins,
         gated by `value_drift_bins`): reference-half decile bins,
@@ -739,12 +739,16 @@ class Engine:
         rows in bin 0 (maximal drift). Sum drift_term per key
         downstream; 0.1/0.25 are PSI's usual alert bands.
 
-        ``exact=False`` is the scale path: decile boundaries from
-        percentile_approx sketches (no per-key sort window — the exact
-        mode's window degrades to a skewed single-partition sort when
-        the key has few distinct values). Bit-equal to exact whenever
-        ``accuracy`` covers the largest key's reference rows; rank
-        error <= n/accuracy otherwise."""
+        The DEFAULT is the scale path (``exact=False``): decile
+        boundaries from percentile_approx sketches in a plain groupBy —
+        no per-key sort window, so a low-cardinality key column cannot
+        degrade to a skewed single-partition sort at 100 TB. With the
+        default ``accuracy=None`` a covering accuracy is derived from
+        the reference half, making the result BIT-EQUAL to
+        ``exact=True`` (equivalence-tested) while keeping the scalable
+        plan; pass an explicit lower ``accuracy`` to trade rank error
+        <= n/accuracy for sketch size at extreme scale. ``exact=True``
+        keeps the rank-window form the gated query pins."""
         from fastetl_spark.operators.analytics import drift_bins
 
         return drift_bins(df, key_col=key_col, value_col=value_col,
@@ -761,14 +765,18 @@ class Engine:
         per micro-batch at stream speed. ``bounds`` is (key, bounds
         array<double>) from operators/quantiles.group_quantile_bounds
         over the reference slice. drift_bins semantics hold: NULL
-        values are not observations, and a key the reference never saw
+        values AND NULL keys are not observations (drift_bins drops
+        both — a NULL key must not survive into a NULL group through
+        the left join), and a key the reference never saw
         (absent from ``bounds`` — the strongest drift signal) still
         reports, every row in bin 0, instead of vanishing through an
         inner join."""
         from fastetl_spark.operators.quantiles import bin_by_bounds
 
         return (
-            df.filter(F.col(value_col).isNotNull())
+            df.filter(
+                F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+            )
             .join(F.broadcast(bounds), key_col, "left")
             .select(
                 key_col,
@@ -799,16 +807,19 @@ class Engine:
     def winsorize_report(self, df: DataFrame, key_col: str,
                          value_col: str, order_col: str,
                          lo_pct: int = 5, hi_pct: int = 95,
-                         exact: bool = True,
-                         accuracy: int = 10_000) -> DataFrame:
+                         exact: bool = False,
+                         accuracy: int | None = None) -> DataFrame:
         """Per-key winsorization bounds + clamp counts
         (operators/curation2.winsorize_bounds, gated by
         `winsorize_event_values`): (key, n, lo, hi, n_below, n_above)
-        at the p{lo_pct}/p{hi_pct} disc order statistics.
-        ``exact=False`` swaps the per-key rank window for
-        percentile_approx sketches (operators/quantiles) — the plan for
-        low-cardinality keys at 100 TB; bit-equal to exact while
-        ``accuracy`` covers the largest key."""
+        at the p{lo_pct}/p{hi_pct} disc order statistics. The DEFAULT
+        is the scale path (``exact=False`` — percentile_approx
+        sketches, no per-key rank window to skew on low-cardinality
+        keys at 100 TB) at a DERIVED covering accuracy
+        (``accuracy=None``), which is bit-equal to ``exact=True``
+        (equivalence-tested); pass a lower explicit ``accuracy`` to cap
+        sketch size, or ``exact=True`` for the gated rank-window
+        form."""
         from fastetl_spark.operators.curation2 import winsorize_bounds
 
         return winsorize_bounds(df, key_col, value_col, order_col,
@@ -817,17 +828,22 @@ class Engine:
 
     def quantile_normalize(self, df: DataFrame, key_col: str,
                            value_col: str, order_col: str,
-                           levels: int = 128, exact: bool = True,
-                           accuracy: int = 10_000) -> DataFrame:
+                           levels: int = 128, exact: bool = False,
+                           accuracy: int | None = None) -> DataFrame:
         """Quantile-mapping normalization
         (operators/curation2.quantile_map_values, gated by
         `quantile_mapping_normalize`): each value mapped to the global
         distribution's value at its per-key relative rank through a
-        ``levels+1``-point percentile_disc grid. ``exact=False``
-        replaces the per-key rank window with shared
-        percentile_approx grid boundaries (within one level of exact on
-        distinct values) — use when key cardinality is low and the sort
-        window would skew."""
+        ``levels+1``-point percentile_disc grid. The DEFAULT is the
+        scale path (``exact=False``): per-key rank levels come from
+        percentile_approx grid boundaries instead of a rank window that
+        skews on low-cardinality keys. Unlike drift/winsorize the two
+        LEVEL CONVENTIONS differ structurally — # boundaries reached vs
+        (r-1)*L div (n-1) — so even at covering accuracy
+        (``accuracy=None``) the approx mode agrees with ``exact=True``
+        only to within one level on distinct values (tested); pass
+        ``exact=True`` when the last level, not key skew, is the
+        risk (the gated query's form)."""
         from fastetl_spark.operators.curation2 import quantile_map_values
 
         return quantile_map_values(df, key_col, value_col, order_col,

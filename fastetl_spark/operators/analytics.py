@@ -1831,7 +1831,7 @@ def drift_bins(
     order_col: str = "event_id",
     us_col: str = "us",
     exact: bool = True,
-    accuracy: int = 10_000,
+    accuracy: int | None = None,
 ) -> DataFrame:
     """Two-halves drift report over an arbitrary (key, value, order,
     epoch-micros) frame — the reusable core behind the gated query and
@@ -1849,7 +1849,9 @@ def drift_bins(
     100 TB plan — percentile_approx decile sketches in a plain groupBy,
     rank error <= n/accuracy, and BIT-EQUAL to exact when ``accuracy``
     covers the largest key (both modes take the element at disc rank
-    ceil(k*n/10))."""
+    ceil(k*n/10)); ``accuracy=None`` (the default) derives that
+    covering accuracy from the reference half, enforcing the
+    bit-equality precondition instead of assuming it."""
     spark = ev.sparkSession
     ev = ev.select(
         F.col(key_col).alias("event_type"),
@@ -1861,10 +1863,13 @@ def drift_bins(
         & F.col("us").isNotNull()
         & F.col("event_type").isNotNull()
     )
-    # integer floor-div midpoint (matches the oracle's (MIN+MAX)//2):
-    # a double (min+max)/2 loses integer resolution past 2^53 — e.g.
-    # nanosecond epochs through the public us_col — and rows at the
-    # midpoint would be tagged into different halves across engines
+    # integer midpoint: Spark's `div` and DuckDB's `//` BOTH truncate
+    # toward zero (checked: -7 // 2 = -3 in DuckDB), so the two engines
+    # pick the identical midpoint for ANY sum, negative (pre-1970
+    # epochs) included. A double (min+max)/2 would lose integer
+    # resolution past 2^53 — e.g. nanosecond epochs through the public
+    # us_col — and rows at the midpoint would be tagged into different
+    # halves across engines
     mid = ev.agg(
         F.expr("(MIN(us) + MAX(us)) div 2").alias("mid")
     )
@@ -1966,17 +1971,19 @@ def value_drift_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift report's SCALE plan under the exact hash gate:
     boundaries from percentile_approx sketches (no per-key sort window
     anywhere in the plan — tests/test_analytics_drift.py asserts it)
-    at an accuracy that covers every key, where the sketch is provably
-    the disc-rank element and therefore bit-equal to the exact twin
-    (`value_drift_bins`). The same oracle gates both; at 100 TB you
-    lower the accuracy and keep this plan."""
+    at a DERIVED accuracy that provably covers every key (accuracy=None
+    — enforced, not a hardcoded constant that a larger SF could
+    silently outgrow), where the sketch is then the disc-rank element
+    and therefore bit-equal to the exact twin (`value_drift_bins`). The
+    same oracle gates both; at 100 TB you lower the accuracy and keep
+    this plan."""
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
         "event_id",
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
     )
-    return drift_bins(ev, exact=False, accuracy=1_000_000)
+    return drift_bins(ev, exact=False, accuracy=None)
 
 
 # --- Poisson-bootstrap confidence intervals ---------------------------------

@@ -478,7 +478,7 @@ def winsorize_bounds(
     lo_pct: int = _WZ_LO_PCT,
     hi_pct: int = _WZ_HI_PCT,
     exact: bool = True,
-    accuracy: int = 10_000,
+    accuracy: int | None = None,
 ) -> DataFrame:
     """Per-key winsorization report: (key, n, lo, hi, n_below, n_above)
     with lo/hi the p{{lo_pct}}/p{{hi_pct}} DISC order statistics
@@ -487,7 +487,9 @@ def winsorize_bounds(
     (operators/quantiles.group_quantile_bounds) supplies both modes:
     ``exact=True`` is the hash-gated rank window; ``exact=False`` is the
     percentile_approx scale path — no per-key sort window, bit-equal to
-    exact whenever ``accuracy`` covers the largest key."""
+    exact whenever ``accuracy`` covers the largest key
+    (``accuracy=None``, the default, derives that covering accuracy
+    from the data so the precondition is enforced, not assumed)."""
     from fastetl_spark.operators.quantiles import group_quantile_bounds
 
     nn = df.filter(F.col(value_col).isNotNull())
@@ -538,10 +540,12 @@ def winsorize_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     (winsorize_bounds(exact=False)) under the same exact oracle as
     `winsorize_event_values`: percentile_approx at covering accuracy IS
     the disc-rank order statistic, so the no-sort-window plan is
-    hash-gated, not merely tolerance-tested."""
+    hash-gated, not merely tolerance-tested. The covering accuracy is
+    DERIVED (accuracy=None), so the gate keeps holding at any scale
+    factor instead of silently degrading past a hardcoded constant."""
     ev = read_table(spark, sf_dir, "events")
     return winsorize_bounds(
-        ev, "event_type", "value", "event_id", exact=False, accuracy=1_000_000
+        ev, "event_type", "value", "event_id", exact=False, accuracy=None
     )
 
 
@@ -752,7 +756,7 @@ def quantile_map_values(
     order_col: str,
     levels: int = _QM_LEVELS,
     exact: bool = True,
-    accuracy: int = 10_000,
+    accuracy: int | None = None,
 ) -> DataFrame:
     """Quantile-mapping normalization core: every row's value replaced
     by the GLOBAL distribution's value at (approximately) the same

@@ -672,7 +672,15 @@ def modularity_terms(labels: DataFrame, edges: DataFrame) -> DataFrame:
     Scale shape: two keyed joins (labels onto each edge endpoint), one
     map-side-combinable groupBy(community), one broadcast scalar (M2).
     Sum q_term for the partition's Q; self-loops are dropped (they are
-    not support in the 2m normalization convention used here)."""
+    not support in the 2m normalization convention used here).
+
+    ``labels`` need not cover every edge endpoint: M2 is counted over
+    the LABELED join, not the raw edge list, so edges with an unlabeled
+    endpoint are excluded from numerators and normalizer alike — a
+    partial partition yields the modularity of its induced subgraph
+    (internally consistent) instead of silently understating Q against
+    a full-graph M2. With full coverage (the gated query's case) the
+    two counts coincide."""
     lab = labels.select("node", "community")
     und = (
         edges.select("src", "dst")
@@ -683,13 +691,17 @@ def modularity_terms(labels: DataFrame, edges: DataFrame) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
-    j = (
+    j = materialize(
         und.join(lab.select(F.col("node").alias("src"),
                             F.col("community").alias("cs")), "src")
         .join(lab.select(F.col("node").alias("dst"),
                          F.col("community").alias("cd")), "dst")
     )
-    m2 = und.count()  # one scalar: the 2m normalizer
+    # the 2m normalizer counts the LABELED symmetrized edges (== the
+    # rows the numerators aggregate), so partial label coverage stays
+    # internally consistent; j is materialized so this scalar and the
+    # groupBy below share one computed frame
+    m2 = j.count()
     agg = j.groupBy(F.col("cs").alias("community")).agg(
         F.sum((F.col("cs") == F.col("cd")).cast("long")).alias("within2"),
         F.count(F.lit(1)).alias("degree_sum"),

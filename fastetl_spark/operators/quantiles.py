@@ -43,7 +43,7 @@ def group_quantile_bounds(
     probs: list[tuple[int, int]],
     order_col: str | None = None,
     exact: bool = True,
-    accuracy: int = 10_000,
+    accuracy: int | None = 10_000,
 ) -> DataFrame:
     """Per-key quantile boundaries: one row per key with an array
     column ``bounds`` (double, len(probs)) holding the quantile of
@@ -53,9 +53,14 @@ def group_quantile_bounds(
     rank window (``order_col`` only makes row_number deterministic; the
     VALUE at a rank is tie-order-invariant). Approx mode delegates to
     percentile_approx — identical results whenever ``accuracy`` >= the
-    largest group, rank error <= n/accuracy otherwise. Keys whose rows
-    are all NULL-valued never appear; callers LEFT-join and supply
-    their own fallback (the drift report uses +inf)."""
+    largest group, rank error <= n/accuracy otherwise.
+    ``accuracy=None`` DERIVES a covering accuracy (max per-key non-NULL
+    count, one bounded scalar aggregation) so the bit-equality
+    precondition is enforced instead of assumed — the default for the
+    gated sketch twins, which would otherwise silently stop matching
+    their exact oracles once a key outgrows a hardcoded constant. Keys
+    whose rows are all NULL-valued never appear; callers LEFT-join and
+    supply their own fallback (the drift report uses +inf)."""
     for num, den in probs:
         if not (0 < num <= den):
             raise ValueError(f"prob must be in (0, 1]: {num}/{den}")
@@ -65,6 +70,21 @@ def group_quantile_bounds(
         *( [F.col(order_col).alias("__o")] if order_col else [] ),
     )
     if not exact:
+        if accuracy is None:
+            # covering accuracy: percentile_approx's query side
+            # tolerates a rank error of n/accuracy, so the sketch pick
+            # can shift one element until that error drops BELOW half a
+            # rank — accuracy >= 2n+1 makes it 0 (measured: at sf0.1
+            # accuracy=n mismatches the disc element, 2n+1 is
+            # bit-equal). One scalar per-key count aggregate (map-side
+            # combinable), usual default as a floor.
+            mx = (
+                base.groupBy("__k")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(F.max("__n").alias("__m"))
+                .first()["__m"]
+            )
+            accuracy = max(2 * int(mx or 0) + 1, 10_000)
         plist = [Fraction(num, den) for num, den in probs]
         agg = base.groupBy("__k").agg(
             F.percentile_approx(

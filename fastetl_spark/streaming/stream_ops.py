@@ -1217,9 +1217,17 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("us").isNotNull()
         & F.col("event_type").isNotNull()
     )
-    mid = int(
-        ev.agg(F.expr("(MIN(us) + MAX(us)) div 2").alias("m")).first()["m"]
-    )
+    mid_row = ev.agg(F.expr("(MIN(us) + MAX(us)) div 2").alias("m")).first()
+    if mid_row["m"] is None:
+        # MIN/MAX over zero rows is NULL: no non-NULL (key, value, ts)
+        # events means there is no reference half to freeze boundaries
+        # from — fail with the real story, not a TypeError from int()
+        raise ValueError(
+            "streaming_drift_monitor: events slice has no rows with "
+            "non-NULL event_type/value/ts; cannot derive the reference "
+            "midpoint"
+        )
+    mid = int(mid_row["m"])
     bounds0 = group_quantile_bounds(
         ev.filter(F.col("us") < mid),
         "event_type",

@@ -183,6 +183,58 @@ def test_quantile_map_approx_within_one_level(spark):
             assert levels == sorted(levels)
 
 
+def test_facade_defaults_take_scale_path_bit_equal(spark):
+    """Engine.drift_report / winsorize_report default to the
+    sketch-boundary plan (no per-key sort window) at a DERIVED covering
+    accuracy — bit-equal to the exact mode, so flipping the default is
+    a pure plan change; quantile_normalize's default plan is likewise
+    window-free (its level convention is approximate by construction,
+    tested separately)."""
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+    rows = [
+        (f"k{v % 3}", float((v * v) % 23), v, v) for v in range(997)
+    ] + [("k0", 5.0, 10_000 + i, 10_000 + i) for i in range(313)]
+    df = _frame(spark, rows)
+    for call in (
+        lambda **kw: eng.drift_report(df, **kw),
+        lambda **kw: eng.winsorize_report(df, "event_type", "value",
+                                          "event_id", **kw),
+    ):
+        default = call()
+        plan = default._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert sorted(map(tuple, default.collect())) == sorted(
+            map(tuple, call(exact=True).collect())
+        )
+    qplan = (
+        eng.quantile_normalize(df, "event_type", "value", "event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in qplan
+
+
+def test_monitor_drift_drops_null_keys_and_values(spark):
+    from fastetl_spark.api import Engine
+    from fastetl_spark.operators.quantiles import group_quantile_bounds
+
+    eng = Engine(spark)
+    ref = _frame(spark, [("a", float(v), v, v) for v in range(40)])
+    bounds = group_quantile_bounds(
+        ref, "event_type", "value", [(k, 10) for k in range(1, 10)],
+        order_col="event_id",
+    )
+    live = _frame(
+        spark,
+        [("a", 39.0, 1, 1), ("b", 1.0, 2, 2),  # b: unseen key -> bin 0
+         (None, 1.0, 3, 3), ("a", None, 4, 4)],  # both dropped
+    )
+    out = {(r["event_type"], r["bin"]): r["n_cur"]
+           for r in eng.monitor_drift(live, bounds).collect()}
+    assert out == {("a", 9): 1, ("b", 0): 1}
+
+
 def test_group_quantile_bounds_modes_and_validation(spark):
     import pytest
 

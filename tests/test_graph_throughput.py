@@ -237,3 +237,14 @@ def test_modularity_terms_exact_values(spark):
     one = labels.select("node", F.lit(0).alias("community"))
     q_one = sum(r["q_term"] for r in modularity_terms(one, e).collect())
     assert abs(q_one) < 1e-12
+    # PARTIAL label coverage: labeling only clique 1 must score the
+    # INDUCED subgraph (one lone complete component -> Q = 0, M2 = 12
+    # from the labeled join), not mix labeled numerators with the
+    # full-graph M2 = 24 normalizer (which would understate/misstate Q)
+    part = {
+        r["community"]: r
+        for r in modularity_terms(labels.filter("community = 0"), e).collect()
+    }
+    assert set(part) == {0}
+    assert part[0]["within2"] == 12 and part[0]["degree_sum"] == 12
+    assert part[0]["q_term"] == 0.0  # (12*12 - 12*12) / 12^2
