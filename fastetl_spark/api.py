@@ -525,20 +525,26 @@ class Engine:
 
     def label_propagation(self, nodes: DataFrame, edges: DataFrame,
                           iterations: int = 3, converge: bool = False,
-                          max_iterations: int = 50) -> DataFrame:
+                          max_iterations: int = 50,
+                          info: dict | None = None) -> DataFrame:
         """Deterministic synchronous label propagation over (src, dst)
         edges (operators/graph.label_propagation, gated by the
         `label_propagation_communities` query): (node, community) after
         a fixed iteration count, or — ``converge=True`` — after the
-        first zero-change round (one scalar count per round), capped at
-        ``max_iterations`` because sync LPA can oscillate. PageRank's
-        exchange profile — keyed joins and map-side-combinable counts
-        only."""
+        first zero-change round OR a detected period-2 oscillation
+        (sync LPA two-cycles on bipartite-ish structures; the
+        higher-modularity side of the cycle is returned), with
+        ``max_iterations`` as a safety cap. Pass ``info={}`` to learn
+        HOW it stopped: converged / two_cycle / rounds — a capped run
+        is not silently presented as convergence. The convergence
+        scalars ride each round's materialize action via observe();
+        PageRank's exchange profile otherwise."""
         from fastetl_spark.operators.graph import label_propagation
 
         return label_propagation(nodes, edges, iterations=iterations,
                                  converge=converge,
-                                 max_iterations=max_iterations)
+                                 max_iterations=max_iterations,
+                                 info=info)
 
     def kcore(self, nodes: DataFrame, edges: DataFrame, k: int = 4,
               rounds: int | None = 4) -> DataFrame:

@@ -19,7 +19,7 @@ up oracle-exactness, changing results only in the last ulp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from fastetl_spark.checkpointing import materialize
@@ -587,15 +587,25 @@ def label_propagation(
     iterations: int = _LPA_ITERATIONS,
     converge: bool = False,
     max_iterations: int = 50,
+    info: dict | None = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation over (src, dst)
     edges: returns (node, community) after `iterations` rounds, or —
     with ``converge=True`` — after the first round that changes ZERO
-    labels (the CC-style fixpoint loop: one scalar changed-count action
-    per round), capped at ``max_iterations``. The cap is not cosmetic:
-    SYNCHRONOUS LPA can oscillate forever on bipartite-ish structures
-    (an isolated edge swaps labels every round), so a fixpoint may not
-    exist; hitting the cap returns that round's labels.
+    labels (fixpoint) OR reproduces the labels of two rounds ago
+    (a period-2 oscillation: SYNCHRONOUS LPA two-cycles on
+    bipartite-ish structures — an isolated edge swaps labels forever —
+    so a fixpoint may not exist). A detected two-cycle stops
+    deterministically and returns the HIGHER-MODULARITY side of the
+    cycle (exact Q terms via `modularity_terms`; ties keep the later
+    round). ``max_iterations`` remains as a safety cap for any longer
+    oscillation; hitting it returns that round's labels.
+
+    Pass ``info={}`` to receive the termination story:
+    ``converged`` (True only for a genuine zero-change fixpoint),
+    ``two_cycle`` (stopped on a detected period-2 oscillation) and
+    ``rounds`` (rounds actually run) — a silent truncation is not
+    distinguishable from convergence otherwise.
 
     Scale shape per iteration: ONE keyed join (labels onto the
     symmetrized edge list, keyed by src), one map-side-combinable
@@ -604,7 +614,9 @@ def label_propagation(
     shuffle keyed by node, no sort window, no global stage, no collect.
     Exactly PageRank's exchange profile, so the billion-edge argument
     carries over. Labels materialize per iteration so the lineage (and
-    plan) stays linear in the round count."""
+    plan) stays linear in the round count; in converge mode the
+    changed/two-cycle scalars ride the SAME materialize action as
+    ``observe()`` metrics (no separate count job per round)."""
     und = (
         edges.select("src", "dst")
         .unionAll(
@@ -613,8 +625,13 @@ def label_propagation(
         .distinct()
         .transform(materialize)  # reused every iteration: cut the re-derive
     )
-    labels = nodes.select("node", F.col("node").alias("lab"))
+    # carry the previous round's label along so the two-cycle test
+    # labels(t) == labels(t-2) needs no extra join: __pl is lab(t-1)
+    labels = nodes.select(
+        "node", F.col("node").alias("lab"), F.col("node").alias("__pl")
+    )
     rounds = max_iterations if converge else iterations
+    state = {"converged": False, "two_cycle": False, "rounds": 0}
     for _ in range(rounds):
         neigh = und.join(
             labels.select(F.col("node").alias("src"), "lab"), "src"
@@ -630,21 +647,61 @@ def label_propagation(
             )
             .select("node", (-F.col("m.nl")).alias("newlab"))
         )
-        nxt = materialize(
-            labels.join(upd, "node", "left").select(
-                "node",
-                F.coalesce("newlab", "lab").alias("lab"),
-                F.col("lab").alias("__prev"),
-            )
+        nxt = labels.join(upd, "node", "left").select(
+            "node",
+            F.coalesce("newlab", "lab").alias("lab"),
+            F.col("lab").alias("__prev"),
+            F.col("__pl").alias("__prev2"),
         )
         if converge:
-            # one scalar per round, like the CC fixpoint loop
-            changed = nxt.filter(F.col("lab") != F.col("__prev")).count()
-            labels = nxt.select("node", "lab")
-            if changed == 0:
+            obs = Observation()
+            nxt = nxt.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("lab") != F.col("__prev")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+                F.coalesce(
+                    F.sum((F.col("lab") != F.col("__prev2")).cast("long")),
+                    F.lit(0),
+                ).alias("changed2"),
+            )
+        nxt = materialize(nxt)
+        state["rounds"] += 1
+        if converge:
+            m = obs.get  # scalars from the materialize action itself
+            labels = nxt.select(
+                "node", "lab", F.col("__prev").alias("__pl")
+            )
+            if m["changed"] == 0:
+                state["converged"] = True
+                break
+            if m["changed2"] == 0 and state["rounds"] >= 2:
+                # period-2 oscillation: labels(t) == labels(t-2). Pick
+                # the higher-modularity side of the cycle — one bounded
+                # Q evaluation per side, termination-time only
+                state["two_cycle"] = True
+                cur = nxt.select("node", F.col("lab").alias("community"))
+                prv = nxt.select("node", F.col("__prev").alias("community"))
+                q_cur = modularity_terms(cur, edges).agg(
+                    F.sum("q_term")
+                ).first()[0] or 0.0
+                q_prv = modularity_terms(prv, edges).agg(
+                    F.sum("q_term")
+                ).first()[0] or 0.0
+                if q_prv > q_cur:
+                    labels = nxt.select(
+                        "node",
+                        F.col("__prev").alias("lab"),
+                        F.col("__prev2").alias("__pl"),
+                    )
                 break
         else:
-            labels = nxt.select("node", "lab")
+            labels = nxt.select(
+                "node", "lab", F.col("__prev").alias("__pl")
+            )
+    if info is not None:
+        info.update(state)
     return labels.select("node", F.col("lab").cast("long").alias("community"))
 
 
@@ -691,17 +748,19 @@ def modularity_terms(labels: DataFrame, edges: DataFrame) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
+    obs = Observation()
     j = materialize(
         und.join(lab.select(F.col("node").alias("src"),
                             F.col("community").alias("cs")), "src")
         .join(lab.select(F.col("node").alias("dst"),
                          F.col("community").alias("cd")), "dst")
+        .observe(obs, F.count(F.lit(1)).alias("m2"))
     )
     # the 2m normalizer counts the LABELED symmetrized edges (== the
     # rows the numerators aggregate), so partial label coverage stays
-    # internally consistent; j is materialized so this scalar and the
-    # groupBy below share one computed frame
-    m2 = j.count()
+    # internally consistent; the scalar rides the materialize action
+    # (observe), and the groupBy below reuses the materialized frame
+    m2 = int(obs.get["m2"])
     agg = j.groupBy(F.col("cs").alias("community")).agg(
         F.sum((F.col("cs") == F.col("cd")).cast("long")).alias("within2"),
         F.count(F.lit(1)).alias("degree_sum"),
@@ -838,7 +897,9 @@ def kcore_peel(
     Scale shape per round: two semi-join-style keyed joins (edge
     endpoints against the surviving node set) + one map-side-combinable
     degree count — PageRank's exchange profile again; survivors shrink
-    monotonically so later rounds get cheaper."""
+    monotonically so later rounds get cheaper. In fixpoint mode the
+    survivor count rides the round's materialize action as an
+    ``observe()`` metric — one job per round, not two."""
     if rounds is not None and rounds < 1:
         raise ValueError(f"kcore_peel needs rounds >= 1 or None, got {rounds}")
     und = (
@@ -859,16 +920,25 @@ def kcore_peel(
         b = surv.select(F.col("node").alias("dst"))
         # materialize per round: keeps the plan linear in round count
         # instead of re-deriving the whole peel cascade on every join
-        deg = materialize(
+        raw = (
             und.join(a, "src").join(b, "dst")
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .select(F.col("src").alias("node"), "deg")
         )
+        if rounds is None:
+            obs = Observation()
+            raw = raw.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("deg") >= k).cast("long")), F.lit(0)
+                ).alias("surv"),
+            )
+        deg = materialize(raw)
         surv = deg.filter(F.col("deg") >= k).select("node")
         done += 1
         if rounds is None:
-            c = surv.count()
+            c = int(obs.get["surv"])
             if c == prev:
                 break
             prev = c

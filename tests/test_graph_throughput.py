@@ -181,8 +181,10 @@ def test_kcore_fixpoint_equals_converged_prefix(spark):
 def test_label_propagation_converge_mode(spark):
     """converge=True stops at the first zero-change round and matches
     any deeper fixed prefix on a converging fixture; on the textbook
-    sync-LPA oscillator it terminates at max_iterations instead of
-    hanging."""
+    sync-LPA oscillator it DETECTS the period-2 cycle (labels(t) ==
+    labels(t-2)), stops deterministically, returns the
+    higher-modularity side, and reports the termination story through
+    ``info`` instead of silently truncating at the cap."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from fastetl_spark.operators.graph import label_propagation
@@ -193,23 +195,33 @@ def test_label_propagation_converge_mode(spark):
     edges += [(4, 10)]
     nodes = spark.createDataFrame([(n,) for n in c1 + c2], ["node"])
     e = spark.createDataFrame(edges, ["src", "dst"])
+    cinfo: dict = {}
     conv = sorted(
-        map(tuple, label_propagation(nodes, e, converge=True).collect())
+        map(
+            tuple,
+            label_propagation(nodes, e, converge=True, info=cinfo).collect(),
+        )
     )
     assert conv == sorted(
         map(tuple, label_propagation(nodes, e, iterations=8).collect())
     )
-    # oscillator: isolated edge swaps labels every round, no fixpoint —
-    # the cap must end the loop (labels = max_iterations parity state)
+    assert cinfo["converged"] and not cinfo["two_cycle"]
+    assert 1 <= cinfo["rounds"] <= 8
+    # oscillator: isolated edge swaps labels every round, no fixpoint.
+    # The two-cycle is caught at round 2 (NOT the round-50 default cap);
+    # both cycle sides have equal Q here (-0.5), so the later round —
+    # the identity labeling — wins the deterministic tie-break
     onodes = spark.createDataFrame([(1,), (2,)], ["node"])
     oe = spark.createDataFrame([(1, 2)], ["src", "dst"])
-    capped = {
+    oinfo: dict = {}
+    osc = {
         r["node"]: r["community"]
         for r in label_propagation(
-            onodes, oe, converge=True, max_iterations=3
+            onodes, oe, converge=True, info=oinfo
         ).collect()
     }
-    assert capped == {1: 2, 2: 1}  # 3 rounds = odd parity = swapped
+    assert oinfo == {"converged": False, "two_cycle": True, "rounds": 2}
+    assert osc == {1: 1, 2: 2}
 
 
 def test_modularity_terms_exact_values(spark):
