@@ -795,6 +795,19 @@ class Engine:
             .agg(F.count(F.lit(1)).alias("n_cur"))
         )
 
+    def psi_terms(self, counts: DataFrame) -> DataFrame:
+        """Turn a COMPLETE per-(event_type, bin) count grid (n_ref,
+        n_cur — zeros included) into Laplace-smoothed triangular-
+        discrimination drift terms (operators/analytics.
+        psi_terms_from_counts — the shared tail gated by BOTH
+        `value_drift_bins` and, live from a stream's foreachBatch,
+        `streaming_drift_psi`). Compose with monitor_drift's counts +
+        a frozen reference grid to alert on the exact gated statistic;
+        sum drift_term per key for the scalar PSI."""
+        from fastetl_spark.operators.analytics import psi_terms_from_counts
+
+        return psi_terms_from_counts(counts)
+
     def contamination_report(self, train: DataFrame, eval_set: DataFrame,
                              id_col: str = "doc_id",
                              text_col: str = "text", n: int = 8,

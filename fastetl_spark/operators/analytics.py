@@ -1928,6 +1928,20 @@ def drift_bins(
             ).cast("long").alias("n_cur"),
         )
     )
+    return psi_terms_from_counts(counts).orderBy("event_type", "bin")
+
+
+def psi_terms_from_counts(counts: DataFrame) -> DataFrame:
+    """The drift statistic's shared tail: per-(key, bin) Laplace-
+    smoothed triangular-discrimination terms from a COMPLETE
+    (event_type, bin, n_ref, n_cur) count grid (every bin present,
+    zeros included — the smoothing denominators assume it). One keyed
+    total aggregate + one broadcast-sized join; the term is a rational
+    of exact integers through a pinned IEEE shape, so the SAME function
+    serves the batch report (`value_drift_bins`) and the streaming
+    monitor's foreachBatch (`streaming_drift_psi`) under one oracle —
+    the stream/batch equivalence gate covers the statistic itself, not
+    just the counts."""
     tot = counts.groupBy("event_type").agg(
         F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
     )
@@ -1937,16 +1951,12 @@ def drift_bins(
     q = (F.col("n_cur") + 1).cast("double") / (
         F.col("tot_cur") + _PSI_BINS
     ).cast("double")
-    return (
-        counts.join(tot, "event_type")
-        .select(
-            "event_type",
-            "bin",
-            "n_ref",
-            "n_cur",
-            ((p - q) * (p - q) / (p + q)).alias("drift_term"),
-        )
-        .orderBy("event_type", "bin")
+    return counts.join(tot, "event_type").select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((p - q) * (p - q) / (p + q)).alias("drift_term"),
     )
 
 

@@ -1190,20 +1190,13 @@ ORDER BY 1, 2
 """
 
 
-@query("streaming_drift_monitor", _stream_drift_sql())
-def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Live drift monitoring as a REAL Structured Streaming run: exact
-    decile boundaries frozen from the batch reference half
-    (operators/quantiles, disc convention), the event stream binned
-    against them via a stream-static broadcast join, per-(key, bin)
-    counts in complete mode — drained and checked against the batch
-    oracle. Downstream, joining n_ref per (key, bin) (a static frame)
-    and the drift_bins tail turns these counts into live PSI terms."""
+def _frozen_drift_reference(spark: SparkSession, sf_dir: str):
+    """Shared monitor setup: read the batch events slice, derive the
+    integer midpoint, freeze exact decile boundaries from the reference
+    half (operators/quantiles, disc convention) with the +inf fallback
+    for keys the reference never saw. Returns (ev, mid, bounds)."""
     from fastetl_spark.operators.analytics import _PSI_BINS
-    from fastetl_spark.operators.quantiles import (
-        bin_by_bounds,
-        group_quantile_bounds,
-    )
+    from fastetl_spark.operators.quantiles import group_quantile_bounds
 
     from fastetl_spark.io.readers import read_table
 
@@ -1223,7 +1216,7 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         # events means there is no reference half to freeze boundaries
         # from — fail with the real story, not a TypeError from int()
         raise ValueError(
-            "streaming_drift_monitor: events slice has no rows with "
+            "streaming drift monitor: events slice has no rows with "
             "non-NULL event_type/value/ts; cannot derive the reference "
             "midpoint"
         )
@@ -1247,8 +1240,19 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounds"),
         )
     )
+    return ev, mid, bounds
+
+
+def _binned_current_stream(
+    spark: SparkSession, sf_dir: str, mid: int, bounds: DataFrame
+) -> DataFrame:
+    """The live half of the drift monitor: post-midpoint event stream
+    binned against the frozen boundaries through a stream-static
+    broadcast join, counted per (event_type, bin)."""
+    from fastetl_spark.operators.quantiles import bin_by_bounds
+
     stream = _gated_events_stream(spark, sf_dir)
-    cur = (
+    return (
         stream.select(
             "event_type",
             "value",
@@ -1268,6 +1272,113 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n_cur"))
     )
+
+
+@query("streaming_drift_monitor", _stream_drift_sql())
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live drift monitoring as a REAL Structured Streaming run: exact
+    decile boundaries frozen from the batch reference half
+    (operators/quantiles, disc convention), the event stream binned
+    against them via a stream-static broadcast join, per-(key, bin)
+    counts in complete mode — drained and checked against the batch
+    oracle. `streaming_drift_psi` (the 16th gate) extends this pipeline
+    to the alert statistic itself."""
+    ev, mid, bounds = _frozen_drift_reference(spark, sf_dir)
+    cur = _binned_current_stream(spark, sf_dir, mid, bounds)
     return _drain_to_memory(cur, "st_drift_", "complete").orderBy(
         "event_type", "bin"
     )
+
+
+# --- 16th gate: streaming PSI (the alert statistic, end-to-end) ------------
+#
+# The 15th gate proved stream/batch equivalence of the per-(key, bin)
+# COUNTS; the value a monitor actually alerts on — the per-bin drift
+# term — was computed downstream in batch, unpinned. This gate closes
+# that gap: the static per-(key, bin) n_ref grid is joined INSIDE the
+# same complete-mode foreachBatch pipeline and the Laplace-smoothed
+# triangular-discrimination terms are emitted through the SAME shared
+# tail as the batch report (operators/analytics.psi_terms_from_counts),
+# so the oracle — the identical _PSI_SQL that gates value_drift_bins —
+# hash-checks the statistic itself from the stream. Per micro-batch
+# cost: the complete-mode count state + one broadcast-sized grid join +
+# a keys×bins-sized write (overwrite per batch: idempotent under
+# redelivery by construction, no marker needed).
+
+
+def _stream_psi_sql() -> str:
+    from fastetl_spark.operators.analytics import _PSI_SQL
+
+    return _PSI_SQL
+
+
+@query("streaming_drift_psi", _stream_psi_sql())
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PSI drift report LIVE from a Structured Streaming run,
+    gated against the batch oracle of `value_drift_bins` itself:
+    frozen reference boundaries + static n_ref grid (batch side),
+    stream-binned current counts (complete mode), and — inside
+    foreachBatch — the grid join and the exact-rational drift terms,
+    written idempotently per batch. A monitor deploying this sink
+    alerts on the very numbers the hash gate pins."""
+    from fastetl_spark.operators.analytics import (
+        _PSI_BINS,
+        psi_terms_from_counts,
+    )
+    from fastetl_spark.operators.quantiles import bin_by_bounds
+
+    ev, mid, bounds = _frozen_drift_reference(spark, sf_dir)
+    # static reference grid: every (key, bin) with its n_ref, zeros
+    # included — keys × bins rows, broadcast-sized by construction
+    ref_counts = (
+        ev.filter(F.col("us") < mid)
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            bin_by_bounds(F.col("value"), F.col("bounds")).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    grid = bounds.select("event_type").crossJoin(
+        spark.range(0, _PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    )
+    ref_grid = (
+        grid.join(ref_counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        )
+        .localCheckpoint()  # small static frame, reused every batch
+    )
+    root = _scratch_root(sf_dir, "stream_psi")
+    dest, ckpt = f"{root}/dest", f"{root}/ckpt"
+
+    def psi_batch(batch_df: DataFrame, batch_id: int) -> None:
+        full = (
+            ref_grid.join(
+                F.broadcast(batch_df), ["event_type", "bin"], "left"
+            ).select(
+                "event_type",
+                "bin",
+                "n_ref",
+                F.coalesce(F.col("n_cur"), F.lit(0))
+                .cast("long")
+                .alias("n_cur"),
+            )
+        )
+        # complete mode recomputes the whole aggregate every batch, so
+        # overwrite converges under any redelivery — no marker needed
+        psi_terms_from_counts(full).write.mode("overwrite").parquet(dest)
+
+    cur = _binned_current_stream(spark, sf_dir, mid, bounds)
+    q = (
+        cur.writeStream.foreachBatch(psi_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest).orderBy("event_type", "bin")

@@ -235,6 +235,33 @@ def test_monitor_drift_drops_null_keys_and_values(spark):
     assert out == {("a", 9): 1, ("b", 0): 1}
 
 
+def test_psi_terms_from_counts_exact_values(spark):
+    """The shared PSI tail on a hand-computed grid: 2 bins, one key.
+    n_ref = (9, 1), n_cur = (1, 9), B = 10 smoothing:
+    p = (n_ref+1)/(10+10), q = (n_cur+1)/(10+10) -> terms
+    ((0.5-0.1)^2/(0.5+0.1), (0.1-0.5)^2/(0.1+0.5)) both = 0.16/0.6."""
+    from fastetl_spark.operators.analytics import psi_terms_from_counts
+
+    counts = spark.createDataFrame(
+        [("a", 0, 9, 1), ("a", 1, 1, 9)],
+        "event_type string, bin int, n_ref long, n_cur long",
+    )
+    out = {r["bin"]: r for r in psi_terms_from_counts(counts).collect()}
+    # mirror the IEEE shape exactly: (p-q)*(p-q)/(p+q), p=10/20, q=2/20
+    p, q = 10.0 / 20.0, 2.0 / 20.0
+    expect = (p - q) * (p - q) / (p + q)
+    assert out[0]["drift_term"] == expect
+    assert out[1]["drift_term"] == expect
+    # zero current drift: identical distributions -> all terms 0
+    same = spark.createDataFrame(
+        [("a", 0, 5, 5), ("a", 1, 5, 5)],
+        "event_type string, bin int, n_ref long, n_cur long",
+    )
+    assert all(
+        r["drift_term"] == 0.0 for r in psi_terms_from_counts(same).collect()
+    )
+
+
 def test_group_quantile_bounds_modes_and_validation(spark):
     import pytest
 
