@@ -795,6 +795,26 @@ class Engine:
             .agg(F.count(F.lit(1)).alias("n_cur"))
         )
 
+    def media_profile(self, media: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload",
+                      arrow: bool = False) -> DataFrame:
+        """Format detection (real magic bytes: PNG/JPEG/GIF/RIFF-WAVE)
+        + exact byte-statistics profile over an opaque binary column
+        (operators/multimodal.payload_byte_profile, gated by
+        `binary_format_profile`): (id, format, n_bytes, distinct_bytes,
+        top_byte, top_byte_count, byte_collision_prob) — the
+        corruption/mislabel screen to run BEFORE any decode.
+        ``arrow=True`` switches to the mapInPandas twin (one numpy
+        bincount per payload, bytes never become rows — the 100 TB
+        shape; bit-identical, equality-tested)."""
+        from fastetl_spark.operators.multimodal import (
+            payload_byte_profile,
+            payload_byte_profile_pandas,
+        )
+
+        fn = payload_byte_profile_pandas if arrow else payload_byte_profile
+        return fn(media, id_col=id_col, payload_col=payload_col)
+
     def psi_terms(self, counts: DataFrame) -> DataFrame:
         """Turn a COMPLETE per-(event_type, bin) count grid (n_ref,
         n_cur — zeros included) into Laplace-smoothed triangular-

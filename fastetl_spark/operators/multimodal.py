@@ -132,7 +132,235 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "width", "height", F.size("feature").alias("feat_dim"))
 
 
-# --- grouped-map applyInPandas (§2.11 plugin surface) --------------------
+# --- binary format + byte-statistics profile (PIL-free, gated) -----------
+
+# Real magic-byte prefixes (public file-format signatures); the fixture
+# stamps one onto each encoded-text payload by doc_id % 4, so format
+# DETECTION — the real operator — runs on genuine signatures even
+# though the bodies are synthetic. Detection + histogram need no
+# imaging library: this is the multimodal op that is fully exact and
+# DuckDB-oracle-able (entropy's ln is not gateable cross-libm; the
+# collision probability sum(c^2)/n^2 — Simpson index — carries the
+# same concentration signal as exact integers through ONE division).
+_MAGIC = {
+    0: b"\x89PNG\r\n\x1a\n",  # PNG 8-byte signature
+    1: b"\xff\xd8\xff\xe0",  # JPEG/JFIF SOI + APP0
+    2: b"GIF89a",  # GIF header
+    3: b"RIFF\x00\x00\x00\x00WAVE",  # RIFF container, WAVE form type
+}
+
+
+def _stamped_payload() -> F.Column:
+    pl = F.encode("text", "UTF-8")
+    c = F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(_MAGIC[0]), pl))
+    c = c.when(F.col("doc_id") % 4 == 1, F.concat(F.lit(_MAGIC[1]), pl))
+    c = c.when(F.col("doc_id") % 4 == 2, F.concat(F.lit(_MAGIC[2]), pl))
+    return c.otherwise(F.concat(F.lit(_MAGIC[3]), pl))
+
+
+def detect_format(hx: F.Column) -> F.Column:
+    """Container format from the payload's hex string (magic bytes):
+    PNG / JPEG (any APPn marker) / GIF89a / RIFF-WAVE (form type at
+    byte offset 8), else octet-stream. Pure string prefix tests —
+    JVM-side, codegen-friendly."""
+    return (
+        F.when(F.substring(hx, 1, 16) == "89504E470D0A1A0A", "image/png")
+        .when(F.substring(hx, 1, 6) == "FFD8FF", "image/jpeg")
+        .when(F.substring(hx, 1, 12) == "474946383961", "image/gif")
+        .when(
+            (F.substring(hx, 1, 8) == "52494646")
+            & (F.substring(hx, 17, 8) == "57415645"),
+            "audio/wav",
+        )
+        .otherwise("application/octet-stream")
+    )
+
+
+def payload_byte_profile(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload format + byte-statistics profile over an opaque
+    binary column: (id, format, n_bytes, distinct_bytes, top_byte,
+    top_byte_count, byte_collision_prob). Everything is exact integer
+    arithmetic — the byte histogram via explode + two map-side-
+    combinable keyed aggregations (bytes collapse to <=256 rows per
+    payload per partition before any shuffle), the (count, byte) argmax
+    as the single BIGINT key c*256 + (255 - byte) (ties to the SMALLEST
+    byte — both engines take MAX of the same integers), and the
+    collision probability sum(c^2)/n^2 as one IEEE division. The hex
+    detour exists because Spark has no byte-at() on BINARY; conv()
+    parses each 2-hex-char slice back to its byte value.
+
+    At 100 TB, payloads should not become rows at all —
+    payload_byte_profile_pandas computes the identical profile with one
+    numpy bincount per payload inside Arrow batches (equality-tested);
+    this JVM form is the gateable twin."""
+    h = media.select(
+        F.col(id_col).alias("doc_id"),
+        F.hex(payload_col).alias("hx"),
+        F.length(payload_col).cast("long").alias("n"),
+    )
+    fmt = h.select("doc_id", detect_format(F.col("hx")).alias("format"))
+    b = h.select(
+        "doc_id",
+        "hx",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.conv(F.expr("substring(hx, i * 2 + 1, 2)"), 16, 10)
+        .cast("int")
+        .alias("byte"),
+    )
+    hist = b.groupBy("doc_id", "byte").agg(F.count(F.lit(1)).alias("c"))
+    stats = hist.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bytes"),
+        F.count(F.lit(1)).cast("long").alias("distinct_bytes"),
+        F.max(F.col("c") * 256 + (255 - F.col("byte"))).alias("mk"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    return fmt.join(stats, "doc_id").select(
+        "doc_id",
+        "format",
+        "n_bytes",
+        "distinct_bytes",
+        (255 - F.col("mk") % 256).cast("int").alias("top_byte"),
+        F.expr("mk div 256").cast("long").alias("top_byte_count"),
+        (
+            F.col("sumsq").cast("double")
+            / (F.col("n_bytes") * F.col("n_bytes")).cast("double")
+        ).alias("byte_collision_prob"),
+    )
+
+
+def payload_byte_profile_pandas(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The 100 TB shape of payload_byte_profile: payload bytes NEVER
+    become rows — each Arrow batch is profiled with one numpy bincount
+    per payload (O(bytes) local work, zero shuffle), exactly how a real
+    decoder stage would sit. Bit-identical to the JVM/gated twin
+    (equality-tested): same integers, same single division."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("distinct_bytes", T.LongType()),
+            T.StructField("top_byte", T.IntegerType()),
+            T.StructField("top_byte_count", T.LongType()),
+            T.StructField("byte_collision_prob", T.DoubleType()),
+        ]
+    )
+    sigs = [
+        (b"\x89PNG\r\n\x1a\n", None, "image/png"),
+        (b"\xff\xd8\xff", None, "image/jpeg"),
+        (b"GIF89a", None, "image/gif"),
+        (b"RIFF", b"WAVE", "audio/wav"),
+    ]
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                fmt = "application/octet-stream"
+                for head, at8, name in sigs:
+                    if buf.startswith(head) and (
+                        at8 is None or buf[8:12] == at8
+                    ):
+                        fmt = name
+                        break
+                counts = np.bincount(
+                    np.frombuffer(buf, dtype=np.uint8), minlength=256
+                ).astype(np.int64)
+                nz = np.nonzero(counts)[0]
+                mk = int((counts[nz] * 256 + (255 - nz)).max())
+                n = len(buf)
+                rows.append(
+                    (
+                        int(did),
+                        fmt,
+                        n,
+                        int(len(nz)),
+                        255 - mk % 256,
+                        mk // 256,
+                        float(int((counts * counts).sum())) / float(n * n),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in schema.fields],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(profile, schema)
+
+
+_FORMAT_PROFILE_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+           WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+           WHEN 2 THEN 'GIF89a'::BLOB || encode(text)
+           ELSE 'RIFF\x00\x00\x00\x00WAVE'::BLOB || encode(text)
+         END AS p
+  FROM documents
+), h AS (
+  SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM m
+), fmt AS (
+  SELECT doc_id,
+         CASE
+           WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+           WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+           WHEN substr(hx, 1, 12) = '474946383961' THEN 'image/gif'
+           WHEN substr(hx, 1, 8) = '52494646'
+                AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+           ELSE 'application/octet-stream'
+         END AS format
+  FROM h
+), pos AS (
+  SELECT doc_id, hx, unnest(generate_series(0, n - 1)) AS i FROM h
+), b AS (
+  SELECT doc_id, ('0x' || substr(hx, i * 2 + 1, 2))::INT AS byte FROM pos
+), hist AS (
+  SELECT doc_id, byte, COUNT(*) AS c FROM b GROUP BY 1, 2
+), stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bytes,
+         CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+         CAST(MAX(c * 256 + (255 - byte)) AS BIGINT) AS mk,
+         CAST(SUM(c * c) AS BIGINT) AS sumsq
+  FROM hist GROUP BY doc_id
+)
+SELECT f.doc_id, f.format, s.n_bytes, s.distinct_bytes,
+       CAST(255 - (mk % 256) AS INT) AS top_byte,
+       CAST(mk // 256 AS BIGINT) AS top_byte_count,
+       CAST(sumsq AS DOUBLE) / CAST(n_bytes * n_bytes AS DOUBLE)
+         AS byte_collision_prob
+FROM fmt f JOIN stats s USING (doc_id)
+"""
+
+
+@query("binary_format_profile", _FORMAT_PROFILE_SQL)
+def binary_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format detection + exact byte-statistics profile over
+    a binary media column — the multimodal op that needs NO imaging
+    library: payloads are documents' text stamped with REAL format
+    signatures (PNG/JPEG/GIF/RIFF-WAVE by doc_id % 4), detection reads
+    the genuine magic bytes, and the histogram stats (distinct bytes,
+    modal byte with deterministic ties, Simpson collision probability)
+    are exact integers with one pinned division. The corruption/
+    mislabel screen a multimodal ingest runs before ever decoding."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    media = to_media_table(
+        d.withColumn("payload", _stamped_payload()),
+        "doc_id",
+        "payload",
+        "mixed",
+    )
+    return payload_byte_profile(media)
 
 ZSCORE_SCHEMA = T.StructType(
     [

@@ -156,6 +156,42 @@ def test_decode_image_is_stubbed():
         decode_image(b"\x89PNG")
 
 
+def test_payload_byte_profile_jvm_equals_pandas(spark, sf_dir):
+    """The gated JVM byte-profile and the Arrow/numpy scale twin (one
+    bincount per payload, bytes never become rows) are bit-identical —
+    same integers, same single division — and detection reads real
+    magic bytes, including deliberately corrupt/unknown payloads."""
+    from fastetl_spark.operators.multimodal import (
+        _stamped_payload,
+        payload_byte_profile,
+        payload_byte_profile_pandas,
+    )
+
+    d = read_table(spark, sf_dir, "documents").limit(60)
+    media = d.withColumn("payload", _stamped_payload()).select(
+        "doc_id", "payload"
+    )
+    jvm = sorted(map(tuple, payload_byte_profile(media).collect()))
+    arrow = sorted(map(tuple, payload_byte_profile_pandas(media).collect()))
+    assert jvm == arrow
+    fmts = {fmt for _, fmt, *_ in jvm}
+    assert fmts == {"image/png", "image/jpeg", "image/gif", "audio/wav"}
+    # unknown/corrupt payloads: truncated magic falls back to
+    # octet-stream; single-byte payload exercises the histogram edges
+    odd = spark.createDataFrame(
+        [(1, bytes([0x89, 0x50])), (2, b"\x00"), (3, b"RIFFxxxxAVI ")],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in payload_byte_profile(odd).collect()}
+    assert all(
+        got[i]["format"] == "application/octet-stream" for i in (1, 2, 3)
+    )
+    assert got[2]["n_bytes"] == 1 and got[2]["distinct_bytes"] == 1
+    assert got[2]["top_byte"] == 0 and got[2]["byte_collision_prob"] == 1.0
+    assert sorted(map(tuple, payload_byte_profile_pandas(odd).collect())) == \
+        sorted(map(tuple, got.values()))
+
+
 def test_http_enrich_idempotent_and_rate_limited(spark):
     import pandas as pd
 
