@@ -181,6 +181,20 @@ def main() -> None:
     # round-over-round delta can be told apart from run jitter (a delta
     # inside the spread band is noise, not a regression).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Quiet-capture gate (round-9 VERDICT ask #1): co-tenant load spikes
+    # have repeatedly produced bad committed captures (r6 ANN doubling,
+    # r8's 1.27x across untouched queries — PERF.md #36, VERDICT r8).
+    # With SPARK_GRAFT_BENCH_LA1_GATE=<n> the timed loop WAITS (up to
+    # SPARK_GRAFT_BENCH_LA1_WAIT seconds, default 900) for 1-min
+    # loadavg to drop below n before starting; either way the emitted
+    # line carries la1_median so a hot capture is self-annotating.
+    la_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LA1_GATE", "0") or 0)
+    if la_gate > 0:
+        deadline = time.time() + float(
+            os.environ.get("SPARK_GRAFT_BENCH_LA1_WAIT", "900")
+        )
+        while os.getloadavg()[0] > la_gate and time.time() < deadline:
+            time.sleep(20)
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name in HEADLINE:
@@ -333,18 +347,92 @@ def main() -> None:
             "ok": ratio < 1.5,
         }
 
+    # BM25 max_df guard on a Zipf-vocabulary corpus (round-9 VERDICT
+    # ask #3): the documents fixture's 31-term vocabulary is all head,
+    # so only a synthetic Zipf corpus can show the cap doing its real
+    # job — pruning stopword-grade candidate pairs while every query
+    # without a capped term scores BIT-identically (stats-before-cap
+    # contract). Reported like the other guards: measured, not argued.
+    bm25_zipf: dict[str, object] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_ZIPF_GUARD") != "1":
+        from pyspark.sql import functions as F
+
+        from fastetl_spark.operators.retrieval import (
+            bm25_from_posting,
+            doc_posting,
+            zipf_corpus,
+            zipf_queries,
+        )
+
+        zn, zv, zcap = 5000, 2048, 0.01
+        zposting = doc_posting(
+            zipf_corpus(spark, zn, 40, zv)
+        ).localCheckpoint()
+        zq = zipf_queries(spark, 10_000, 3, zv).localCheckpoint()
+        zwalls: dict[str, float] = {}
+        zpairs: dict[str, int] = {}
+        for tag, mdf in (("uncapped", None), ("capped", zcap)):
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                bm25_from_posting(
+                    zposting, zq, k=10, broadcast_queries=False, max_df=mdf
+                ).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            zwalls[tag] = round(best, 3)
+            zpairs[tag] = bm25_from_posting(
+                zposting, zq, k=10**9, broadcast_queries=False, max_df=mdf
+            ).count()
+        zhead = [
+            r["term"]
+            for r in zposting.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > zcap * zn)
+            .collect()
+        ]
+        zqt = zq.select("query_id", F.explode("terms").alias("term"))
+        ztail = zq.join(
+            zqt.filter(F.col("term").isin(zhead))
+            .select("query_id")
+            .distinct(),
+            "query_id",
+            "left_anti",
+        )
+        t_rows = sorted(map(tuple, bm25_from_posting(
+            zposting, ztail, k=10, broadcast_queries=False).collect()))
+        c_rows = sorted(map(tuple, bm25_from_posting(
+            zposting, ztail, k=10, broadcast_queries=False,
+            max_df=zcap).collect()))
+        bm25_zipf = {
+            "uncapped_sec": zwalls["uncapped"],
+            "capped_sec": zwalls["capped"],
+            "uncapped_pairs": zpairs["uncapped"],
+            "capped_pairs": zpairs["capped"],
+            "tail_bit_equal": t_rows == c_rows and len(t_rows) > 0,
+            "ok": (
+                zpairs["capped"] * 5 < zpairs["uncapped"]
+                and t_rows == c_rows
+                and len(t_rows) > 0
+            ),
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver captures only the TAIL of stdout (~2 kB), so the
     # emitted line must stay compact: per-query bests at 1 dp plus the
     # guard booleans. Everything else (median/spread stats, scaling and
     # index-scaling detail, 3-dp timings) goes to BENCH_DETAIL.json
     # next to this script.
+    la1s = sorted(s["la1"] for s in stats.values())
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # capture-quality annotation: per-query 1-min loadavg median —
+        # the committed artifact says for itself whether it was a
+        # quiet capture (PERF.md #31/#36 forensics, r8 VERDICT)
+        "la1_median": la1s[len(la1s) // 2] if la1s else None,
     }
     detail = {
         "queries": timings,
@@ -359,6 +447,9 @@ def main() -> None:
     if index_scaling:
         out["index_scaling_ok"] = all(s["ok"] for s in index_scaling.values())
         detail["index_scaling"] = index_scaling
+    if bm25_zipf:
+        out["bm25_zipf_ok"] = bm25_zipf["ok"]
+        detail["bm25_zipf"] = bm25_zipf
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:

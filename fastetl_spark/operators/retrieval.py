@@ -254,6 +254,76 @@ def doc_posting(docs: DataFrame) -> DataFrame:
     )
 
 
+def zipf_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    doc_len: int,
+    vocab: int,
+    tag: str = "z",
+) -> DataFrame:
+    """Deterministic Zipf-distributed synthetic corpus: (doc_id, text)
+    with ``doc_len`` tokens per doc drawn from a ``vocab``-term
+    reciprocal (Zipf s=1) distribution — the document-frequency shape
+    real text has (a few stopword-grade head terms, a long rare tail),
+    which the TPC-H-ish documents fixture lacks (its 31-term vocabulary
+    is ALL head — PERF.md #39). Sampling is the classic log-uniform
+    inverse: u ~ U(0,1) from md5(tag, doc, pos), rank = floor((V+1)^u)
+    in [1, V] with P(rank=r) = ln((r+1)/r)/ln(V+1) ~ 1/(r ln(V+1)).
+    Pure JVM expressions (md5 + conv + exp per token, one transform per
+    doc) — generation itself scales like any projection."""
+    import math
+
+    ln_v1 = math.log(vocab + 1)
+    u = (
+        f"conv(substring(md5(concat('{tag}', ':', id, ':', j)), 1, 15),"
+        " 16, 10)"
+    )
+    rank = (
+        f"cast(exp(cast({u} as double) / 1152921504606846976.0"
+        f" * {ln_v1!r}) as bigint)"
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.expr(
+                f"transform(sequence(1, {doc_len}),"
+                f" j -> concat('t', least({rank}, {vocab})))"
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def zipf_queries(
+    spark: SparkSession,
+    n_queries: int,
+    n_terms: int,
+    vocab: int,
+    tag: str = "q",
+) -> DataFrame:
+    """Query workload drawn from the SAME reciprocal distribution as
+    zipf_corpus (query logs share the corpus's head/tail shape):
+    (query_id, terms array<string>)."""
+    import math
+
+    ln_v1 = math.log(vocab + 1)
+    u = (
+        f"conv(substring(md5(concat('{tag}', ':', id, ':', j)), 1, 15),"
+        " 16, 10)"
+    )
+    rank = (
+        f"cast(exp(cast({u} as double) / 1152921504606846976.0"
+        f" * {ln_v1!r}) as bigint)"
+    )
+    return spark.range(n_queries).select(
+        F.col("id").alias("query_id"),
+        F.expr(
+            f"transform(sequence(1, {n_terms}),"
+            f" j -> concat('t', least({rank}, {vocab})))"
+        ).alias("terms"),
+    )
+
+
 def bm25_from_posting(
     posting: DataFrame,
     queries: DataFrame,

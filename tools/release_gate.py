@@ -62,14 +62,18 @@ def main() -> int:
         if ok:
             try:
                 d = json.loads(tail)
-                guards = d.get("scaling_ok", True) and d.get(
-                    "index_scaling_ok", True
+                guards = (
+                    d.get("scaling_ok", True)
+                    and d.get("index_scaling_ok", True)
+                    and d.get("bm25_zipf_ok", True)
                 )
                 ok = ok and guards
                 tail = (
                     f"total={d.get('value')}s queries={len(d.get('queries', {}))}"
                     f" scaling_ok={d.get('scaling_ok')}"
                     f" index_scaling_ok={d.get('index_scaling_ok')}"
+                    f" bm25_zipf_ok={d.get('bm25_zipf_ok')}"
+                    f" la1_median={d.get('la1_median')}"
                 )
             except (json.JSONDecodeError, TypeError):
                 ok = False
