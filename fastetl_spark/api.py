@@ -795,6 +795,19 @@ class Engine:
             .agg(F.count(F.lit(1)).alias("n_cur"))
         )
 
+    def rrf_fuse(self, a: DataFrame, b: DataFrame,
+                 k: int = 60) -> DataFrame:
+        """Reciprocal-rank fusion of two (query_id, doc_id, rank)
+        rankings (operators/retrieval.rrf_fuse, gated end-to-end by
+        `rrf_hybrid_retrieval` over BM25 + cosine) — the standard
+        hybrid-search combiner: rrf_score = sum of 1/(k + rank) over
+        the systems listing the doc, deterministic fused_rank per
+        query. Feed it Engine.bm25_search ranks and a dense top-k
+        (cosine/IVF) for lexical+semantic RAG retrieval."""
+        from fastetl_spark.operators.retrieval import rrf_fuse
+
+        return rrf_fuse(a, b, k=k)
+
     def media_profile(self, media: DataFrame, id_col: str = "doc_id",
                       payload_col: str = "payload",
                       arrow: bool = False) -> DataFrame:

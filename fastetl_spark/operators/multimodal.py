@@ -362,6 +362,218 @@ def binary_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return payload_byte_profile(media)
 
+
+# --- WAV/RIFF header parsing (typed metadata from binary, gated) ---------
+
+# The metadata-extraction half of a multimodal ingest: read the typed
+# fields OUT of the container header (sample rate, channels, bit
+# depth, data size -> duration) without decoding a single sample. The
+# fixture synthesizes canonical 44-byte PCM WAV headers (RIFF spec is
+# public) around the text payloads with doc_id-varied parameters, and
+# every 1/17th doc deliberately gets a headerless payload so the
+# validity branch is under the oracle too. All parsed fields are exact
+# integers; duration_us is one truncating integer division (identical
+# in Spark `div` and DuckDB `//`).
+
+
+def _hex2(e: str) -> str:
+    return f"lpad(hex(({e}) % 256), 2, '0')"
+
+
+def _le_hex(e: str, nbytes: int) -> str:
+    """Little-endian hex of an unsigned integer expression — built from
+    functions Spark SQL and DuckDB share (hex/lpad/concat/floor; the
+    engines' integer-div spellings differ, so byte shifts go through
+    floor(x / 2^8i) — exact in a double for these < 2^32 values), so
+    ONE fragment serves the fixture in both engines."""
+    parts = [
+        _hex2(
+            f"({e})"
+            if i == 0
+            else f"CAST(floor(({e}) / {256 ** i}.0) AS BIGINT)"
+        )
+        for i in range(nbytes)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+# doc_id-varied PCM parameters (8 combos) + the data chunk = the
+# encoded text; chunk sizes derive from it, so the parser must read
+# real little-endian sizes, not constants
+_WAV_SR = ("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000"
+           " WHEN 2 THEN 22050 ELSE 44100 END")
+_WAV_CH = "CAST(1 + doc_id % 2 AS INT)"
+_WAV_BITS = "CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END"
+
+
+def _wav_header_hex(ds: str) -> str:
+    block = (
+        f"(({_WAV_CH}) * CAST(floor(({_WAV_BITS}) / 8.0) AS BIGINT))"
+    )
+    byte_rate = f"(({_WAV_SR}) * {block})"
+    return "concat(" + ", ".join(
+        [
+            "'52494646'",                # 'RIFF'
+            _le_hex(f"36 + ({ds})", 4),  # chunk size
+            "'57415645'",                # 'WAVE'
+            "'666D7420'",                # 'fmt '
+            _le_hex("16", 4),            # fmt chunk size (PCM)
+            _le_hex("1", 2),             # audio format 1 = PCM
+            _le_hex(_WAV_CH, 2),
+            _le_hex(_WAV_SR, 4),
+            _le_hex(byte_rate, 4),
+            _le_hex(block, 2),
+            _le_hex(_WAV_BITS, 2),
+            "'64617461'",                # 'data'
+            _le_hex(ds, 4),
+        ]
+    ) + ")"
+
+
+def wav_header_info(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse canonical PCM WAV headers out of a binary column —
+    (id, valid, channels, sample_rate, bits_per_sample, data_bytes,
+    duration_us, n_samples), NULL fields for non-WAV payloads. Pure
+    JVM hex arithmetic: each little-endian field is reassembled from
+    its header bytes (conv over 2-hex-char slices), validity checks
+    the RIFF/WAVE/'fmt '/PCM magic. duration_us = data_bytes * 1e6 div
+    byte_rate and n_samples = data_bytes div block_align — exact
+    truncating integer divisions (Spark `div` == DuckDB `//`)."""
+
+    def b(i: int) -> F.Column:  # unsigned byte at 0-based offset i
+        return F.conv(
+            F.expr(f"substring(__hx, {i * 2 + 1}, 2)"), 16, 10
+        ).cast("long")
+
+    def le(i: int, n: int) -> F.Column:
+        c = b(i)
+        for k in range(1, n):
+            c = c + b(i + k) * (256 ** k)
+        return c
+
+    base = media.select(
+        F.col(id_col).alias("doc_id"),
+        F.hex(payload_col).alias("__hx"),
+        F.length(payload_col).cast("long").alias("__n"),
+    )
+    head_ok = (
+        (F.col("__n") >= 44)
+        & (F.expr("substring(__hx, 1, 8)") == "52494646")
+        & (F.expr("substring(__hx, 17, 8)") == "57415645")
+        & (F.expr("substring(__hx, 25, 8)") == "666D7420")
+    )
+    parsed = base.select(
+        "doc_id",
+        "__hx",
+        (head_ok & (F.when(head_ok, le(20, 2)) == 1)).alias("valid"),
+    )
+    g = lambda c: F.when(F.col("valid"), c)  # noqa: E731
+    ch, sr = g(le(22, 2)), g(le(24, 4))
+    block, bits = g(le(32, 2)), g(le(34, 2))
+    ds = g(le(40, 4))
+    return parsed.select(
+        "doc_id",
+        "valid",
+        ch.cast("int").alias("channels"),
+        sr.cast("int").alias("sample_rate"),
+        bits.cast("int").alias("bits_per_sample"),
+        ds.alias("data_bytes"),
+        (ds * 1_000_000).alias("__num"),
+        (sr * block).alias("__byte_rate"),
+        block.alias("__block"),
+    ).select(
+        "doc_id",
+        "valid",
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        "data_bytes",
+        F.expr("__num div __byte_rate").cast("long").alias("duration_us"),
+        F.expr("data_bytes div __block").cast("long").alias("n_samples"),
+    )
+
+
+_WAV_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN encode(text)
+              ELSE unhex({_wav_header_hex("octet_length(encode(text))")})
+                   || encode(text)
+         END AS p
+  FROM documents
+), h AS (
+  SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM m
+), v AS (
+  SELECT doc_id, hx,
+         n >= 44
+         AND substr(hx, 1, 8) = '52494646'
+         AND substr(hx, 17, 8) = '57415645'
+         AND substr(hx, 25, 8) = '666D7420' AS head_ok
+  FROM h
+), parsed AS (
+  SELECT doc_id,
+         ('0x' || substr(hx, 41, 2))::BIGINT
+           + ('0x' || substr(hx, 43, 2))::BIGINT * 256 AS fmt_code,
+         ('0x' || substr(hx, 45, 2))::BIGINT
+           + ('0x' || substr(hx, 47, 2))::BIGINT * 256 AS ch,
+         ('0x' || substr(hx, 49, 2))::BIGINT
+           + ('0x' || substr(hx, 51, 2))::BIGINT * 256
+           + ('0x' || substr(hx, 53, 2))::BIGINT * 65536
+           + ('0x' || substr(hx, 55, 2))::BIGINT * 16777216 AS sr,
+         ('0x' || substr(hx, 65, 2))::BIGINT
+           + ('0x' || substr(hx, 67, 2))::BIGINT * 256 AS block,
+         ('0x' || substr(hx, 69, 2))::BIGINT
+           + ('0x' || substr(hx, 71, 2))::BIGINT * 256 AS bits,
+         ('0x' || substr(hx, 81, 2))::BIGINT
+           + ('0x' || substr(hx, 83, 2))::BIGINT * 256
+           + ('0x' || substr(hx, 85, 2))::BIGINT * 65536
+           + ('0x' || substr(hx, 87, 2))::BIGINT * 16777216 AS ds
+  FROM v WHERE head_ok
+)
+SELECT v.doc_id,
+       COALESCE(p.fmt_code = 1, FALSE) AS valid,
+       CASE WHEN p.fmt_code = 1 THEN CAST(p.ch AS INT) END AS channels,
+       CASE WHEN p.fmt_code = 1 THEN CAST(p.sr AS INT) END AS sample_rate,
+       CASE WHEN p.fmt_code = 1 THEN CAST(p.bits AS INT) END
+         AS bits_per_sample,
+       CASE WHEN p.fmt_code = 1 THEN p.ds END AS data_bytes,
+       CASE WHEN p.fmt_code = 1
+            THEN p.ds * 1000000 // (p.sr * p.block) END AS duration_us,
+       CASE WHEN p.fmt_code = 1 THEN p.ds // p.block END AS n_samples
+FROM v LEFT JOIN parsed p USING (doc_id)
+"""
+
+
+@query("wav_header_parse", _WAV_SQL)
+def wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata straight from container bytes: canonical PCM WAV
+    headers (RIFF chunk layout, public spec) synthesized around the
+    text payloads with doc_id-varied sample rate / channels / bit
+    depth, then PARSED back JVM-side — little-endian field reassembly
+    from hex slices, validity via the RIFF/WAVE/'fmt '/PCM magic,
+    duration and sample count as truncating integer divisions. Docs
+    with doc_id % 17 == 0 carry a headerless payload and must report
+    valid = false with NULL fields (the branch is under the oracle)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    ds = "octet_length(encode(text, 'UTF-8'))"
+    media = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.encode("text", "UTF-8")
+        ).otherwise(
+            F.concat(
+                F.unhex(F.expr(_wav_header_hex(ds))),
+                F.encode("text", "UTF-8"),
+            )
+        ).alias("payload"),
+    )
+    return wav_header_info(media)
+
+
+# --- grouped-map applyInPandas (§2.11 plugin surface) ---------------------
+
 ZSCORE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
@@ -477,6 +478,154 @@ def bm25_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         qrows, "query_id int, terms array<string>"
     )
     return bm25_query_scores(d, queries)
+
+
+# --- reciprocal-rank-fusion hybrid retrieval (BM25 + dense) ---------------
+#
+# The standard hybrid-search combiner (Cormack/Clarke/Buettcher, SIGIR
+# 2009): fuse the lexical (BM25) and dense (cosine) rankings of the
+# same query set with RRF(d) = sum over systems of 1/(K + rank_s(d)).
+# The fusion consumes only the systems' INTEGER ranks — both already
+# hash-gated (`bm25_query_join`, `embedding_cosine_topk`) — so the
+# fused score is a small rational of exact integers evaluated through
+# one fixed two-term IEEE shape; no ln/sqrt enters the emitted values.
+# Scale shape: the per-system top-k frames are query-keyed and tiny
+# relative to the corpus; fusion is one full-outer keyed join + one
+# per-query window over <= 2k rows per query.
+
+_RRF_K = 60  # the paper's canonical constant
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int = _RRF_K) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, doc_id, rank) rankings:
+    (query_id, doc_id, in_a, in_b, rrf_score, fused_rank). A doc absent
+    from one system contributes 0 for it (the RRF convention); ties
+    break by doc_id — and one-sided vs two-sided scores cannot collide
+    for ranks <= K/6 (1/(K+r) < 2/(K+r') ranges are disjoint), so the
+    fused order is deterministic."""
+    ar = a.select("query_id", "doc_id", F.col("rank").alias("__ra"))
+    br = b.select("query_id", "doc_id", F.col("rank").alias("__rb"))
+    f = ar.join(br, ["query_id", "doc_id"], "full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(k) + F.col(c)).cast("double"), F.lit(0.0)
+    )
+    scored = f.select(
+        "query_id",
+        "doc_id",
+        F.col("__ra").isNotNull().alias("in_a"),
+        F.col("__rb").isNotNull().alias("in_b"),
+        (term("__ra") + term("__rb")).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), "doc_id"
+    )
+    return scored.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )
+
+
+def _rrf_sql() -> str:
+    from fastetl_spark.operators.similarity import TOP_K  # noqa: F401
+
+    return f"""
+WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), posting AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM tok)
+  GROUP BY 1, 2, 3
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(tokens)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM tok
+), dft AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posting GROUP BY 1
+), bscored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(
+           ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(p.tf AS DOUBLE) * {_BM25_K1_PLUS1})
+           / (CAST(p.tf AS DOUBLE)
+              + ({_BM25_K1_1MB} + {_BM25_K1_B} * (CAST(p.dl AS DOUBLE) / s.avgdl)))
+           * {_QJ_FP}) AS BIGINT) AS s_fp
+  FROM q
+  JOIN posting p USING (term)
+  JOIN dft d USING (term)
+  CROSS JOIN stats s
+), btotals AS (
+  SELECT query_id, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp
+  FROM bscored GROUP BY 1, 2
+), bm25 AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score_fp DESC, doc_id)
+           AS BIGINT) AS rank
+    FROM btotals
+  ) WHERE rank <= {_BM25_QK}
+), vq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+), vc AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings
+), vscored AS (
+  SELECT query_id, doc_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS sim
+  FROM vc, vq WHERE doc_id <> query_id
+), dense AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, doc_id)
+           AS BIGINT) AS rank
+    FROM vscored
+  ) WHERE rank <= {_BM25_QK}
+), fused AS (
+  SELECT query_id, doc_id,
+         b.rank IS NOT NULL AS in_a,
+         d.rank IS NOT NULL AS in_b,
+         COALESCE(1.0 / CAST({_RRF_K} + b.rank AS DOUBLE), 0.0)
+           + COALESCE(1.0 / CAST({_RRF_K} + d.rank AS DOUBLE), 0.0)
+           AS rrf_score
+  FROM bm25 b FULL JOIN dense d USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, in_a, in_b, rrf_score,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id)
+       AS BIGINT) AS fused_rank
+FROM fused
+ORDER BY query_id, fused_rank
+"""
+
+
+@query("rrf_hybrid_retrieval", _rrf_sql())
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search over the shared 4-query workload: BM25 top-10 from
+    the inverted-index join (lexical) fused with cosine top-10 over the
+    query ids' embeddings (dense) by reciprocal-rank fusion — the
+    RAG-stack combiner, gated end-to-end. Only integer ranks cross the
+    fusion boundary, so the fused scores/ranks are exact rationals both
+    engines evaluate identically."""
+    from fastetl_spark.operators.similarity import cosine_topk
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    qrows = [(qid, list(terms)) for qid, terms in _BM25_QUERY_SET]
+    queries = spark.createDataFrame(
+        qrows, "query_id int, terms array<string>"
+    )
+    bm25 = bm25_query_scores(d, queries).select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id", "rank"
+    )
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id").isin([q for q, _ in _BM25_QUERY_SET]))
+    dense = cosine_topk(emb, probes, "vec_id", "embedding", k=_BM25_QK).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return rrf_fuse(bm25, dense).orderBy("query_id", "fused_rank")
 
 
 # --- stupid-backoff trigram scoring --------------------------------------

@@ -1382,3 +1382,54 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(dest).orderBy("event_type", "bin")
+
+
+# --- 17th gate: multimodal byte profile at stream speed ---------------------
+#
+# The multimodal ingest screen (binary_format_profile) run as a REAL
+# Structured Streaming job: binary payloads flow through the
+# Arrow/numpy profile twin (mapInPandas — a stateless row transform, so
+# plain APPEND mode, no aggregation state at all) across 3 file-source
+# micro-batches, and the drained results must hash-match the batch
+# oracle. This pins the deployment claim the batch gate alone cannot:
+# the Arrow path produces identical bytes when the corpus arrives
+# incrementally, per-batch, at stream speed — which is exactly how a
+# multimodal ingest actually receives payloads.
+
+
+def _stream_media_sql() -> str:
+    from fastetl_spark.operators.multimodal import _FORMAT_PROFILE_SQL
+
+    return _FORMAT_PROFILE_SQL
+
+
+@query("streaming_media_profile", _stream_media_sql())
+def streaming_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format detection + exact byte statistics over a
+    STREAM of binary payloads: documents are stamped with real format
+    signatures, landed as 3 slice files, streamed one file per trigger,
+    and profiled through the mapInPandas/numpy twin
+    (operators/multimodal.payload_byte_profile_pandas) in append mode —
+    stateless, so per-batch cost is pure local Arrow work with zero
+    shuffle. Drained and hash-checked against the same DuckDB oracle as
+    the batch gate `binary_format_profile` (whose JVM plan is
+    equality-tested against this twin)."""
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.multimodal import (
+        _stamped_payload,
+        payload_byte_profile_pandas,
+    )
+
+    root = _scratch_root(sf_dir, "stream_media")
+    in_dir = f"{root}/in"
+    media = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _stamped_payload().alias("payload")
+    )
+    _stage_slices(media, root, in_dir, F.col("doc_id") % 3)
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prof = payload_byte_profile_pandas(stream)
+    return _drain_to_memory(prof, "st_media_", "append").orderBy("doc_id")

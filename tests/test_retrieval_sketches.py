@@ -226,6 +226,39 @@ def test_jl_projection_preserves_distances(spark):
     assert dist[int(len(dist) * 0.9)] < 3.0, dist[-5:]
 
 
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion: two-sided docs beat any one-sided doc (range
+    disjointness for ranks <= K/6), absent systems contribute exactly
+    0, ties break by doc_id, and the score is the literal two-term
+    rational of the integer ranks."""
+    from fastetl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(a, b).collect()}
+    assert rows[11]["in_a"] and rows[11]["in_b"]
+    assert rows[11]["fused_rank"] == 1  # only two-sided doc wins
+    assert rows[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert rows[10]["rrf_score"] == 1.0 / 61 + 0.0
+    assert rows[13]["rrf_score"] == 0.0 + 1.0 / 62
+    # 10 (rank 1 in a) beats 13 (rank 2 in b); 12 (rank 3) last
+    order = sorted(rows.values(), key=lambda r: r["fused_rank"])
+    assert [r["doc_id"] for r in order] == [11, 10, 13, 12]
+    # exact tie (same rank in disjoint systems) -> doc_id order
+    t = rrf_fuse(
+        spark.createDataFrame([(1, 21, 1)], "query_id long, doc_id long, rank long"),
+        spark.createDataFrame([(1, 20, 1)], "query_id long, doc_id long, rank long"),
+    ).collect()
+    tr = {r["doc_id"]: r["fused_rank"] for r in t}
+    assert tr == {20: 1, 21: 2}
+
+
 def test_bm25_machine_workload_and_max_df(spark):
     """Machine-sized query sets (PERF.md #39): without the broadcast
     hint the plan keeps keyed equi-joins (the only nested loop is the
