@@ -795,6 +795,19 @@ class Engine:
             .agg(F.count(F.lit(1)).alias("n_cur"))
         )
 
+    def quantize_vectors(self, vectors: DataFrame,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+        """SQ8 scalar quantization (operators/vector_sketch.sq8_codes,
+        gated by `embedding_sq8_codes`): every (vector, dim) mapped to
+        one byte against per-dimension corpus bounds — FAISS-style 4x
+        embedding compression before IVF/PQ, exact integers end to end.
+        Returns (id, dim, code, min_q, max_q); dequantize with
+        (min_q + code*(max_q-min_q)/255)/1e6."""
+        from fastetl_spark.operators.vector_sketch import sq8_codes
+
+        return sq8_codes(vectors, id_col=id_col, vec_col=vec_col)
+
     def rrf_fuse(self, a: DataFrame, b: DataFrame,
                  k: int = 60) -> DataFrame:
         """Reciprocal-rank fusion of two (query_id, doc_id, rank)

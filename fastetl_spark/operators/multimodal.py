@@ -572,6 +572,160 @@ def wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_header_info(media)
 
 
+# --- image dimension parsing (PNG IHDR / GIF LSD, gated) ------------------
+
+# The image twin of wav_header_parse: width/height straight from the
+# container header, no decoder. PNG stores them BIG-endian in the IHDR
+# chunk (bytes 16-23 of the file: 8-byte signature + 4-byte length +
+# 'IHDR'); GIF89a stores them LITTLE-endian in the logical screen
+# descriptor (bytes 6-9). The fixture synthesizes both headers with
+# doc_id-derived dimensions, so the parser must handle both endianness
+# conventions on real signatures.
+
+_IMG_W = "CAST(16 + (doc_id % 1280) AS BIGINT)"
+_IMG_H = "CAST(16 + ((doc_id * 7) % 720) AS BIGINT)"
+
+
+def _be_hex(e: str, nbytes: int) -> str:
+    parts = [
+        _hex2(
+            f"({e})"
+            if i == 0
+            else f"CAST(floor(({e}) / {256 ** i}.0) AS BIGINT)"
+        )
+        for i in range(nbytes)
+    ]
+    return "concat(" + ", ".join(reversed(parts)) + ")"
+
+
+def _img_payload_hex() -> str:
+    """Hex of a minimal synthetic image header (shared Spark/DuckDB
+    fragment): even doc_id -> PNG signature + IHDR with BE dims + 8-bit
+    RGB fields; odd -> GIF89a + LE dims. The text payload follows as
+    opaque body bytes (parsers never read past the header)."""
+    png = (
+        "concat('89504E470D0A1A0A', '0000000D', '49484452', "
+        f"{_be_hex(_IMG_W, 4)}, {_be_hex(_IMG_H, 4)}, '0802000000')"
+    )
+    gif = (
+        f"concat('474946383961', {_le_hex(_IMG_W, 2)}, "
+        f"{_le_hex(_IMG_H, 2)}, '00')"
+    )
+    return f"CASE WHEN doc_id % 2 = 0 THEN {png} ELSE {gif} END"
+
+
+def image_dims_info(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse (format, width, height) from PNG/GIF headers in a binary
+    column — NULL dims for anything else. Big-endian IHDR fields for
+    PNG, little-endian logical-screen fields for GIF; pure hex
+    arithmetic, JVM-side."""
+
+    def b(i: int) -> F.Column:
+        return F.conv(
+            F.expr(f"substring(__hx, {i * 2 + 1}, 2)"), 16, 10
+        ).cast("long")
+
+    def be(i: int, n: int) -> F.Column:
+        c = b(i)
+        for k in range(1, n):
+            c = c * 256 + b(i + k)
+        return c
+
+    def le(i: int, n: int) -> F.Column:
+        c = b(i)
+        for k in range(1, n):
+            c = c + b(i + k) * (256 ** k)
+        return c
+
+    base = media.select(
+        F.col(id_col).alias("doc_id"),
+        F.hex(payload_col).alias("__hx"),
+        F.length(payload_col).cast("long").alias("__n"),
+    )
+    is_png = (F.col("__n") >= 24) & (
+        F.expr("substring(__hx, 1, 16)") == "89504E470D0A1A0A"
+    ) & (F.expr("substring(__hx, 25, 8)") == "49484452")
+    is_gif = (F.col("__n") >= 10) & (
+        F.expr("substring(__hx, 1, 12)") == "474946383961"
+    )
+    return base.select(
+        "doc_id",
+        F.when(is_png, "image/png")
+        .when(is_gif, "image/gif")
+        .otherwise("unknown")
+        .alias("format"),
+        F.when(is_png, be(16, 4))
+        .when(is_gif, le(6, 2))
+        .cast("int")
+        .alias("width"),
+        F.when(is_png, be(20, 4))
+        .when(is_gif, le(8, 2))
+        .cast("int")
+        .alias("height"),
+    )
+
+
+_IMG_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         unhex({_img_payload_hex()}) || encode(text) AS p
+  FROM documents
+), h AS (
+  SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM m
+)
+SELECT doc_id,
+       CASE WHEN n >= 24 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
+                 AND substr(hx, 25, 8) = '49484452' THEN 'image/png'
+            WHEN n >= 10 AND substr(hx, 1, 12) = '474946383961'
+                 THEN 'image/gif'
+            ELSE 'unknown' END AS format,
+       CAST(CASE
+         WHEN n >= 24 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
+              AND substr(hx, 25, 8) = '49484452' THEN
+           (('0x' || substr(hx, 33, 2))::BIGINT * 256
+             + ('0x' || substr(hx, 35, 2))::BIGINT) * 65536
+             + ('0x' || substr(hx, 37, 2))::BIGINT * 256
+             + ('0x' || substr(hx, 39, 2))::BIGINT
+         WHEN n >= 10 AND substr(hx, 1, 12) = '474946383961' THEN
+           ('0x' || substr(hx, 13, 2))::BIGINT
+             + ('0x' || substr(hx, 15, 2))::BIGINT * 256
+       END AS INT) AS width,
+       CAST(CASE
+         WHEN n >= 24 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
+              AND substr(hx, 25, 8) = '49484452' THEN
+           (('0x' || substr(hx, 41, 2))::BIGINT * 256
+             + ('0x' || substr(hx, 43, 2))::BIGINT) * 65536
+             + ('0x' || substr(hx, 45, 2))::BIGINT * 256
+             + ('0x' || substr(hx, 47, 2))::BIGINT
+         WHEN n >= 10 AND substr(hx, 1, 12) = '474946383961' THEN
+           ('0x' || substr(hx, 17, 2))::BIGINT
+             + ('0x' || substr(hx, 19, 2))::BIGINT * 256
+       END AS INT) AS height
+FROM h
+"""
+
+
+@query("image_dims_parse", _IMG_SQL)
+def image_dims_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width/height straight from image container headers — PNG IHDR
+    (big-endian) and GIF89a logical screen descriptor (little-endian)
+    synthesized with doc_id-derived dimensions around the text
+    payloads, parsed back JVM-side with no decoder. With
+    wav_header_parse this completes the decode-free typed-metadata
+    tier of the multimodal pillar."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    media = d.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.expr(_img_payload_hex())),
+            F.encode("text", "UTF-8"),
+        ).alias("payload"),
+    )
+    return image_dims_info(media)
+
+
 # --- grouped-map applyInPandas (§2.11 plugin surface) ---------------------
 
 ZSCORE_SCHEMA = T.StructType(

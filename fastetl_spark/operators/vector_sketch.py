@@ -358,3 +358,90 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     preservation is property-tested in tests/test_vector_sketch.py."""
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     return jl_project(e, dim=_VS_DIM).orderBy("vec_id", "k")
+
+
+# --- int8 scalar quantization (SQ8) ---------------------------------------
+#
+# The standard ANN memory-compression step (FAISS's SQ8): each dimension
+# is affinely mapped onto 0..255 using per-dimension corpus min/max, so
+# a float32 vector becomes one byte per dim (4x smaller, cache-friendly
+# scans). Made hash-gateable the house way: components quantize to 1e-6
+# integers FIRST, the code is then the pure-integer
+# ((q - min_q) * 255) div (max_q - min_q) — truncating division in both
+# engines — and the per-dim bounds come from one map-side-combinable
+# groupBy(dim). Reconstruction error <= range/255 by construction
+# (property-tested).
+
+_SQ8_SCALE = 1_000_000
+
+_SQ8_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (
+  SELECT vec_id, s.dim AS dim, s.qv AS qv
+  FROM (
+    SELECT vec_id, unnest(list_transform(
+             generate_series(1, len(ev)),
+             i -> struct_pack(dim := i - 1,
+                              qv := CAST(floor(ev[i] * {_SQ8_SCALE}) AS BIGINT))
+           )) AS s
+    FROM v
+  )
+), b AS (
+  SELECT dim, MIN(qv) AS min_q, MAX(qv) AS max_q FROM q GROUP BY dim
+)
+SELECT q.vec_id, q.dim,
+       CAST(CASE WHEN b.max_q = b.min_q THEN 0
+            ELSE ((q.qv - b.min_q) * 255) // (b.max_q - b.min_q)
+            END AS INT) AS code,
+       b.min_q, b.max_q
+FROM q JOIN b USING (dim)
+"""
+
+
+def sq8_codes(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-(vector, dim) SQ8 codes + the per-dim integer bounds needed
+    to dequantize: (id, dim, code 0..255, min_q, max_q) over
+    1e-6-quantized components. One posexplode + one groupBy(dim) for
+    bounds (|dims| rows, broadcast back) + one code projection — no
+    vector-count-sized shuffle beyond the dim-keyed bounds join.
+    Dequantize: (min_q + code * (max_q - min_q) / 255) / 1e6, error
+    <= range/255 per dim."""
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x") * _SQ8_SCALE).cast("long").alias("qv"),
+    )
+    b = q.groupBy("dim").agg(
+        F.min("qv").alias("min_q"), F.max("qv").alias("max_q")
+    )
+    return q.join(F.broadcast(b), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("max_q") == F.col("min_q"), F.lit(0))
+        .otherwise(
+            F.expr("((qv - min_q) * 255) div (max_q - min_q)")
+        )
+        .cast("int")
+        .alias("code"),
+        "min_q",
+        "max_q",
+    )
+
+
+@query("embedding_sq8_codes", _SQ8_SQL)
+def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embedding corpus — every
+    (vector, dim) mapped to one byte against per-dimension corpus
+    bounds, the 4x-compression step an ANN index applies before IVF/PQ.
+    Exact integers end to end (quantize -> integer affine -> truncating
+    div), so the full code table sits under the hash gate."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return sq8_codes(e)

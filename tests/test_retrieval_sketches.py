@@ -226,6 +226,39 @@ def test_jl_projection_preserves_distances(spark):
     assert dist[int(len(dist) * 0.9)] < 3.0, dist[-5:]
 
 
+def test_sq8_codes_range_and_reconstruction(spark):
+    """SQ8 codes stay in 0..255, extremes map to the ends, constant
+    dims code to 0, and dequantization error is bounded by
+    range/255 + one quantization ulp per dim."""
+    from fastetl_spark.operators.vector_sketch import _SQ8_SCALE, sq8_codes
+
+    rows = [
+        (i, [float(i) / 7.0, -3.0 + 0.01 * ((i * 13) % 97), 5.0])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sq8_codes(df).collect()
+    by_vec = {(r["vec_id"], r["dim"]): r for r in out}
+    assert all(0 <= r["code"] <= 255 for r in out)
+    # constant dim 2 -> min_q == max_q -> code 0 everywhere
+    assert all(by_vec[(i, 2)]["code"] == 0 for i in range(50))
+    # per-dim extremes map to the code range ends
+    for d in (0, 1):
+        dim_rows = [r for r in out if r["dim"] == d]
+        lo = min(dim_rows, key=lambda r: (r["min_q"], r["code"]))
+        assert min(r["code"] for r in dim_rows) == 0
+        assert max(r["code"] for r in dim_rows) == 255
+        rng = dim_rows[0]["max_q"] - dim_rows[0]["min_q"]
+        for r in dim_rows:
+            deq = (
+                r["min_q"] + r["code"] * rng / 255.0
+            ) / _SQ8_SCALE
+            orig = float(rows[r["vec_id"]][1][d])
+            assert abs(deq - orig) <= rng / 255.0 / _SQ8_SCALE + 1.0 / _SQ8_SCALE, (
+                r, deq, orig
+            )
+
+
 def test_rrf_fuse_semantics(spark):
     """RRF fusion: two-sided docs beat any one-sided doc (range
     disjointness for ranks <= K/6), absent systems contribute exactly
