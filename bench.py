@@ -85,6 +85,12 @@ HEADLINE = [
     "lpa_modularity",
     "oov_rate_histogram",
     "benchmark_ngram_contamination",
+    # round 9: multimodal metadata tier + hybrid retrieval + SQ8 + live PSI
+    "binary_format_profile",
+    "wav_header_parse",
+    "rrf_hybrid_retrieval",
+    "embedding_sq8_codes",
+    "streaming_drift_psi",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the
@@ -355,66 +361,9 @@ def main() -> None:
     # contract). Reported like the other guards: measured, not argued.
     bm25_zipf: dict[str, object] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_ZIPF_GUARD") != "1":
-        from pyspark.sql import functions as F
+        from fastetl_spark.operators.retrieval import zipf_maxdf_evidence
 
-        from fastetl_spark.operators.retrieval import (
-            bm25_from_posting,
-            doc_posting,
-            zipf_corpus,
-            zipf_queries,
-        )
-
-        zn, zv, zcap = 5000, 2048, 0.01
-        zposting = doc_posting(
-            zipf_corpus(spark, zn, 40, zv)
-        ).localCheckpoint()
-        zq = zipf_queries(spark, 10_000, 3, zv).localCheckpoint()
-        zwalls: dict[str, float] = {}
-        zpairs: dict[str, int] = {}
-        for tag, mdf in (("uncapped", None), ("capped", zcap)):
-            best = float("inf")
-            for _ in range(2):
-                start = time.perf_counter()
-                bm25_from_posting(
-                    zposting, zq, k=10, broadcast_queries=False, max_df=mdf
-                ).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - start)
-            zwalls[tag] = round(best, 3)
-            zpairs[tag] = bm25_from_posting(
-                zposting, zq, k=10**9, broadcast_queries=False, max_df=mdf
-            ).count()
-        zhead = [
-            r["term"]
-            for r in zposting.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > zcap * zn)
-            .collect()
-        ]
-        zqt = zq.select("query_id", F.explode("terms").alias("term"))
-        ztail = zq.join(
-            zqt.filter(F.col("term").isin(zhead))
-            .select("query_id")
-            .distinct(),
-            "query_id",
-            "left_anti",
-        )
-        t_rows = sorted(map(tuple, bm25_from_posting(
-            zposting, ztail, k=10, broadcast_queries=False).collect()))
-        c_rows = sorted(map(tuple, bm25_from_posting(
-            zposting, ztail, k=10, broadcast_queries=False,
-            max_df=zcap).collect()))
-        bm25_zipf = {
-            "uncapped_sec": zwalls["uncapped"],
-            "capped_sec": zwalls["capped"],
-            "uncapped_pairs": zpairs["uncapped"],
-            "capped_pairs": zpairs["capped"],
-            "tail_bit_equal": t_rows == c_rows and len(t_rows) > 0,
-            "ok": (
-                zpairs["capped"] * 5 < zpairs["uncapped"]
-                and t_rows == c_rows
-                and len(t_rows) > 0
-            ),
-        }
+        bm25_zipf = zipf_maxdf_evidence(spark, n_docs=5000, vocab=2048)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver captures only the TAIL of stdout (~2 kB), so the

@@ -752,9 +752,12 @@ class Engine:
         default ``accuracy=None`` a covering accuracy is derived from
         the reference half, making the result BIT-EQUAL to
         ``exact=True`` (equivalence-tested) while keeping the scalable
-        plan; pass an explicit lower ``accuracy`` to trade rank error
-        <= n/accuracy for sketch size at extreme scale. ``exact=True``
-        keeps the rank-window form the gated query pins."""
+        plan; the derivation costs one eager scalar job and clamps at
+        Spark's 2^31-1 accuracy cap (keys past ~2^30 reference rows
+        get the sketch estimate, rank error < n/2^31). Pass an
+        explicit lower ``accuracy`` to trade rank error <= n/accuracy
+        for sketch size at extreme scale; ``exact=True`` keeps the
+        rank-window form the gated query pins."""
         from fastetl_spark.operators.analytics import drift_bins
 
         return drift_bins(df, key_col=key_col, value_col=value_col,

@@ -191,11 +191,18 @@ def payload_byte_profile(
     detour exists because Spark has no byte-at() on BINARY; conv()
     parses each 2-hex-char slice back to its byte value.
 
+    NULL and zero-length payloads are NOT observations — both twins
+    drop them (there is no format, modal byte or collision probability
+    of nothing, and Spark's sequence(0, n-1) at n=0 would fabricate a
+    descending [0, -1] range of phantom bytes).
+
     At 100 TB, payloads should not become rows at all —
     payload_byte_profile_pandas computes the identical profile with one
     numpy bincount per payload inside Arrow batches (equality-tested);
     this JVM form is the gateable twin."""
-    h = media.select(
+    h = media.filter(
+        F.col(payload_col).isNotNull() & (F.length(payload_col) > 0)
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.hex(payload_col).alias("hx"),
         F.length(payload_col).cast("long").alias("n"),
@@ -264,7 +271,11 @@ def payload_byte_profile_pandas(
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # NULL payload: not an observation
                 buf = bytes(payload)
+                if not buf:
+                    continue  # empty payload: same drop as the JVM twin
                 fmt = "application/octet-stream"
                 for head, at8, name in sigs:
                     if buf.startswith(head) and (

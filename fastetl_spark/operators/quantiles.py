@@ -77,14 +77,20 @@ def group_quantile_bounds(
             # rank — accuracy >= 2n+1 makes it 0 (measured: at sf0.1
             # accuracy=n mismatches the disc element, 2n+1 is
             # bit-equal). One scalar per-key count aggregate (map-side
-            # combinable), usual default as a floor.
+            # combinable) runs eagerly here, usual default as a floor.
+            # Spark caps the accuracy literal at Int.MaxValue (and the
+            # sketch holds O(accuracy) samples for its largest key), so
+            # the derivation clamps there: keys past ~2^30 rows get the
+            # sketch ESTIMATE (rank error < n/2^31) instead of an
+            # AnalysisException — at that size exactness would mean
+            # materializing the key anyway, which is the exact mode.
             mx = (
                 base.groupBy("__k")
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .agg(F.max("__n").alias("__m"))
                 .first()["__m"]
             )
-            accuracy = max(2 * int(mx or 0) + 1, 10_000)
+            accuracy = min(max(2 * int(mx or 0) + 1, 10_000), 2**31 - 1)
         plist = [Fraction(num, den) for num, den in probs]
         agg = base.groupBy("__k").agg(
             F.percentile_approx(

@@ -255,6 +255,31 @@ def doc_posting(docs: DataFrame) -> DataFrame:
     )
 
 
+def _zipf_terms_expr(tag: str, vocab: int, n_terms_expr: str) -> str:
+    """The ONE Zipf token sampler both generators share: per position j,
+    u ~ U(0,1) from a 60-bit md5 slice of (tag, row id, j), rank =
+    floor((V+1)^u) in [1, V] — the classic log-uniform inverse, P(r) =
+    ln((r+1)/r)/ln(V+1) ~ 1/(r ln(V+1)), i.e. Zipf s=1. Returns a SQL
+    transform() producing the token array; corpus and queries MUST draw
+    from this same expression or the head/tail premise of the max_df
+    evidence silently breaks."""
+    import math
+
+    ln_v1 = math.log(vocab + 1)
+    u = (
+        f"conv(substring(md5(concat('{tag}', ':', id, ':', j)), 1, 15),"
+        " 16, 10)"
+    )
+    rank = (
+        f"cast(exp(cast({u} as double) / {2 ** 60}.0"
+        f" * {ln_v1!r}) as bigint)"
+    )
+    return (
+        f"transform(sequence(1, {n_terms_expr}),"
+        f" j -> concat('t', least({rank}, {vocab})))"
+    )
+
+
 def zipf_corpus(
     spark: SparkSession,
     n_docs: int,
@@ -267,30 +292,13 @@ def zipf_corpus(
     reciprocal (Zipf s=1) distribution — the document-frequency shape
     real text has (a few stopword-grade head terms, a long rare tail),
     which the TPC-H-ish documents fixture lacks (its 31-term vocabulary
-    is ALL head — PERF.md #39). Sampling is the classic log-uniform
-    inverse: u ~ U(0,1) from md5(tag, doc, pos), rank = floor((V+1)^u)
-    in [1, V] with P(rank=r) = ln((r+1)/r)/ln(V+1) ~ 1/(r ln(V+1)).
-    Pure JVM expressions (md5 + conv + exp per token, one transform per
-    doc) — generation itself scales like any projection."""
-    import math
-
-    ln_v1 = math.log(vocab + 1)
-    u = (
-        f"conv(substring(md5(concat('{tag}', ':', id, ':', j)), 1, 15),"
-        " 16, 10)"
-    )
-    rank = (
-        f"cast(exp(cast({u} as double) / 1152921504606846976.0"
-        f" * {ln_v1!r}) as bigint)"
-    )
+    is ALL head — PERF.md #39). Pure JVM expressions (md5 + conv + exp
+    per token, one transform per doc — see _zipf_terms_expr) —
+    generation itself scales like any projection."""
     return spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.array_join(
-            F.expr(
-                f"transform(sequence(1, {doc_len}),"
-                f" j -> concat('t', least({rank}, {vocab})))"
-            ),
-            " ",
+            F.expr(_zipf_terms_expr(tag, vocab, str(doc_len))), " "
         ).alias("text"),
     )
 
@@ -303,26 +311,87 @@ def zipf_queries(
     tag: str = "q",
 ) -> DataFrame:
     """Query workload drawn from the SAME reciprocal distribution as
-    zipf_corpus (query logs share the corpus's head/tail shape):
-    (query_id, terms array<string>)."""
-    import math
-
-    ln_v1 = math.log(vocab + 1)
-    u = (
-        f"conv(substring(md5(concat('{tag}', ':', id, ':', j)), 1, 15),"
-        " 16, 10)"
-    )
-    rank = (
-        f"cast(exp(cast({u} as double) / 1152921504606846976.0"
-        f" * {ln_v1!r}) as bigint)"
-    )
+    zipf_corpus (query logs share the corpus's head/tail shape; the
+    shared _zipf_terms_expr guarantees it): (query_id, terms
+    array<string>)."""
     return spark.range(n_queries).select(
         F.col("id").alias("query_id"),
-        F.expr(
-            f"transform(sequence(1, {n_terms}),"
-            f" j -> concat('t', least({rank}, {vocab})))"
-        ).alias("terms"),
+        F.expr(_zipf_terms_expr(tag, vocab, str(n_terms))).alias("terms"),
     )
+
+
+def zipf_maxdf_evidence(
+    spark: SparkSession,
+    n_docs: int,
+    vocab: int,
+    doc_len: int = 40,
+    n_queries: int = 10_000,
+    q_terms: int = 3,
+    cap: float = 0.01,
+    reps: int = 2,
+    k: int = 10,
+) -> dict:
+    """The max_df evidence harness shared by the bench guard and
+    tools/bm25_zipf_perf.py (one implementation — the release gate and
+    the evidence tool can never disagree about the same claim): build
+    the Zipf corpus + workload, time the capped and uncapped runs
+    (best of ``reps``), count scored pairs (k=inf row counts), and
+    bit-compare every query containing no capped term. Returns
+    {uncapped_sec, capped_sec, uncapped_pairs, capped_pairs, n_head,
+    n_tail_queries, tail_rows, tail_bit_equal, ok}."""
+    import time as _time
+
+    posting = doc_posting(
+        zipf_corpus(spark, n_docs, doc_len, vocab)
+    ).localCheckpoint()
+    queries = zipf_queries(spark, n_queries, q_terms, vocab).localCheckpoint()
+    walls: dict[str, float] = {}
+    pairs: dict[str, int] = {}
+    for tag, mdf in (("uncapped", None), ("capped", cap)):
+        best = float("inf")
+        for _ in range(max(1, reps)):
+            t0 = _time.perf_counter()
+            bm25_from_posting(
+                posting, queries, k=k, broadcast_queries=False, max_df=mdf
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, _time.perf_counter() - t0)
+        walls[tag] = round(best, 3)
+        pairs[tag] = bm25_from_posting(
+            posting, queries, k=10**9, broadcast_queries=False, max_df=mdf
+        ).count()
+    # head terms EXACTLY as the operator classifies them (df > the
+    # int-truncated cap), so the tail set can never straddle the
+    # operator's own boundary
+    head = [
+        r["term"]
+        for r in posting.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max(1, int(cap * n_docs)))
+        .collect()
+    ]
+    qt = queries.select("query_id", F.explode("terms").alias("term"))
+    tail_q = queries.join(
+        qt.filter(F.col("term").isin(head)).select("query_id").distinct(),
+        "query_id",
+        "left_anti",
+    ).localCheckpoint()
+    t_rows = sorted(map(tuple, bm25_from_posting(
+        posting, tail_q, k=k, broadcast_queries=False).collect()))
+    c_rows = sorted(map(tuple, bm25_from_posting(
+        posting, tail_q, k=k, broadcast_queries=False,
+        max_df=cap).collect()))
+    bit_equal = t_rows == c_rows and len(t_rows) > 0
+    return {
+        "uncapped_sec": walls["uncapped"],
+        "capped_sec": walls["capped"],
+        "uncapped_pairs": pairs["uncapped"],
+        "capped_pairs": pairs["capped"],
+        "n_head": len(head),
+        "n_tail_queries": tail_q.count(),
+        "tail_rows": len(t_rows),
+        "tail_bit_equal": bit_equal,
+        "ok": pairs["capped"] * 5 < pairs["uncapped"] and bit_equal,
+    }
 
 
 def bm25_from_posting(
@@ -525,8 +594,10 @@ def rrf_fuse(a: DataFrame, b: DataFrame, k: int = _RRF_K) -> DataFrame:
 
 
 def _rrf_sql() -> str:
-    from fastetl_spark.operators.similarity import TOP_K  # noqa: F401
-
+    # probe ids derive from the SAME query set as the Spark side, so
+    # adding/renumbering a workload query cannot desynchronize the
+    # oracle's dense half from the BM25 VALUES list
+    probe_ids = ", ".join(str(qid) for qid, _ in _BM25_QUERY_SET)
     return f"""
 WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
 tok AS (
@@ -566,7 +637,7 @@ tok AS (
   ) WHERE rank <= {_BM25_QK}
 ), vq AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+  FROM embeddings WHERE vec_id IN ({probe_ids})
 ), vc AS (
   SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings
 ), vscored AS (

@@ -177,12 +177,16 @@ def test_payload_byte_profile_jvm_equals_pandas(spark, sf_dir):
     fmts = {fmt for _, fmt, *_ in jvm}
     assert fmts == {"image/png", "image/jpeg", "image/gif", "audio/wav"}
     # unknown/corrupt payloads: truncated magic falls back to
-    # octet-stream; single-byte payload exercises the histogram edges
+    # octet-stream; single-byte payload exercises the histogram edges;
+    # NULL and empty payloads are dropped by BOTH twins (not crashed,
+    # not fabricated into phantom rows)
     odd = spark.createDataFrame(
-        [(1, bytes([0x89, 0x50])), (2, b"\x00"), (3, b"RIFFxxxxAVI ")],
+        [(1, bytes([0x89, 0x50])), (2, b"\x00"), (3, b"RIFFxxxxAVI "),
+         (4, b""), (5, None)],
         "doc_id long, payload binary",
     )
     got = {r["doc_id"]: r for r in payload_byte_profile(odd).collect()}
+    assert sorted(got) == [1, 2, 3]
     assert all(
         got[i]["format"] == "application/octet-stream" for i in (1, 2, 3)
     )
