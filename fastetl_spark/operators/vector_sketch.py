@@ -445,3 +445,163 @@ def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     div), so the full code table sits under the hash gate."""
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     return sq8_codes(e)
+
+
+# --- SQ8 quality gate: recall of code-space search vs exact ----------------
+#
+# Quantization is only useful if search quality survives it, so the
+# codes get the same treatment the IVF/LSH tiers got (ann_recall_at_k /
+# dedup_lsh_eval): top-k by inner product computed FROM THE CODES
+# against top-k from the exact vectors, per-probe overlap under the
+# hash gate. Both rankings are pure-integer argmaxes: the exact side
+# scores with 1e-6-quantized components (int64-safe), the SQ8 side with
+# the integer reconstruction rq = 255*min_q + code*(max_q - min_q)
+# (the dequantized value scaled by 255e6 — order-preserving), whose
+# pairwise products need DECIMAL(38)/HUGEINT — both engines sum them
+# exactly. No float enters either ranking, so recall is deterministic.
+
+_SQ8_K = 5
+_SQ8_STRIDE = 50  # probe set = vec_id % stride == 0 (matches cosine gate)
+
+_SQ8_RECALL_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (
+  SELECT vec_id, s.dim AS dim, s.qv AS qv
+  FROM (
+    SELECT vec_id, unnest(list_transform(
+             generate_series(1, len(ev)),
+             i -> struct_pack(dim := i - 1,
+                              qv := CAST(floor(ev[i] * {_SQ8_SCALE}) AS BIGINT))
+           )) AS s
+    FROM v
+  )
+), b AS (
+  SELECT dim, MIN(qv) AS min_q, MAX(qv) AS max_q FROM q GROUP BY dim
+), rq AS (
+  SELECT q.vec_id, q.dim,
+         255 * b.min_q + (CASE WHEN b.max_q = b.min_q THEN 0
+             ELSE ((q.qv - b.min_q) * 255) // (b.max_q - b.min_q) END)
+           * (b.max_q - b.min_q) AS r
+  FROM q JOIN b USING (dim)
+), probes AS (
+  SELECT vec_id FROM v WHERE vec_id % {_SQ8_STRIDE} = 0
+), ex_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY SUM(CAST(a.qv AS HUGEINT) * c.qv) DESC, c.vec_id)
+           AS BIGINT) AS rnk
+    FROM q a JOIN probes p ON a.vec_id = p.vec_id
+    JOIN q c USING (dim)
+    WHERE c.vec_id <> a.vec_id
+    GROUP BY a.vec_id, c.vec_id
+  ) WHERE rnk <= {_SQ8_K}
+), sq_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY SUM(CAST(a.r AS HUGEINT) * c.r) DESC, c.vec_id)
+           AS BIGINT) AS rnk
+    FROM rq a JOIN probes p ON a.vec_id = p.vec_id
+    JOIN rq c USING (dim)
+    WHERE c.vec_id <> a.vec_id
+    GROUP BY a.vec_id, c.vec_id
+  ) WHERE rnk <= {_SQ8_K}
+)
+SELECT p.vec_id AS query_id,
+       CAST(COALESCE(o.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST({_SQ8_K} AS BIGINT) AS k
+FROM probes p LEFT JOIN (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM ex_top e JOIN sq_top s USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+) o ON o.query_id = p.vec_id
+ORDER BY query_id
+"""
+
+
+def _int_dot_topk(
+    comp: DataFrame, probes: DataFrame, val_col: str, k: int, decimal: bool
+) -> DataFrame:
+    """Per-probe top-k by exact integer inner product over per-dim
+    component rows (vec_id, dim, val): dim-keyed join + one map-side
+    combinable sum per (probe, neighbor) + per-probe window. ``decimal``
+    routes the products through DECIMAL(38,0) when int64 would
+    overflow (the SQ8 reconstruction scale)."""
+    a = probes.join(comp, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "dim",
+        F.col(val_col).alias("__a"),
+    )
+    c = comp.select(
+        F.col("vec_id").alias("neighbor_id"), "dim",
+        F.col(val_col).alias("__c"),
+    )
+    if decimal:
+        prod = F.col("__a").cast("decimal(20,0)") * F.col("__c").cast(
+            "decimal(20,0)"
+        )
+    else:
+        prod = F.col("__a") * F.col("__c")
+    scored = (
+        a.join(c, "dim")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(prod).alias("s"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@query("sq8_recall_eval", _SQ8_RECALL_SQL)
+def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_SQ8_K} of inner-product search FROM THE SQ8 CODES
+    against exact-vector search, per probe (every {_SQ8_STRIDE}th
+    vector) — the quantization-quality gate, fully integer on both
+    rankings so the overlap counts are hash-exact. The measured
+    number a deployment reads before swapping 4x-smaller codes into
+    its ANN tier."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("x") * _SQ8_SCALE).cast("long").alias("qv"),
+    )
+    codes = sq8_codes(e)
+    rq = codes.select(
+        "vec_id", "dim",
+        (
+            F.lit(255) * F.col("min_q")
+            + F.col("code").cast("long") * (F.col("max_q") - F.col("min_q"))
+        ).alias("r"),
+    )
+    probes = e.filter(F.col("vec_id") % _SQ8_STRIDE == 0).select("vec_id")
+    ex_top = _int_dot_topk(q, probes, "qv", _SQ8_K, decimal=False)
+    sq_top = _int_dot_topk(rq, probes, "r", _SQ8_K, decimal=True)
+    hits = (
+        ex_top.join(sq_top, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.lit(_SQ8_K).cast("long").alias("k"),
+        )
+        .orderBy("query_id")
+    )
