@@ -967,3 +967,194 @@ def gini_native_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# --- declared-vs-detected media type screen (gated) ------------------------
+
+_MISMATCH_SQL = r"""
+WITH m AS (
+  SELECT doc_id, 'image/png' AS declared,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+           WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+           WHEN 2 THEN 'GIF89a'::BLOB || encode(text)
+           ELSE 'RIFF\x00\x00\x00\x00WAVE'::BLOB || encode(text)
+         END AS p
+  FROM documents
+), h AS (
+  SELECT doc_id, declared, hex(p) AS hx FROM m
+)
+SELECT doc_id, declared,
+       CASE
+         WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+         WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+         WHEN substr(hx, 1, 12) = '474946383961' THEN 'image/gif'
+         WHEN substr(hx, 1, 8) = '52494646'
+              AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+         ELSE 'application/octet-stream'
+       END AS detected,
+       CASE
+         WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+         WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+         WHEN substr(hx, 1, 12) = '474946383961' THEN 'image/gif'
+         WHEN substr(hx, 1, 8) = '52494646'
+              AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+         ELSE 'application/octet-stream'
+       END <> declared AS mismatch
+FROM h
+"""
+
+
+def media_type_mismatch(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    declared_col: str = "media_type",
+) -> DataFrame:
+    """Declared-vs-detected media type screen: the ingest check that a
+    column's claimed MIME type matches what the payload's magic bytes
+    actually say — (id, declared, detected, mismatch). Mislabeled rows
+    are THE classic multimodal-corpus defect (an mp3 in the image
+    column crashes the decoder fleet hours later); this is the
+    broadcast-free single-pass projection that catches it upstream."""
+    return media.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(declared_col).alias("declared"),
+        detect_format(F.hex(payload_col)).alias("detected"),
+    ).withColumn("mismatch", F.col("detected") != F.col("declared"))
+
+
+@query("media_type_mismatch_report", _MISMATCH_SQL)
+def media_type_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every payload declared 'image/png' but stamped with mixed real
+    magic bytes (doc_id % 4 rotates PNG/JPEG/GIF/WAV) — the mismatch
+    screen must flag exactly the 3/4 of rows whose container disagrees
+    with the declaration."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    media = to_media_table(
+        d.withColumn("payload", _stamped_payload()),
+        "doc_id",
+        "payload",
+        "image/png",
+    )
+    return media_type_mismatch(media)
+
+
+# --- PCM sample statistics (decode the data chunk, no audio lib) -----------
+#
+# One level deeper than header parsing: decode the ACTUAL samples. PCM
+# in a WAV data chunk is bytes with public semantics — 8-bit samples
+# are unsigned with a 128 offset, 16-bit samples are signed
+# little-endian — so "decoding" is integer arithmetic, no codec.
+# Samples interleave across channels (sample i belongs to channel
+# i % n_channels), and per-(doc, channel) min/max/sum/count are exact
+# BIGINTs with one IEEE division for the mean. The audio-QA screen
+# (clipping, DC offset, dead channels) runs on exactly these stats.
+
+_WAV_STATS_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         {_WAV_SR} AS sr, {_WAV_CH} AS ch, {_WAV_BITS} AS bits,
+         hex(encode(text)) AS dhx,
+         octet_length(encode(text)) AS ds
+  FROM documents WHERE doc_id % 17 <> 0
+), idx AS (
+  SELECT doc_id, ch, bits, dhx,
+         unnest(generate_series(
+           0, (CASE WHEN bits = 8 THEN ds
+                    ELSE CAST(floor(ds / 2.0) AS BIGINT) END) - 1)) AS i
+  FROM m
+  WHERE (CASE WHEN bits = 8 THEN ds
+              ELSE CAST(floor(ds / 2.0) AS BIGINT) END) > 0
+), samp AS (
+  SELECT doc_id, CAST(i % ch AS INT) AS channel,
+         CASE WHEN bits = 8
+              THEN ('0x' || substr(dhx, CAST(i * 2 + 1 AS INT), 2))::BIGINT
+                   - 128
+              ELSE ('0x' || substr(dhx, CAST(i * 4 + 1 AS INT), 2))::BIGINT
+                   + 256 * ('0x' || substr(dhx, CAST(i * 4 + 3 AS INT), 2))::BIGINT
+                   - (CASE WHEN ('0x' || substr(dhx, CAST(i * 4 + 3 AS INT), 2))::BIGINT
+                                >= 128 THEN 65536 ELSE 0 END)
+         END AS s
+  FROM idx
+)
+SELECT doc_id, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(MIN(s) AS BIGINT) AS min_s,
+       CAST(MAX(s) AS BIGINT) AS max_s,
+       CAST(SUM(s) AS BIGINT) AS sum_s,
+       CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_s
+FROM samp GROUP BY 1, 2
+"""
+
+
+def wav_sample_stats(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode PCM samples straight from WAV payloads and report exact
+    per-(doc, channel) statistics: (doc_id, channel, n_samples, min_s,
+    max_s, sum_s, mean_s). Header fields come from wav_header_info
+    (only valid PCM payloads contribute); 8-bit samples are unsigned
+    128-offset, 16-bit signed little-endian (a trailing odd byte is
+    not a sample); channels deinterleave as i % n_channels. One
+    header-parse projection + one explode + one map-side-combinable
+    groupBy — the same exchange profile as the byte profile."""
+    info = wav_header_info(media, id_col=id_col, payload_col=payload_col)
+    src = media.select(
+        F.col(id_col).alias("doc_id"), F.hex(payload_col).alias("__phx")
+    ).join(info.filter("valid"), "doc_id")
+    n_s = F.when(
+        F.col("bits_per_sample") == 8, F.col("data_bytes")
+    ).otherwise(F.expr("data_bytes div 2"))
+    idx = src.withColumn("__ns", n_s).filter(F.col("__ns") > 0).select(
+        "doc_id",
+        "channels",
+        "bits_per_sample",
+        "__phx",
+        F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)).alias("i"),
+    )
+    # data chunk starts at byte 44 -> hex offset 88 (1-indexed substr)
+    b8 = F.conv(F.expr("substring(__phx, 89 + i * 2, 2)"), 16, 10).cast("long")
+    lo = F.conv(F.expr("substring(__phx, 89 + i * 4, 2)"), 16, 10).cast("long")
+    hi = F.conv(F.expr("substring(__phx, 91 + i * 4, 2)"), 16, 10).cast("long")
+    s16 = lo + 256 * hi - F.when(hi >= 128, F.lit(65536)).otherwise(F.lit(0))
+    samp = idx.select(
+        "doc_id",
+        (F.col("i") % F.col("channels")).cast("int").alias("channel"),
+        F.when(F.col("bits_per_sample") == 8, b8 - 128)
+        .otherwise(s16)
+        .alias("s"),
+    )
+    return samp.groupBy("doc_id", "channel").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("s").alias("min_s"),
+        F.max("s").alias("max_s"),
+        F.sum("s").alias("sum_s"),
+        (F.sum("s").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_s"
+        ),
+    )
+
+
+@query("wav_sample_stats", _WAV_STATS_SQL)
+def wav_sample_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel PCM sample statistics decoded from the synthetic WAV
+    payloads (the wav_header_parse fixture): the operator parses the
+    header for channels/bit depth/data size, deinterleaves and
+    sign-decodes the samples, and aggregates exact integer stats; the
+    oracle recomputes from the fixture spec independently, so the gate
+    proves the DECODE, not a shared shortcut."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    ds = "octet_length(encode(text, 'UTF-8'))"
+    media = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.encode("text", "UTF-8")
+        ).otherwise(
+            F.concat(
+                F.unhex(F.expr(_wav_header_hex(ds))),
+                F.encode("text", "UTF-8"),
+            )
+        ).alias("payload"),
+    )
+    return wav_sample_stats(media)
