@@ -752,12 +752,14 @@ class Engine:
         default ``accuracy=None`` a covering accuracy is derived from
         the reference half, making the result BIT-EQUAL to
         ``exact=True`` (equivalence-tested) while keeping the scalable
-        plan; the derivation costs one eager scalar job and clamps at
-        Spark's 2^31-1 accuracy cap (keys past ~2^30 reference rows
-        get the sketch estimate, rank error < n/2^31). Pass an
-        explicit lower ``accuracy`` to trade rank error <= n/accuracy
-        for sketch size at extreme scale; ``exact=True`` keeps the
-        rank-window form the gated query pins."""
+        plan; the derivation costs one EAGER scalar job per call (an
+        extra input scan — reuse ``Engine.covering_accuracy`` when the
+        frame feeds several sketch calls) and clamps at Spark's 2^31-1
+        accuracy cap (keys past ~2^30 reference rows get the sketch
+        estimate, rank error < n/2^31). Pass an explicit lower
+        ``accuracy`` to trade rank error <= n/accuracy for sketch size
+        at extreme scale; ``exact=True`` keeps the rank-window form
+        the gated query pins."""
         from fastetl_spark.operators.analytics import drift_bins
 
         return drift_bins(df, key_col=key_col, value_col=value_col,
@@ -872,6 +874,24 @@ class Engine:
                                    text_col=text_col, n=n,
                                    threshold=threshold)
 
+    def covering_accuracy(self, df: DataFrame, key_col: str,
+                          value_col: str) -> int:
+        """Derive ONCE the percentile_approx accuracy that makes the
+        sketch paths of drift_report / winsorize_report /
+        quantile_normalize bit-equal to their exact forms
+        (operators/quantiles.covering_accuracy_for: 2*max_group+1,
+        clamped to Spark's 2^31-1 cap). This is one eager per-key
+        count job — when several sketch calls share a frame, call this
+        once and pass the result as ``accuracy=`` to each instead of
+        letting every call re-derive (``accuracy=None`` re-scans the
+        input per call)."""
+        from fastetl_spark.operators.quantiles import covering_accuracy_for
+
+        base = df.filter(F.col(value_col).isNotNull()).filter(
+            F.col(key_col).isNotNull()
+        )
+        return covering_accuracy_for(base, key_col)
+
     def winsorize_report(self, df: DataFrame, key_col: str,
                          value_col: str, order_col: str,
                          lo_pct: int = 5, hi_pct: int = 95,
@@ -885,9 +905,13 @@ class Engine:
         sketches, no per-key rank window to skew on low-cardinality
         keys at 100 TB) at a DERIVED covering accuracy
         (``accuracy=None``), which is bit-equal to ``exact=True``
-        (equivalence-tested); pass a lower explicit ``accuracy`` to cap
-        sketch size, or ``exact=True`` for the gated rank-window
-        form."""
+        (equivalence-tested). NOTE: the ``accuracy=None`` derivation
+        runs one EAGER per-key count job at call time (an extra input
+        scan even if the result is never collected) — when the same
+        frame feeds several sketch calls, derive once with
+        ``Engine.covering_accuracy`` and pass it explicitly; or pass a
+        lower ``accuracy`` to cap sketch size, or ``exact=True`` for
+        the gated rank-window form."""
         from fastetl_spark.operators.curation2 import winsorize_bounds
 
         return winsorize_bounds(df, key_col, value_col, order_col,
@@ -896,22 +920,25 @@ class Engine:
 
     def quantile_normalize(self, df: DataFrame, key_col: str,
                            value_col: str, order_col: str,
-                           levels: int = 128, exact: bool = False,
+                           levels: int = 128, exact: bool = True,
                            accuracy: int | None = None) -> DataFrame:
         """Quantile-mapping normalization
         (operators/curation2.quantile_map_values, gated by
         `quantile_mapping_normalize`): each value mapped to the global
         distribution's value at its per-key relative rank through a
-        ``levels+1``-point percentile_disc grid. The DEFAULT is the
-        scale path (``exact=False``): per-key rank levels come from
-        percentile_approx grid boundaries instead of a rank window that
-        skews on low-cardinality keys. Unlike drift/winsorize the two
-        LEVEL CONVENTIONS differ structurally — # boundaries reached vs
-        (r-1)*L div (n-1) — so even at covering accuracy
-        (``accuracy=None``) the approx mode agrees with ``exact=True``
-        only to within one level on distinct values (tested); pass
-        ``exact=True`` when the last level, not key skew, is the
-        risk (the gated query's form)."""
+        ``levels+1``-point percentile_disc grid. The DEFAULT stays
+        ``exact=True`` (the gated query's rank-window form): unlike
+        drift_report/winsorize_report, whose sketch modes are bit-equal
+        at covering accuracy, here the two LEVEL CONVENTIONS differ
+        structurally — # boundaries reached vs (r-1)*L div (n-1) — so
+        ``exact=False`` agrees with exact only to within one level on
+        distinct values (tested), and silently flipping the default
+        would change existing callers' outputs. Opt into
+        ``exact=False`` at scale when per-key rank windows would skew
+        on low-cardinality keys and one-level drift is acceptable;
+        ``accuracy=None`` then derives a covering accuracy via one
+        EAGER per-key count job (reuse ``Engine.covering_accuracy``
+        across calls on the same frame)."""
         from fastetl_spark.operators.curation2 import quantile_map_values
 
         return quantile_map_values(df, key_col, value_col, order_col,

@@ -683,10 +683,14 @@ def label_propagation(
                 state["two_cycle"] = True
                 cur = nxt.select("node", F.col("lab").alias("community"))
                 prv = nxt.select("node", F.col("__prev").alias("community"))
-                q_cur = modularity_terms(cur, edges).agg(
+                # pass the loop's already-materialized symmetrized edge
+                # frame: the two Q evaluations would otherwise each
+                # re-symmetrize + distinct the full edge list (round-9
+                # ADVICE — two redundant corpus-sized shuffles)
+                q_cur = modularity_terms(cur, und=und).agg(
                     F.sum("q_term")
                 ).first()[0] or 0.0
-                q_prv = modularity_terms(prv, edges).agg(
+                q_prv = modularity_terms(prv, und=und).agg(
                     F.sum("q_term")
                 ).first()[0] or 0.0
                 if q_prv > q_cur:
@@ -716,7 +720,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(nodes, edges).orderBy("node")
 
 
-def modularity_terms(labels: DataFrame, edges: DataFrame) -> DataFrame:
+def modularity_terms(
+    labels: DataFrame,
+    edges: DataFrame | None = None,
+    und: DataFrame | None = None,
+) -> DataFrame:
     """Per-community Newman modularity terms of a partition over (src,
     dst) edges: (community, within2, degree_sum, q_term) where, over
     the SYMMETRIZED distinct edge list of size M2 = 2m, within2 = twice
@@ -737,17 +745,29 @@ def modularity_terms(labels: DataFrame, edges: DataFrame) -> DataFrame:
     partial partition yields the modularity of its induced subgraph
     (internally consistent) instead of silently understating Q against
     a full-graph M2. With full coverage (the gated query's case) the
-    two counts coincide."""
+    two counts coincide.
+
+    Callers that already hold the symmetrized+distinct+materialized
+    edge frame (label_propagation builds exactly that at loop entry)
+    pass it as ``und`` to skip the corpus-sized re-symmetrize/distinct
+    shuffle — at two-cycle termination that saves TWO full rebuilds
+    (one per cycle side). Self-loops need not be pre-filtered; the
+    cheap narrow filter is applied either way."""
     lab = labels.select("node", "community")
-    und = (
-        edges.select("src", "dst")
-        .unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if und is None:
+        if edges is None:
+            raise ValueError("modularity_terms needs edges or und")
+        und = (
+            edges.select("src", "dst")
+            .unionAll(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .transform(materialize)
         )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .transform(materialize)
-    )
+    und = und.filter(F.col("src") != F.col("dst"))
     obs = Observation()
     j = materialize(
         und.join(lab.select(F.col("node").alias("src"),

@@ -36,6 +36,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def covering_accuracy_for(df: DataFrame, key_col: str) -> int:
+    """The percentile_approx accuracy that makes sketch picks BIT-EQUAL
+    to the exact DISC element: the query side tolerates a rank error of
+    n/accuracy, so the pick can shift one element until that error
+    drops BELOW half a rank — accuracy >= 2n+1 makes it 0 (measured: at
+    sf0.1 accuracy=n mismatches the disc element, 2n+1 is bit-equal).
+
+    This is ONE EAGER per-key count job (map-side combinable, scalar
+    result) — a full extra scan of ``df`` at CALL time, even if the
+    downstream sketch result is never collected. When the same frame
+    feeds several sketch calls (drift + winsorize + normalize), derive
+    once here and pass the value as ``accuracy=`` to each. Spark caps
+    the accuracy literal at Int.MaxValue (and the sketch holds
+    O(accuracy) samples for its largest key), so the derivation clamps
+    there: keys past ~2^30 rows get the sketch ESTIMATE (rank error <
+    n/2^31) instead of an AnalysisException — at that size exactness
+    would mean materializing the key anyway, which is the exact mode.
+    Rows with a NULL key count toward no key (callers pre-filter)."""
+    mx = (
+        df.groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__m"))
+        .first()["__m"]
+    )
+    return min(max(2 * int(mx or 0) + 1, 10_000), 2**31 - 1)
+
+
 def group_quantile_bounds(
     df: DataFrame,
     key_col: str,
@@ -71,26 +98,7 @@ def group_quantile_bounds(
     )
     if not exact:
         if accuracy is None:
-            # covering accuracy: percentile_approx's query side
-            # tolerates a rank error of n/accuracy, so the sketch pick
-            # can shift one element until that error drops BELOW half a
-            # rank — accuracy >= 2n+1 makes it 0 (measured: at sf0.1
-            # accuracy=n mismatches the disc element, 2n+1 is
-            # bit-equal). One scalar per-key count aggregate (map-side
-            # combinable) runs eagerly here, usual default as a floor.
-            # Spark caps the accuracy literal at Int.MaxValue (and the
-            # sketch holds O(accuracy) samples for its largest key), so
-            # the derivation clamps there: keys past ~2^30 rows get the
-            # sketch ESTIMATE (rank error < n/2^31) instead of an
-            # AnalysisException — at that size exactness would mean
-            # materializing the key anyway, which is the exact mode.
-            mx = (
-                base.groupBy("__k")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .agg(F.max("__n").alias("__m"))
-                .first()["__m"]
-            )
-            accuracy = min(max(2 * int(mx or 0) + 1, 10_000), 2**31 - 1)
+            accuracy = covering_accuracy_for(base, "__k")
         plist = [Fraction(num, den) for num, den in probs]
         agg = base.groupBy("__k").agg(
             F.percentile_approx(

@@ -381,6 +381,14 @@ def zipf_maxdf_evidence(
         posting, tail_q, k=k, broadcast_queries=False,
         max_df=cap).collect()))
     bit_equal = t_rows == c_rows and len(t_rows) > 0
+    # correctness (tail bit-equality — a violation is ALWAYS a bug) and
+    # prune strength (>5x pairs — a property of the chosen
+    # n_docs/vocab/cap combo) are SEPARATE claims: CLI-chosen combos in
+    # tools/bm25_zipf_perf.py can legitimately prune less than 5x, and
+    # that must not read as a correctness failure. The bench guard runs
+    # a pinned combo where both are expected, so its `ok` stays the
+    # conjunction.
+    ok_prune = pairs["capped"] * 5 < pairs["uncapped"]
     return {
         "uncapped_sec": walls["uncapped"],
         "capped_sec": walls["capped"],
@@ -390,7 +398,9 @@ def zipf_maxdf_evidence(
         "n_tail_queries": tail_q.count(),
         "tail_rows": len(t_rows),
         "tail_bit_equal": bit_equal,
-        "ok": pairs["capped"] * 5 < pairs["uncapped"] and bit_equal,
+        "ok_correctness": bit_equal,
+        "ok_prune": ok_prune,
+        "ok": ok_prune and bit_equal,
     }
 
 

@@ -187,9 +187,10 @@ def test_facade_defaults_take_scale_path_bit_equal(spark):
     """Engine.drift_report / winsorize_report default to the
     sketch-boundary plan (no per-key sort window) at a DERIVED covering
     accuracy — bit-equal to the exact mode, so flipping the default is
-    a pure plan change; quantile_normalize's default plan is likewise
-    window-free (its level convention is approximate by construction,
-    tested separately)."""
+    a pure plan change; quantile_normalize's DEFAULT stays exact=True
+    (its approx level convention is only within-one-level equal, so a
+    silent flip would change caller outputs — round-9 ADVICE) with the
+    window-free plan available by opt-in."""
     from fastetl_spark.api import Engine
 
     eng = Engine(spark)
@@ -208,11 +209,40 @@ def test_facade_defaults_take_scale_path_bit_equal(spark):
         assert sorted(map(tuple, default.collect())) == sorted(
             map(tuple, call(exact=True).collect())
         )
-    qplan = (
+    # quantile_normalize default = exact rank-window form (gated query's
+    # plan); the scale path is opt-in because it is only within-one-level
+    # equal to exact.
+    qplan_default = (
         eng.quantile_normalize(df, "event_type", "value", "event_id")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" not in qplan
+    assert "Window" in qplan_default
+    qplan_scale = (
+        eng.quantile_normalize(df, "event_type", "value", "event_id",
+                               exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in qplan_scale
+
+
+def test_covering_accuracy_derive_once_and_reuse(spark):
+    """Engine.covering_accuracy derives the bit-equality accuracy ONCE
+    so multiple sketch calls on the same frame skip the per-call eager
+    count job (round-9 ADVICE); passing it explicitly matches the
+    per-call accuracy=None derivation exactly."""
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+    rows = [(f"k{v % 5}", float((v * 3) % 41), v, v) for v in range(500)]
+    df = _frame(spark, rows)
+    acc = eng.covering_accuracy(df, "event_type", "value")
+    assert acc >= 10_000  # floor clamp; groups here are tiny
+    explicit = eng.winsorize_report(df, "event_type", "value",
+                                    "event_id", accuracy=acc)
+    derived = eng.winsorize_report(df, "event_type", "value", "event_id")
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, derived.collect())
+    )
 
 
 def test_monitor_drift_drops_null_keys_and_values(spark):

@@ -260,3 +260,30 @@ def test_modularity_terms_exact_values(spark):
     assert set(part) == {0}
     assert part[0]["within2"] == 12 and part[0]["degree_sum"] == 12
     assert part[0]["q_term"] == 0.0  # (12*12 - 12*12) / 12^2
+
+
+def test_modularity_terms_prebuilt_und_matches_edges_path(spark):
+    """Passing the pre-symmetrized+distinct edge frame as ``und``
+    (label_propagation's two-cycle termination does this to skip two
+    corpus-sized re-symmetrize shuffles — round-9 ADVICE) yields the
+    exact same terms as the edges path, including with self-loops and
+    duplicate/reversed input edges present."""
+    from fastetl_spark.checkpointing import materialize
+    from fastetl_spark.operators.graph import modularity_terms
+
+    raw = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 0), (2, 2), (0, 1),
+           (10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(raw, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n, 10) for n in (10, 11, 12)],
+        ["node", "community"],
+    )
+    und = materialize(
+        e.select("src", "dst")
+        .unionAll(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+        .distinct()
+    )
+    via_edges = sorted(map(tuple, modularity_terms(labels, e).collect()))
+    via_und = sorted(map(tuple, modularity_terms(labels, und=und).collect()))
+    assert via_edges == via_und and len(via_edges) == 2
