@@ -846,6 +846,55 @@ class Engine:
         fn = payload_byte_profile_pandas if arrow else payload_byte_profile
         return fn(media, id_col=id_col, payload_col=payload_col)
 
+    def audio_stats(self, media: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload",
+                    arrow: bool = True) -> DataFrame:
+        """Exact per-(doc, channel) PCM sample statistics decoded from
+        WAV payloads (operators/multimodal, gated by
+        `wav_sample_stats`): (doc_id, channel, n_samples, min_s, max_s,
+        sum_s, mean_s). DEFAULT ``arrow=True`` — the mapInPandas/numpy
+        twin (one frombuffer pass per payload, <= channels rows out per
+        doc) IS the production path at real audio sizes; the JVM
+        explode twin it is equality-tested against keeps the full
+        payload in every per-sample row and exists to be gateable, not
+        to scale."""
+        from fastetl_spark.operators.multimodal import (
+            wav_sample_stats,
+            wav_sample_stats_pandas,
+        )
+
+        fn = wav_sample_stats_pandas if arrow else wav_sample_stats
+        return fn(media, id_col=id_col, payload_col=payload_col)
+
+    def audio_qa_report(self, media: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload", arrow: bool = True,
+                        dc_num: int = 1, dc_den: int = 20) -> DataFrame:
+        """Per-(doc, channel) audio defect screen (operators/
+        multimodal.audio_qa_report, gated by `wav_audio_qa`): clip
+        (sample at the bit-depth's integer full-scale bound), dc_offset
+        (|mean| > full_scale * dc_num/dc_den, exact integers) and dead
+        (constant channel) — the pre-decode QA pass an audio corpus
+        runs at ingest. ``arrow=True`` (default) derives the stats via
+        the numpy twin — the 100 TB plan."""
+        from fastetl_spark.operators.multimodal import audio_qa_report
+
+        return audio_qa_report(media, id_col=id_col,
+                               payload_col=payload_col, arrow=arrow,
+                               dc_num=dc_num, dc_den=dc_den)
+
+    def image_dims(self, media: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+        """Width/height straight from image container headers — PNG
+        IHDR, GIF87a/89a screen descriptor, JPEG SOF0/SOF2 behind a
+        bounded marker walk (operators/multimodal.image_dims_info,
+        gated by `image_dims_parse`): (id, format, width, height),
+        honest NULL dims when no SOF within the hop/prefix bounds.
+        JVM-side hex arithmetic over a fixed-size payload prefix."""
+        from fastetl_spark.operators.multimodal import image_dims_info
+
+        return image_dims_info(media, id_col=id_col,
+                               payload_col=payload_col)
+
     def psi_terms(self, counts: DataFrame) -> DataFrame:
         """Turn a COMPLETE per-(event_type, bin) count grid (n_ref,
         n_cur — zeros included) into Laplace-smoothed triangular-

@@ -464,9 +464,12 @@ def wav_header_info(
             c = c + b(i + k) * (256 ** k)
         return c
 
+    # hex ONLY the 44 bytes the parser reads: F.hex over the whole
+    # payload would do O(payload) work (and 2x the bytes) per row to
+    # extract a fixed-size header — substring first makes it O(1)
     base = media.select(
         F.col(id_col).alias("doc_id"),
-        F.hex(payload_col).alias("__hx"),
+        F.hex(F.substring(F.col(payload_col), 1, 44)).alias("__hx"),
         F.length(payload_col).cast("long").alias("__n"),
     )
     head_ok = (
@@ -557,6 +560,24 @@ FROM v LEFT JOIN parsed p USING (doc_id)
 """
 
 
+def wav_fixture_media(d: DataFrame) -> DataFrame:
+    """The WAV fixture shared by the gated queries and the twin
+    equality tests: canonical doc_id-varied PCM headers around the
+    encoded text, headerless payload every 17th doc."""
+    ds = "octet_length(encode(text, 'UTF-8'))"
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.encode("text", "UTF-8")
+        ).otherwise(
+            F.concat(
+                F.unhex(F.expr(_wav_header_hex(ds))),
+                F.encode("text", "UTF-8"),
+            )
+        ).alias("payload"),
+    )
+
+
 @query("wav_header_parse", _WAV_SQL)
 def wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata straight from container bytes: canonical PCM WAV
@@ -568,33 +589,34 @@ def wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc_id % 17 == 0 carry a headerless payload and must report
     valid = false with NULL fields (the branch is under the oracle)."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    ds = "octet_length(encode(text, 'UTF-8'))"
-    media = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 17 == 0, F.encode("text", "UTF-8")
-        ).otherwise(
-            F.concat(
-                F.unhex(F.expr(_wav_header_hex(ds))),
-                F.encode("text", "UTF-8"),
-            )
-        ).alias("payload"),
-    )
-    return wav_header_info(media)
+    return wav_header_info(wav_fixture_media(d))
 
 
-# --- image dimension parsing (PNG IHDR / GIF LSD, gated) ------------------
+# --- image dimension parsing (PNG IHDR / GIF LSD / JPEG SOF, gated) --------
 
 # The image twin of wav_header_parse: width/height straight from the
 # container header, no decoder. PNG stores them BIG-endian in the IHDR
 # chunk (bytes 16-23 of the file: 8-byte signature + 4-byte length +
-# 'IHDR'); GIF89a stores them LITTLE-endian in the logical screen
-# descriptor (bytes 6-9). The fixture synthesizes both headers with
-# doc_id-derived dimensions, so the parser must handle both endianness
-# conventions on real signatures.
+# 'IHDR'); GIF (87a and 89a) stores them LITTLE-endian in the logical
+# screen descriptor (bytes 6-9); JPEG stores them big-endian inside the
+# SOF0/SOF2 segment, which sits at a VARIABLE offset behind
+# length-prefixed APPn/COM segments — the parser walks the segment
+# chain (bounded unrolled hops). The fixture synthesizes all four
+# headers with doc_id-derived dimensions (JPEG with 0-7 doc_id-sized
+# COM segments so SOF lands at varied offsets), so the parser must
+# handle both endianness conventions AND the marker walk on real
+# signatures.
 
 _IMG_W = "CAST(16 + (doc_id % 1280) AS BIGINT)"
 _IMG_H = "CAST(16 + ((doc_id * 7) % 720) AS BIGINT)"
+
+# bounded-walk honesty knobs: at most _JPEG_HOPS marker examinations,
+# reading only the first _IMG_PREFIX payload bytes (hex'd once) — a
+# SOF deeper than either reports NULL dims rather than a wrong guess.
+# The fixture plants one arm past the hop bound (doc_id % 31) to keep
+# the honest branch under the oracle.
+_JPEG_HOPS = 6
+_IMG_PREFIX = 512
 
 
 def _be_hex(e: str, nbytes: int) -> str:
@@ -611,27 +633,68 @@ def _be_hex(e: str, nbytes: int) -> str:
 
 def _img_payload_hex() -> str:
     """Hex of a minimal synthetic image header (shared Spark/DuckDB
-    fragment): even doc_id -> PNG signature + IHDR with BE dims + 8-bit
-    RGB fields; odd -> GIF89a + LE dims. The text payload follows as
-    opaque body bytes (parsers never read past the header)."""
+    fragment), rotating real container layouts by doc_id % 4:
+    0 -> PNG signature + IHDR (BE dims); 1 -> JPEG: SOI + APP0/JFIF +
+    0-7 COM segments of doc_id-varied length + SOF0 (BE dims) — the
+    marker walk must hop real length-prefixed segments to find it, and
+    the doc_id % 31 arm buries SOF behind 7 COMs (past the hop bound,
+    exercising the honest-NULL branch); 2 -> GIF89a, 3 -> GIF87a (LE
+    dims). doc_id % 23 == 0 gets a 0x00-led headerless payload
+    (format 'unknown'). The text payload follows as opaque body bytes
+    (parsers never read past the header)."""
     png = (
         "concat('89504E470D0A1A0A', '0000000D', '49484452', "
         f"{_be_hex(_IMG_W, 4)}, {_be_hex(_IMG_H, 4)}, '0802000000')"
     )
-    gif = (
+    # one COM segment: marker FFFE + BE16 length (2 + pad) + pad 'A's;
+    # pad = 1 + doc_id % 7 so segment sizes (and the SOF offset) vary
+    com = (
+        "concat('FFFE', "
+        f"{_be_hex('(3 + doc_id % 7)', 2)}, "
+        "repeat('41', CAST(1 + doc_id % 7 AS INT)))"
+    )
+    app0 = "'FFE000104A46494600010100000100010000'"  # JFIF APP0, len 16
+    sof0 = (
+        f"concat('FFC00011', '08', {_be_hex(_IMG_H, 2)}, "
+        f"{_be_hex(_IMG_W, 2)}, '03011100021101031101')"
+    )
+    jpg = (
+        f"concat('FFD8', {app0}, "
+        f"CASE WHEN doc_id % 31 = 0 THEN repeat({com}, 7) "
+        f"ELSE repeat({com}, CAST(doc_id % 3 AS INT)) END, {sof0})"
+    )
+    gif89 = (
         f"concat('474946383961', {_le_hex(_IMG_W, 2)}, "
         f"{_le_hex(_IMG_H, 2)}, '00')"
     )
-    return f"CASE WHEN doc_id % 2 = 0 THEN {png} ELSE {gif} END"
+    gif87 = (
+        f"concat('474946383761', {_le_hex(_IMG_W, 2)}, "
+        f"{_le_hex(_IMG_H, 2)}, '00')"
+    )
+    return (
+        "CASE WHEN doc_id % 23 = 0 THEN '00' "
+        f"WHEN doc_id % 4 = 0 THEN {png} "
+        f"WHEN doc_id % 4 = 1 THEN {jpg} "
+        f"WHEN doc_id % 4 = 2 THEN {gif89} "
+        f"ELSE {gif87} END"
+    )
 
 
 def image_dims_info(
     media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Parse (format, width, height) from PNG/GIF headers in a binary
-    column — NULL dims for anything else. Big-endian IHDR fields for
-    PNG, little-endian logical-screen fields for GIF; pure hex
-    arithmetic, JVM-side."""
+    """Parse (format, width, height) from PNG/GIF/JPEG headers in a
+    binary column — NULL dims for anything else. Big-endian IHDR
+    fields for PNG; little-endian logical-screen fields for GIF (87a
+    and 89a); for JPEG a bounded SOF marker walk: starting after SOI,
+    hop length-prefixed segments (marker FF xx + BE16 length) up to
+    _JPEG_HOPS times until an SOF0/SOF2 marker (FFC0/FFC2) carries the
+    BE dims at +5/+7. Pure hex arithmetic, JVM-side; only the first
+    _IMG_PREFIX payload bytes are hex'd (headers live at the front — a
+    substring-first projection keeps per-row work O(1) in payload
+    size), and a SOF past the hop bound or prefix reports honest NULL
+    dims, never a guess. Each hop is a named-column projection so the
+    walk's expression tree stays LINEAR in _JPEG_HOPS."""
 
     def b(i: int) -> F.Column:
         return F.conv(
@@ -652,80 +715,131 @@ def image_dims_info(
 
     base = media.select(
         F.col(id_col).alias("doc_id"),
-        F.hex(payload_col).alias("__hx"),
+        F.hex(F.substring(F.col(payload_col), 1, _IMG_PREFIX)).alias("__hx"),
         F.length(payload_col).cast("long").alias("__n"),
     )
     is_png = (F.col("__n") >= 24) & (
         F.expr("substring(__hx, 1, 16)") == "89504E470D0A1A0A"
     ) & (F.expr("substring(__hx, 25, 8)") == "49484452")
     is_gif = (F.col("__n") >= 10) & (
-        F.expr("substring(__hx, 1, 12)") == "474946383961"
+        F.expr("substring(__hx, 1, 12)").isin("474946383961", "474946383761")
     )
-    return base.select(
+    is_jpg = (F.col("__n") >= 4) & (
+        F.expr("substring(__hx, 1, 6)") == "FFD8FF"
+    )
+    # JPEG bounded marker walk over named columns: __jo = 0-based byte
+    # offset of the marker under examination (NULL once the walk dies:
+    # corrupt marker, out-of-prefix, or hops exhausted), __jw/__jh =
+    # dims once an SOF marker is seen. Helpers read bytes at a COLUMN
+    # offset; every reference is by name, so each hop adds O(1) nodes.
+    cur = base.select(
         "doc_id",
-        F.when(is_png, "image/png")
-        .when(is_gif, "image/gif")
+        "__hx",
+        "__n",
+        is_png.alias("__png"),
+        is_gif.alias("__gif"),
+        is_jpg.alias("__jpg"),
+        F.when(is_jpg, F.lit(2).cast("long")).alias("__jo"),
+        F.lit(None).cast("long").alias("__jw"),
+        F.lit(None).cast("long").alias("__jh"),
+    )
+    bo = lambda o: (  # noqa: E731 — byte at column-expression offset o
+        f"CAST(conv(substring(__hx, CAST(({o}) * 2 + 1 AS INT), 2), 16, 10)"
+        " AS BIGINT)"
+    )
+    for _ in range(_JPEG_HOPS):
+        cur = (
+            cur.withColumn(
+                "__ok",
+                F.expr(
+                    # marker fully readable from the prefix: need bytes
+                    # __jo .. __jo+8 (SOF dims end at +8)
+                    "__jo IS NOT NULL AND __jw IS NULL"
+                    f" AND (__jo + 9) * 2 <= length(__hx)"
+                    f" AND {bo('__jo')} = 255"
+                ),
+            )
+            .withColumn(
+                "__sof",
+                F.expr(f"__ok AND {bo('__jo + 1')} IN (192, 194)"),
+            )
+            .withColumn(
+                "__jw",
+                F.expr(
+                    "CASE WHEN __jw IS NOT NULL THEN __jw WHEN __sof THEN "
+                    f"{bo('__jo + 7')} * 256 + {bo('__jo + 8')} END"
+                ),
+            )
+            .withColumn(
+                "__jh",
+                F.expr(
+                    "CASE WHEN __jh IS NOT NULL THEN __jh WHEN __sof THEN "
+                    f"{bo('__jo + 5')} * 256 + {bo('__jo + 6')} END"
+                ),
+            )
+            .withColumn(
+                "__jo",
+                F.expr(
+                    "CASE WHEN __jw IS NOT NULL THEN __jo WHEN NOT __ok "
+                    "THEN CAST(NULL AS BIGINT) ELSE __jo + 2 + "
+                    f"{bo('__jo + 2')} * 256 + {bo('__jo + 3')} END"
+                ),
+            )
+        )
+    return cur.select(
+        "doc_id",
+        F.when(F.col("__png"), "image/png")
+        .when(F.col("__jpg"), "image/jpeg")
+        .when(F.col("__gif"), "image/gif")
         .otherwise("unknown")
         .alias("format"),
-        F.when(is_png, be(16, 4))
-        .when(is_gif, le(6, 2))
+        F.when(F.col("__png"), be(16, 4))
+        .when(F.col("__gif"), le(6, 2))
+        .when(F.col("__jpg"), F.col("__jw"))
         .cast("int")
         .alias("width"),
-        F.when(is_png, be(20, 4))
-        .when(is_gif, le(8, 2))
+        F.when(F.col("__png"), be(20, 4))
+        .when(F.col("__gif"), le(8, 2))
+        .when(F.col("__jpg"), F.col("__jh"))
         .cast("int")
         .alias("height"),
     )
 
 
+# the oracle derives expected output INDEPENDENTLY from the fixture
+# spec (which arm each doc_id gets and what dims were stamped) — the
+# same proves-the-decode pattern as wav_sample_stats: the Spark side
+# must parse real header bytes (including the JPEG marker walk over
+# variable-length COM segments) to reproduce these values, there is no
+# shared parsing shortcut to be wrong in unison with. The doc_id % 31
+# JPEG arm buries SOF behind 7 COM segments — past the walk's hop
+# bound — so the honest NULL-dims branch is asserted too.
 _IMG_SQL = f"""
-WITH m AS (
-  SELECT doc_id,
-         unhex({_img_payload_hex()}) || encode(text) AS p
-  FROM documents
-), h AS (
-  SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM m
-)
 SELECT doc_id,
-       CASE WHEN n >= 24 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
-                 AND substr(hx, 25, 8) = '49484452' THEN 'image/png'
-            WHEN n >= 10 AND substr(hx, 1, 12) = '474946383961'
-                 THEN 'image/gif'
-            ELSE 'unknown' END AS format,
-       CAST(CASE
-         WHEN n >= 24 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
-              AND substr(hx, 25, 8) = '49484452' THEN
-           (('0x' || substr(hx, 33, 2))::BIGINT * 256
-             + ('0x' || substr(hx, 35, 2))::BIGINT) * 65536
-             + ('0x' || substr(hx, 37, 2))::BIGINT * 256
-             + ('0x' || substr(hx, 39, 2))::BIGINT
-         WHEN n >= 10 AND substr(hx, 1, 12) = '474946383961' THEN
-           ('0x' || substr(hx, 13, 2))::BIGINT
-             + ('0x' || substr(hx, 15, 2))::BIGINT * 256
-       END AS INT) AS width,
-       CAST(CASE
-         WHEN n >= 24 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
-              AND substr(hx, 25, 8) = '49484452' THEN
-           (('0x' || substr(hx, 41, 2))::BIGINT * 256
-             + ('0x' || substr(hx, 43, 2))::BIGINT) * 65536
-             + ('0x' || substr(hx, 45, 2))::BIGINT * 256
-             + ('0x' || substr(hx, 47, 2))::BIGINT
-         WHEN n >= 10 AND substr(hx, 1, 12) = '474946383961' THEN
-           ('0x' || substr(hx, 17, 2))::BIGINT
-             + ('0x' || substr(hx, 19, 2))::BIGINT * 256
-       END AS INT) AS height
-FROM h
+       CASE WHEN doc_id % 23 = 0 THEN 'unknown'
+            WHEN doc_id % 4 = 0 THEN 'image/png'
+            WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+            ELSE 'image/gif' END AS format,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+                 WHEN doc_id % 4 = 1 AND doc_id % 31 = 0 THEN NULL
+                 ELSE {_IMG_W} END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+                 WHEN doc_id % 4 = 1 AND doc_id % 31 = 0 THEN NULL
+                 ELSE {_IMG_H} END AS INT) AS height
+FROM documents
 """
 
 
 @query("image_dims_parse", _IMG_SQL)
 def image_dims_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Width/height straight from image container headers — PNG IHDR
-    (big-endian) and GIF89a logical screen descriptor (little-endian)
-    synthesized with doc_id-derived dimensions around the text
-    payloads, parsed back JVM-side with no decoder. With
-    wav_header_parse this completes the decode-free typed-metadata
-    tier of the multimodal pillar."""
+    (big-endian), GIF87a/GIF89a logical screen descriptor
+    (little-endian) and JPEG SOF0 behind 0-7 variable-length COM
+    segments (bounded marker walk) — synthesized with doc_id-derived
+    dimensions around the text payloads, parsed back JVM-side with no
+    decoder; the oracle restates the fixture spec independently, so
+    the gate proves the parse. With wav_header_parse this completes
+    the decode-free typed-metadata tier of the multimodal pillar."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     media = d.select(
         "doc_id",
@@ -1017,10 +1131,14 @@ def media_type_mismatch(
     are THE classic multimodal-corpus defect (an mp3 in the image
     column crashes the decoder fleet hours later); this is the
     broadcast-free single-pass projection that catches it upstream."""
+    # magic-byte tests read at most bytes 1-12 (RIFF form type ends at
+    # offset 12): hex only that prefix, not the whole payload
     return media.select(
         F.col(id_col).alias("doc_id"),
         F.col(declared_col).alias("declared"),
-        detect_format(F.hex(payload_col)).alias("detected"),
+        detect_format(F.hex(F.substring(F.col(payload_col), 1, 12))).alias(
+            "detected"
+        ),
     ).withColumn("mismatch", F.col("detected") != F.col("declared"))
 
 
@@ -1051,12 +1169,17 @@ def media_type_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINTs with one IEEE division for the mean. The audio-QA screen
 # (clipping, DC offset, dead channels) runs on exactly these stats.
 
-_WAV_STATS_SQL = f"""
+def _wav_stats_sql(dhx: str, ds: str) -> str:
+    """DuckDB per-(doc, channel) PCM sample statistics recomputed from
+    the fixture SPEC (sample bytes = ``dhx`` hex, data size = ``ds``),
+    parameterized so the base WAV fixture and the audio-QA fixture
+    (clip markers / constant blocks appended) share one derivation."""
+    return f"""
 WITH m AS (
   SELECT doc_id,
          {_WAV_SR} AS sr, {_WAV_CH} AS ch, {_WAV_BITS} AS bits,
-         hex(encode(text)) AS dhx,
-         octet_length(encode(text)) AS ds
+         {dhx} AS dhx,
+         {ds} AS ds
   FROM documents WHERE doc_id % 17 <> 0
 ), idx AS (
   SELECT doc_id, ch, bits, dhx,
@@ -1088,6 +1211,11 @@ FROM samp GROUP BY 1, 2
 """
 
 
+_WAV_STATS_SQL = _wav_stats_sql(
+    "hex(encode(text))", "octet_length(encode(text))"
+)
+
+
 def wav_sample_stats(
     media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -1098,7 +1226,16 @@ def wav_sample_stats(
     128-offset, 16-bit signed little-endian (a trailing odd byte is
     not a sample); channels deinterleave as i % n_channels. One
     header-parse projection + one explode + one map-side-combinable
-    groupBy — the same exchange profile as the byte profile."""
+    groupBy — the same exchange profile as the byte profile.
+
+    SCALE WARNING: this is the GATEABLE twin, not the production path.
+    The explode keeps the full hex payload string in every per-sample
+    row (O(n_samples x payload_len) intermediate — a 5 MB WAV is ~2.5M
+    rows each dragging a 10 MB string). At real audio sizes use
+    wav_sample_stats_pandas: the equality-tested Arrow twin decodes
+    each payload with one numpy frombuffer pass and emits <=channels
+    rows per doc — THE 100 TB plan, exactly as payload_byte_profile
+    pairs with payload_byte_profile_pandas."""
     info = wav_header_info(media, id_col=id_col, payload_col=payload_col)
     src = media.select(
         F.col(id_col).alias("doc_id"), F.hex(payload_col).alias("__phx")
@@ -1136,6 +1273,91 @@ def wav_sample_stats(
     )
 
 
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("min_s", T.LongType()),
+        T.StructField("max_s", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("mean_s", T.DoubleType()),
+    ]
+)
+
+
+def wav_sample_stats_pandas(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The 100 TB shape of wav_sample_stats: payload samples NEVER
+    become Spark rows — each Arrow batch is decoded with one numpy
+    frombuffer per payload (header validated and parsed from the raw
+    bytes, 8-bit unsigned-128 / 16-bit signed little-endian, channel
+    deinterleave by stride slicing) and emits at most ``channels`` rows
+    per doc. Bit-identical to the JVM/gated explode twin
+    (equality-tested): exact int64-safe integer stats (PCM samples are
+    <= 16 bits, so any payload under ~2^46 samples cannot overflow the
+    per-channel sum) and the SAME single IEEE division for the mean.
+    Invalid/headerless/non-PCM payloads yield no rows, matching the
+    gated twin's filter("valid") join."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                if (
+                    len(buf) < 44
+                    or buf[0:4] != b"RIFF"
+                    or buf[8:12] != b"WAVE"
+                    or buf[12:16] != b"fmt "
+                    or int.from_bytes(buf[20:22], "little") != 1  # PCM
+                ):
+                    continue
+                ch = int.from_bytes(buf[22:24], "little")
+                bits = int.from_bytes(buf[34:36], "little")
+                ds = int.from_bytes(buf[40:44], "little")
+                if ch <= 0:
+                    continue
+                data = buf[44 : 44 + ds]
+                if bits == 8:
+                    s = np.frombuffer(data, dtype=np.uint8).astype(
+                        np.int64
+                    ) - 128
+                else:  # 16-bit signed LE; a trailing odd byte is not a sample
+                    n16 = len(data) // 2
+                    s = np.frombuffer(
+                        data[: n16 * 2], dtype="<i2"
+                    ).astype(np.int64)
+                if len(s) == 0:
+                    continue
+                for c in range(min(ch, len(s))):
+                    sc = s[c::ch]  # sample i belongs to channel i % ch
+                    tot = int(sc.sum())
+                    rows.append(
+                        (
+                            int(did),
+                            c,
+                            int(len(sc)),
+                            int(sc.min()),
+                            int(sc.max()),
+                            tot,
+                            float(tot) / float(len(sc)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        decode, WAV_STATS_SCHEMA
+    )
+
+
 @query("wav_sample_stats", _WAV_STATS_SQL)
 def wav_sample_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-channel PCM sample statistics decoded from the synthetic WAV
@@ -1143,18 +1365,140 @@ def wav_sample_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     header for channels/bit depth/data size, deinterleaves and
     sign-decodes the samples, and aggregates exact integer stats; the
     oracle recomputes from the fixture spec independently, so the gate
-    proves the DECODE, not a shared shortcut."""
+    proves the DECODE, not a shared shortcut. (The gateable explode
+    plan; wav_sample_stats_pandas is the equality-tested 100 TB
+    path.)"""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    ds = "octet_length(encode(text, 'UTF-8'))"
+    return wav_sample_stats(wav_fixture_media(d))
+
+
+# --- audio QA screen (clipping / DC offset / dead channels, gated) ---------
+#
+# The reading the sample statistics exist for: per-(doc, channel)
+# defect flags, exact integers end-to-end.
+#   clip      — any sample at the integer full-scale bound (127/-128 at
+#               8-bit, 32767/-32768 at 16-bit): the waveform hit the
+#               converter's ceiling and is distorted.
+#   dc_offset — |mean| above a full-scale fraction (default 1/20): a
+#               biased capture chain; as exact integers,
+#               |sum| * den > n * bound * num.
+#   dead      — min == max: a constant (disconnected/muted) channel.
+# The QA fixture extends the WAV fixture so every flag has positive
+# cases under the oracle: doc_id % 19 docs carry a CONSTANT 16-byte
+# data block (dead + dc_offset), doc_id % 13 docs get a full-scale
+# 0xFF7F marker appended to the text bytes — 16-bit: samples of 32767;
+# 8-bit: 127s — (clip; the text itself is UTF-8, which contains no
+# 0x00/0xFF byte, so unmarked docs can never clip). A '00' pad byte
+# keeps the marker sample-aligned for odd-length 16-bit payloads.
+
+
+def _wav_qa_data_hx(enc: str) -> str:
+    """Hex of the QA fixture's data chunk (shared Spark/DuckDB
+    fragment; ``enc`` = the engine's encode-to-bytes expression)."""
+    return (
+        "CASE WHEN doc_id % 19 = 0 THEN repeat('40', 16) "
+        f"WHEN doc_id % 13 = 0 THEN concat(hex({enc}), "
+        f"CASE WHEN octet_length({enc}) % 2 = 1 THEN '00' ELSE '' END, "
+        "'FF7FFF7FFF7FFF7F') "
+        f"ELSE hex({enc}) END"
+    )
+
+
+def _wav_qa_ds(enc: str) -> str:
+    return (
+        "CASE WHEN doc_id % 19 = 0 THEN 16 "
+        f"WHEN doc_id % 13 = 0 THEN octet_length({enc}) + 8 "
+        f"+ octet_length({enc}) % 2 "
+        f"ELSE octet_length({enc}) END"
+    )
+
+
+def audio_qa_report(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    arrow: bool = False,
+    dc_num: int = 1,
+    dc_den: int = 20,
+) -> DataFrame:
+    """Per-(doc, channel) audio defect screen over WAV payloads:
+    (doc_id, channel, n_samples, clip, dc_offset, dead). Flags are
+    pure integer predicates over the exact sample statistics (see
+    module comment); the full-scale bound comes from the PARSED bit
+    depth, and a 1-sample channel is constant by definition (dead
+    flags it; filter on n_samples if that reading is unwanted).
+
+    ``arrow=True`` computes the stats via wav_sample_stats_pandas (one
+    numpy pass per payload, no per-sample rows) — the 100 TB plan,
+    bit-equal to the gateable explode twin; the flags layer is
+    identical either way."""
+    stats_fn = wav_sample_stats_pandas if arrow else wav_sample_stats
+    stats = stats_fn(media, id_col=id_col, payload_col=payload_col)
+    bits = (
+        wav_header_info(media, id_col=id_col, payload_col=payload_col)
+        .filter("valid")
+        .select("doc_id", "bits_per_sample")
+    )
+    hi = F.when(F.col("bits_per_sample") == 8, F.lit(127)).otherwise(
+        F.lit(32767)
+    )
+    lo = -hi - 1
+    return stats.join(bits, "doc_id").select(
+        "doc_id",
+        "channel",
+        "n_samples",
+        ((F.col("max_s") >= hi) | (F.col("min_s") <= lo)).alias("clip"),
+        (
+            F.abs(F.col("sum_s")) * F.lit(dc_den)
+            > F.col("n_samples") * hi * F.lit(dc_num)
+        ).alias("dc_offset"),
+        (F.col("min_s") == F.col("max_s")).alias("dead"),
+    )
+
+
+_WAV_QA_SQL = f"""
+WITH stats AS (
+{_wav_stats_sql(_wav_qa_data_hx("encode(text)"), _wav_qa_ds("encode(text)"))}
+)
+SELECT doc_id, channel, n_samples,
+       (max_s >= hi OR min_s <= -hi - 1) AS clip,
+       (abs(sum_s) * 2 > n_samples * hi * 1) AS dc_offset,
+       (min_s = max_s) AS dead
+FROM (
+  SELECT s.*,
+         CASE WHEN doc_id % 3 = 0 THEN 127 ELSE 32767 END AS hi
+  FROM stats s
+)
+"""
+
+
+@query("wav_audio_qa", _WAV_QA_SQL)
+def wav_audio_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QA screen over the extended WAV fixture: the operator
+    parses headers, decodes samples and derives the flags from its own
+    statistics; the oracle re-derives everything from the fixture spec
+    (including which docs carry the planted clip markers and constant
+    blocks), so the gate proves decode AND flag logic. The gated query
+    pins dc at HALF full scale (dc_den=2): text-byte "audio" is
+    heavily DC-biased by construction (ASCII bytes sit far from the
+    16-bit midpoint), so the production 5% default would flag every
+    row — at 50% the 8-bit text docs (|mean| ~ 30 of 127) stay clean
+    while 16-bit docs and the planted constant blocks trip it, giving
+    every flag positive AND negative cases (%13 -> clip, %19 -> dead,
+    unplanted docs never clip: UTF-8 contains no 0x00/0xFF byte)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    enc = "encode(text, 'UTF-8')"
+    data_hx = _wav_qa_data_hx(enc)
     media = d.select(
         "doc_id",
         F.when(
             F.col("doc_id") % 17 == 0, F.encode("text", "UTF-8")
         ).otherwise(
-            F.concat(
-                F.unhex(F.expr(_wav_header_hex(ds))),
-                F.encode("text", "UTF-8"),
+            F.unhex(
+                F.expr(
+                    f"concat({_wav_header_hex(_wav_qa_ds(enc))}, {data_hx})"
+                )
             )
         ).alias("payload"),
     )
-    return wav_sample_stats(media)
+    return audio_qa_report(media, dc_num=1, dc_den=2)
