@@ -1433,3 +1433,163 @@ def streaming_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prof = payload_byte_profile_pandas(stream)
     return _drain_to_memory(prof, "st_media_", "append").orderBy("doc_id")
+
+
+# --- 18th gate: event-time LATENESS semantics --------------------------------
+#
+# Every stateful gate so far fed in-order slices, so the watermark
+# never actually dropped a row — the one Structured Streaming semantic
+# the suite had not PINNED is what happens to late data. This gate
+# feeds the month of events out of chronological order (the backfill
+# shape) and hash-matches the surviving windowed counts against a
+# batch oracle that replays Spark's EXACT lateness rule, which was
+# pinned empirically on this engine build (two-watermark semantics,
+# SPARK-24634):
+#
+#   * the EVICTION watermark of batch k is max(event_time over batches
+#     <= k-1) - delay;
+#   * the LATE-ROW FILTER of batch k uses the PREVIOUS batch's
+#     eviction watermark, i.e. max(event_time over batches <= k-2) -
+#     delay — one batch more lag than the progress line suggests;
+#   * an input row is DROPPED iff its window END < that late
+#     watermark (boundary measured: window_end == watermark is still
+#     admitted; numRowsDroppedByWatermark confirms each drop);
+#   * eviction and the late filter complement each other monotonically,
+#     so an evicted window can never be resurrected by a late row and
+#     per-window counts only grow.
+#
+# Slices (fixed calendar literals — the fixture spans Jan 2024 at
+# every SF): slice 0 = [Jan 21, Jan 27), slice 1 = [Jan 12, Jan 21),
+# slice 2 = everything else — the oldest days AND the newest tail
+# (>= Jan 27). Batches 0 and 1 precede any late filter (their filter
+# watermarks are -inf). Batch 2's filter watermark is max(slice 0) -
+# 15 days ~ Jan 11-ish, so slice 2 arrives SPLIT: its old days (window
+# end < the line) are dropped, its Jan-11 day and its newest tail are
+# kept — a genuine partial drop inside one micro-batch, not a
+# whole-slice tautology.
+#
+# Determinism notes: event times are truncated to whole seconds before
+# streaming (the watermark is tracked in milliseconds — sub-second
+# components would diverge from the oracle's interval arithmetic), and
+# update-mode emissions are folded with MAX per key — counts only grow
+# in state, so the final value per (window, key) is the largest ever
+# emitted, with no dependence on no-data batches or emission timing.
+
+_LATE_WM_DAYS = 15
+_LATE_CUT_HI = "2024-01-21"
+_LATE_CUT_LO = "2024-01-12"
+_LATE_CUT_TAIL = "2024-01-27"
+
+
+def _stream_late_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, date_trunc('second', ts) AS tss FROM events
+), sliced AS (
+  SELECT event_type, tss,
+         CASE WHEN tss < TIMESTAMP '{_LATE_CUT_LO}'
+                OR tss >= TIMESTAMP '{_LATE_CUT_TAIL}' THEN 2
+              WHEN tss >= TIMESTAMP '{_LATE_CUT_HI}' THEN 0
+              ELSE 1 END AS b
+  FROM ev
+), wm AS (
+  SELECT MAX(tss) - INTERVAL {_LATE_WM_DAYS} DAYS AS w
+  FROM sliced WHERE b = 0
+), accepted AS (
+  SELECT event_type, tss FROM sliced, wm
+  WHERE b < 2
+     OR (CAST(date_trunc('day', tss) AS TIMESTAMP)
+         + INTERVAL 1 DAY) >= wm.w
+)
+SELECT CAST(date_trunc('day', tss) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM accepted GROUP BY 1, 2
+"""
+
+
+def make_batch_partition_sink(dest_path: str):
+    """foreachBatch body that lands each micro-batch's emitted rows
+    under an own partition directory ``__batch=<id>/`` with a commit
+    marker — the same effectively-once recipe as make_posting_batch
+    (overwrite-own-partition converges under redelivery with or
+    without the marker; the marker only short-circuits the rewrite).
+    Use for update-mode sinks whose final answer is a fold over the
+    per-batch emissions (e.g. MAX for monotone counts)."""
+    from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
+
+    commits_dir = dest_path.rstrip("/") + ".__commits__"
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        marker = f"{commits_dir}/{int(batch_id)}"
+        fs, path_cls = hadoop_fs(bspark, dest_path)
+        if fs.exists(path_cls(marker)):
+            return  # redelivered batch: partition already written
+        batch_df.write.mode("overwrite").parquet(
+            f"{dest_path.rstrip('/')}/__batch={int(batch_id)}"
+        )
+        write_text_file(bspark, marker, "")
+
+    return sink_batch
+
+
+@query("streaming_late_data_windows", _stream_late_sql())
+def streaming_late_data_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily windowed counts over an out-of-order event stream with a
+    15-day watermark: batch 2 carries both too-late days (window end
+    below the late-filter watermark frozen from slice 0, dropped) and
+    acceptable rows (kept) — the aggregation must drop exactly the
+    former. Drained via idempotent per-batch partition overwrites and
+    hash-checked against the batch oracle that replays the pinned
+    two-watermark lateness rule (see module comment)."""
+    from fastetl_spark.io.readers import read_table
+
+    root = _scratch_root(sf_dir, "stream_late")
+    in_dir, dest, ckpt = f"{root}/in", f"{root}/dest", f"{root}/ckpt"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("tss"),
+    )
+    slice_no = (
+        F.when(
+            (F.col("tss") < F.lit(_LATE_CUT_LO).cast("timestamp"))
+            | (F.col("tss") >= F.lit(_LATE_CUT_TAIL).cast("timestamp")),
+            2,
+        )
+        .when(F.col("tss") >= F.lit(_LATE_CUT_HI).cast("timestamp"), 0)
+        .otherwise(1)
+    )
+    _stage_slices(ev, root, in_dir, slice_no)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("tss", f"{_LATE_WM_DAYS} days")
+        .groupBy(F.window("tss", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+    q = (
+        agg.writeStream.foreachBatch(make_batch_partition_sink(dest))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # counts only grow in state, so MAX across the per-batch update
+    # emissions is the final value per key
+    return (
+        spark.read.option("basePath", dest)
+        .parquet(dest)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )

@@ -299,3 +299,94 @@ def test_posting_batch_redelivery_noop(spark, tmp_path):
     batch(docs1, 0)
     again = sorted(map(tuple, spark.read.parquet(dest).drop("__batch").collect()))
     assert again == want
+
+
+def test_batch_partition_sink_redelivery_noop(spark, tmp_path):
+    """make_batch_partition_sink (the 18th gate's update-mode sink):
+    a redelivered batch_id — even with a DIFFERENT payload, the worst
+    case — must not disturb the already-committed partition, and
+    distinct batches land in their own partitions."""
+    from fastetl_spark.streaming.stream_ops import make_batch_partition_sink
+
+    dest = str(tmp_path / "late_dest")
+    sink = make_batch_partition_sink(dest)
+    b0 = spark.createDataFrame([("a", 1)], "k string, n long")
+    sink(b0, 0)
+    sink(spark.createDataFrame([("a", 99)], "k string, n long"), 0)
+    sink(spark.createDataFrame([("b", 2)], "k string, n long"), 1)
+    got = sorted(
+        map(tuple, spark.read.option("basePath", dest).parquet(dest)
+            .select("k", "n").collect())
+    )
+    assert got == [("a", 1), ("b", 2)]
+
+
+def test_watermark_two_stage_lag_and_boundary(spark, tmp_path):
+    """Pin the Spark lateness semantics the 18th gate's oracle encodes
+    (measured on this engine build; if an upgrade changes them, THIS
+    test names the contract that broke): the late-row filter of batch
+    k uses the eviction watermark of batch k-1 (= max event time over
+    batches <= k-2 minus delay), and a row is dropped iff its window
+    END < that value — window_end == watermark is still admitted."""
+    import glob as _glob
+    import os
+    import shutil
+
+    root = str(tmp_path / "wm")
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    base = 1704067200  # 2024-01-01 UTC
+    # delay 40000s; slice0 max = 100000 -> late watermark for batch 2
+    # onward = 60000. batch1 carries an already-late row (end 50000 <
+    # 60000) that must STILL be admitted (filter lags one batch);
+    # batch2 re-sends that window (drop), a boundary window end==60000
+    # (admit) and a clearly-fresh row (admit).
+    slices = [
+        [(0, 100000)],
+        [(1, 45000)],
+        [(2, 45001), (3, 55000), (4, 61000)],
+    ]
+    for i, rows in enumerate(slices):
+        df = spark.createDataFrame(rows, "k long, sec long").select(
+            "k", F.timestamp_seconds(F.col("sec") + base).alias("ts")
+        )
+        stage = f"{root}/s{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            _glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{in_dir}/slice_{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "40000 seconds")
+        .groupBy(F.window("ts", "10000 seconds"), "k")
+        .count()
+    )
+    seen: list[tuple[int, int]] = []
+
+    def fb(bdf, bid):
+        seen.extend((int(bid), int(r["k"])) for r in bdf.collect())
+
+    q = (
+        agg.writeStream.foreachBatch(fb)
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    accepted = {k for _, k in seen}
+    assert 1 in accepted  # late but filter lags one batch
+    assert 2 not in accepted  # same window, one batch later: dropped
+    assert 3 in accepted  # window_end == watermark: admitted
+    assert 4 in accepted
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
