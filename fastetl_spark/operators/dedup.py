@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from fastetl_spark.checkpointing import materialize
@@ -929,18 +929,19 @@ def connected_components(
 
     Size-adaptive strategy. The edge list is the OUTPUT of candidate
     generation — orders of magnitude smaller than the corpus — so it is
-    counted first (the edges are checkpointed; the count is nearly
-    free). At or under `driver_edge_cap` edges the components come from
+    counted first (the count rides the edge materialize via observe():
+    zero extra jobs). At or under `driver_edge_cap` edges the components come from
     an exact driver-side union-find (milliseconds, zero extra jobs);
     above it, iterative min-label propagation on DataFrames: each round
     every node takes the min of its own label and its neighbors'
     labels; rounds needed = graph diameter (near-dup clusters are
     shallow, typically <= 3-4). Each round is one shuffle on the node
     id; lineage is cut with localCheckpoint per round (use a reliable
-    checkpoint dir on a cluster). Convergence is detected by an
-    aggregate changed-count — one cheap action per round, unavoidable
-    for an iterative fixpoint. No GraphFrames/RDD dependency. Both
-    paths produce identical labels (min reachable node).
+    checkpoint dir on a cluster). Convergence is detected by a
+    changed-count folded into each round's materialize action via
+    observe() — no separate aggregate job per round. No GraphFrames/RDD
+    dependency. Both paths produce identical labels (min reachable
+    node).
 
     Only the EDGE-INDUCED subgraph iterates: a node with no pair edge
     can never change label, so isolated nodes (the overwhelming majority
@@ -949,13 +950,17 @@ def connected_components(
     every round and shuffling only the near-dup subgraph every round.
     """
     spark = pairs.sparkSession
-    edges = (
+    # the size probe rides the materialize action itself (observe), so
+    # choosing the strategy costs zero extra jobs — same fold as the
+    # kcore/LPA fixpoint loops
+    eobs = Observation()
+    edges = materialize(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .transform(materialize)
+        .observe(eobs, F.count(F.lit(1)).alias("n"))
     )
-    if edges.count() <= driver_edge_cap:
+    if int(eobs.get["n"]) <= driver_edge_cap:
         resolved = _union_find_components(
             [(r["src"], r["dst"]) for r in edges.collect()],
             id_col,
@@ -981,15 +986,21 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        obs = Observation()
+        new_labels = materialize(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 (F.coalesce("nbr_label", "label") < F.col("label")).cast("long").alias("chg"),
             )
-        ).transform(materialize)
-        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+            # changed-count rides the materialize action — no separate
+            # aggregate job per round
+            .observe(
+                obs, F.coalesce(F.sum("chg"), F.lit(0)).alias("changed")
+            )
+        )
+        changed = int(obs.get["changed"])
         labels = new_labels.drop("chg")
         if changed == 0:
             break
