@@ -694,6 +694,22 @@ class Engine:
         return jl_project(vectors, id_col=id_col, vec_col=vec_col,
                           k_dims=k_dims)
 
+    def retrieval_eval(self, ranked: DataFrame, qrels: DataFrame,
+                       query_ids: DataFrame, k: int = 10) -> DataFrame:
+        """Standard IR eval metrics at k over any ranking frame
+        (query_id, doc_id, rank) and binary qrels (query_id, doc_id)
+        (operators/retrieval.retrieval_eval, gated by
+        `retrieval_eval_metrics`): per query n_relevant / hits@k /
+        MRR@k / P@k / R@k / nDCG@k — nDCG with import-time-quantized
+        integer log2 discounts, so every metric is exact integers
+        through one pinned division. ``query_ids`` pins the output
+        universe (queries with zero hits or zero relevant docs still
+        report, as zeros). All joins keyed by query_id; the corpus
+        never enters."""
+        from fastetl_spark.operators.retrieval import retrieval_eval
+
+        return retrieval_eval(ranked, qrels, query_ids, k=k)
+
     def bm25_search(self, docs: DataFrame, queries: DataFrame,
                     k: int = 10,
                     broadcast_queries: bool = True) -> DataFrame:

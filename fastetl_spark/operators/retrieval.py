@@ -910,3 +910,246 @@ def stupid_backoff_scores(d: DataFrame) -> DataFrame:
             F.sum("s_fp").cast("double") / F.count(F.lit(1)).cast("double") / fp
         ).alias("avg_score"),
     )
+
+
+# --- graded retrieval evaluation (MRR / P@k / R@k / nDCG@k, gated) ----------
+#
+# The eval half a retrieval stack ships with: given a RANKING
+# (query_id, doc_id, rank) and binary QRELS (query_id, doc_id), the
+# standard IR metrics at k. Everything is exact-integer until one
+# pinned IEEE division per metric:
+#   mrr@k        = 1 / rank of the first relevant hit (0 if none)
+#   precision@k  = hits / k
+#   recall@k     = hits / n_relevant
+#   ndcg@k       = DCG / IDCG with the log2 discount weights QUANTIZED
+#                  once at import to integers (round(2^50 / log2(r+1)))
+#                  — sums of integer weights are order-independent and
+#                  the ratio is one division, so nDCG joins the
+#                  md5-portable sketches as an exactly-gateable variant
+#                  of a classically float-folded metric (relative
+#                  weight error ~1e-15, far below any ranking delta a
+#                  practitioner could act on).
+# Scale shape: every join and aggregate is keyed by query_id (rankings
+# are top-k sized, qrels are human/heuristic-sized); the corpus never
+# enters — only candidate generation touches it.
+
+_EVAL_K = _BM25_QK
+# the eval workload needs a df SPREAD the shared _BM25_QUERY_SET lacks:
+# 'dup' is the documents fixture's one genuinely rare term (df ~5%,
+# strongly positive idf), the rest of the vocabulary is stopword-grade
+# (df ~75%+, NEGATIVE idf — docs matching more of those terms rank
+# LOWER, the correct BM25 reading of stopwords). The four rows exercise
+# four regimes: rare-term retrieval (high hits), rare+common mix,
+# all-common adversarial (AND-relevant docs sit at the BOTTOM of the
+# ranking -> zero hits in top-k with hundreds relevant), and an unseen
+# term that empties the qrel set (zero-relevant conventions).
+_EVAL_QUERY_SET: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("dup",)),
+    (2, ("dup", "line")),
+    (3, ("spark", "join")),
+    (4, ("dup", "zz_unseen_term")),
+)
+_EVAL_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _EVAL_QUERY_SET for t in terms
+)
+_NDCG_WQ: tuple[int, ...] = tuple(
+    round((1 << 50) / __import__("math").log2(r + 1))
+    for r in range(1, _EVAL_K + 1)
+)
+_NDCG_PREFIX: tuple[int, ...] = tuple(
+    sum(_NDCG_WQ[: i + 1]) for i in range(_EVAL_K)
+)
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    query_ids: DataFrame,
+    k: int = _EVAL_K,
+) -> DataFrame:
+    """Per-query IR metrics at ``k`` over a ranking frame (query_id,
+    doc_id, rank — rank 1-based within query) and binary relevance
+    pairs (query_id, doc_id). ``query_ids`` pins the output universe
+    (one row per evaluated query even when it has zero relevant docs
+    or zero hits — silent row loss would read as a better average).
+    Conventions: no relevant hit in top-k -> mrr/ndcg 0.0; zero
+    relevant docs -> recall 0.0."""
+    if k > _EVAL_K:
+        raise ValueError(f"k={k} exceeds precomputed nDCG depth {_EVAL_K}")
+    wq = F.array(*[F.lit(w) for w in _NDCG_WQ])
+    prefix = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    nrel = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(qrels, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits_at_k"),
+            F.min("rank").alias("__first"),
+            F.sum(F.element_at(wq, F.col("rank").cast("int")))
+            .cast("long")
+            .alias("__dcg_q"),
+        )
+    )
+    base = (
+        query_ids.select("query_id")
+        .distinct()
+        .join(nrel, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+            "__first",
+            F.coalesce("__dcg_q", F.lit(0)).alias("__dcg_q"),
+        )
+    )
+    idcg_q = F.element_at(
+        prefix, F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+    )
+    return base.select(
+        "query_id",
+        "n_relevant",
+        "hits_at_k",
+        F.when(F.col("__first").isNotNull(),
+               F.lit(1.0) / F.col("__first").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("mrr_at_k"),
+        (F.col("hits_at_k").cast("double") / F.lit(float(k))).alias(
+            "precision_at_k"
+        ),
+        F.when(F.col("n_relevant") > 0,
+               F.col("hits_at_k").cast("double")
+               / F.col("n_relevant").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+        F.when(F.col("n_relevant") > 0,
+               F.col("__dcg_q").cast("double") / idcg_q.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg_at_k"),
+    )
+
+
+def _eval_sql() -> str:
+    wq_list = "[" + ", ".join(str(w) for w in _NDCG_WQ) + "]"
+    prefix_list = "[" + ", ".join(str(p) for p in _NDCG_PREFIX) + "]"
+    return f"""
+WITH q(query_id, term) AS (VALUES {_EVAL_Q_VALUES}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), posting AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM tok)
+  GROUP BY 1, 2, 3
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(tokens)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM tok
+), dft AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posting GROUP BY 1
+), bscored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(
+           ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(p.tf AS DOUBLE) * {_BM25_K1_PLUS1})
+           / (CAST(p.tf AS DOUBLE)
+              + ({_BM25_K1_1MB} + {_BM25_K1_B} * (CAST(p.dl AS DOUBLE) / s.avgdl)))
+           * {_QJ_FP}) AS BIGINT) AS s_fp
+  FROM q
+  JOIN posting p USING (term)
+  JOIN dft d USING (term)
+  CROSS JOIN stats s
+), btotals AS (
+  SELECT query_id, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp
+  FROM bscored GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score_fp DESC, doc_id)
+           AS BIGINT) AS rank
+    FROM btotals
+  ) WHERE rank <= {_EVAL_K}
+), qterms AS (
+  SELECT query_id, COUNT(DISTINCT term) AS nt FROM q GROUP BY 1
+), rel AS (
+  SELECT query_id, doc_id FROM (
+    SELECT q.query_id, p.doc_id,
+           COUNT(DISTINCT q.term) AS m, MAX(t.nt) AS nt
+    FROM q JOIN posting p USING (term) JOIN qterms t USING (query_id)
+    GROUP BY 1, 2
+  ) WHERE m = nt
+), nrel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+  FROM rel GROUP BY 1
+), hagg AS (
+  SELECT r.query_id,
+         CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+         MIN(r.rank) AS first_hit,
+         CAST(SUM({wq_list}[r.rank]) AS BIGINT) AS dcg_q
+  FROM ranked r JOIN rel USING (query_id, doc_id)
+  GROUP BY 1
+), base AS (
+  SELECT qq.query_id,
+         COALESCE(n.n_relevant, 0) AS n_relevant,
+         COALESCE(h.hits_at_k, 0) AS hits_at_k,
+         h.first_hit,
+         COALESCE(h.dcg_q, 0) AS dcg_q
+  FROM (SELECT DISTINCT query_id FROM q) qq
+  LEFT JOIN nrel n USING (query_id)
+  LEFT JOIN hagg h USING (query_id)
+)
+SELECT query_id, n_relevant, hits_at_k,
+       CASE WHEN first_hit IS NOT NULL
+            THEN 1.0 / CAST(first_hit AS DOUBLE) ELSE 0.0 END AS mrr_at_k,
+       CAST(hits_at_k AS DOUBLE) / {float(_EVAL_K)} AS precision_at_k,
+       CASE WHEN n_relevant > 0
+            THEN CAST(hits_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE)
+            ELSE 0.0 END AS recall_at_k,
+       CASE WHEN n_relevant > 0
+            THEN CAST(dcg_q AS DOUBLE)
+                 / CAST({prefix_list}[CAST(LEAST(n_relevant, {_EVAL_K}) AS INT)]
+                        AS DOUBLE)
+            ELSE 0.0 END AS ndcg_at_k
+FROM base
+"""
+
+
+@query("retrieval_eval_metrics", _eval_sql())
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR eval metrics of the gated BM25 ranking against derived
+    binary qrels (a doc is relevant to a query iff it contains EVERY
+    query term — the strict-AND heuristic, computable in both engines
+    from the same corpus): per query, n_relevant / hits@10 / MRR@10 /
+    P@10 / R@10 / quantized-exact nDCG@10 over the df-spread
+    _EVAL_QUERY_SET (rare-term retrieval, rare+common, the all-common
+    adversarial row where negative stopword idf sinks every relevant
+    doc, and a df=0 term that empties the qrel set — all four metric
+    regimes under the oracle, not just documented)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    qrows = [(qid, list(terms)) for qid, terms in _EVAL_QUERY_SET]
+    queries = spark.createDataFrame(
+        qrows, "query_id int, terms array<string>"
+    )
+    ranked = bm25_query_scores(d, queries).select(
+        "query_id", "doc_id", "rank"
+    )
+    posting = doc_posting(d)
+    qt = queries.select(
+        "query_id",
+        F.explode("terms").alias("term"),
+        F.size("terms").alias("nt"),
+    )
+    qrels = (
+        qt.join(posting.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.countDistinct("term").alias("m"),
+            F.max("nt").alias("nt"),
+        )
+        .filter(F.col("m") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_eval(ranked, qrels, queries)

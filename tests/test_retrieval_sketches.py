@@ -368,3 +368,50 @@ def test_bm25_machine_workload_and_max_df(spark):
         posting, tail_q, k=5, broadcast_queries=False, max_df=0.5
     ).collect()))
     assert t_exact == t_capped
+
+
+def test_retrieval_eval_handcrafted_metrics(spark):
+    """retrieval_eval on a hand-built ranking with known answers:
+    MRR/P/R from first principles, nDCG against a float recomputation
+    (the quantized integer weights agree to ~1e-15), and the
+    zero-relevant / zero-hit / missing-query conventions."""
+    import math
+
+    from fastetl_spark.operators.retrieval import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+        + [(2, d, r) for r, d in enumerate([20, 21, 22], 1)]
+        + [(3, d, r) for r, d in enumerate([30, 31], 1)],
+        "query_id int, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        # q1: relevant at ranks 2 and 4, plus 2 unretrieved -> 4 total
+        [(1, 11), (1, 13), (1, 90), (1, 91),
+         # q2: single relevant at rank 1
+         (2, 20),
+         # q4 (not ranked at all): must still report a row of zeros
+         (4, 40)],
+        "query_id int, doc_id long",
+    )
+    qids = spark.createDataFrame([(1,), (2,), (3,), (4,)], "query_id int")
+    got = {r["query_id"]: r for r in
+           retrieval_eval(ranked, qrels, qids, k=10).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    r1 = got[1]
+    assert (r1["n_relevant"], r1["hits_at_k"]) == (4, 2)
+    assert r1["mrr_at_k"] == 0.5
+    assert r1["precision_at_k"] == 0.2
+    assert r1["recall_at_k"] == 0.5
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = sum(1 / math.log2(r + 1) for r in (1, 2, 3, 4))
+    assert abs(r1["ndcg_at_k"] - dcg / idcg) < 1e-12
+    r2 = got[2]
+    assert r2["mrr_at_k"] == 1.0 and r2["ndcg_at_k"] == 1.0
+    assert r2["recall_at_k"] == 1.0 and r2["precision_at_k"] == 0.1
+    assert tuple(got[3])[1:] == (0, 0, 0.0, 0.0, 0.0, 0.0)  # no qrels
+    assert tuple(got[4])[1:] == (1, 0, 0.0, 0.0, 0.0, 0.0)  # no ranking
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retrieval_eval(ranked, qrels, qids, k=99)
