@@ -694,6 +694,18 @@ class Engine:
         return jl_project(vectors, id_col=id_col, vec_col=vec_col,
                           k_dims=k_dims)
 
+    def embedding_covariance(self, df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+        """Exact upper-triangle covariance + Pearson correlation over a
+        vector column (operators/vector_sketch.embedding_cov, gated by
+        `embedding_cov_matrix`): the PCA/whitening/ZCA training
+        statistics — quantized-exact integer moments, DECIMAL(38)
+        numerators, pinned divisions (sqrt only). d*(d+1)/2 output
+        rows; one corpus scan + one vec_id-keyed Gram expansion."""
+        from fastetl_spark.operators.vector_sketch import embedding_cov
+
+        return embedding_cov(df, id_col=id_col, vec_col=vec_col)
+
     def retrieval_eval(self, ranked: DataFrame, qrels: DataFrame,
                        query_ids: DataFrame, k: int = 10) -> DataFrame:
         """Standard IR eval metrics at k over any ranking frame

@@ -605,3 +605,148 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- exact embedding covariance / correlation (PCA & whitening prep) --------
+#
+# The second-moment statistics a PCA/whitening/ZCA step trains on:
+# sample covariance and Pearson correlation for every dim pair
+# (i <= j). embedding_dim_zscore_params covers the DIAGONAL (per-dim
+# mean/std); the off-diagonal structure is what decides whether
+# whitening matters at all and feeds any eigendecomposition.
+# Components quantize to 1e-6 ints once, so all moment sums are exact
+# integers; the covariance numerator n*Sxy - Sx*Sy needs DECIMAL(38)/
+# HUGEINT widening (n*Sxy alone can pass 2^63), and each emitted float
+# is ONE pinned IEEE shape over those exact integers. Correlation's
+# sqrt is IEEE-correctly-rounded (portable, unlike ln/exp).
+#
+# Scale shape: one posexplode scan, one vec_id-keyed self-join that
+# expands each vector to its d*(d+1)/2 dim pairs (the Gram outer
+# product, shuffle keyed by vec_id), one map-side-combinable
+# groupBy((i, j)) down to 2,080 rows at d=64, then two broadcast joins
+# against the d-row diagonal frame. At extreme scale the explode+join
+# can be replaced by a mapInPandas per-partition Gram accumulation
+# (d*d ints per partition, one final tree-reduce) — the byte-profile
+# twin pattern; the relational form here is the gateable one and is
+# already corpus-linear.
+
+_COV_Q = 1_000_000
+
+
+def embedding_cov(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Exact (dim_i <= dim_j) sample covariance + correlation over a
+    vector column: (dim_i, dim_j, n, cov, corr). Quantized-exact: both
+    moments are integer sums; cov = num / (n*(n-1)) / 1e12 with
+    num = n*Sxy - Sx*Sy carried in DECIMAL(38,0); corr = num_ij /
+    (sqrt(num_ii) * sqrt(num_jj)) (0.0 for a zero-variance dim)."""
+    dec = "decimal(38,0)"
+    q = df.select(
+        F.col(id_col).alias("__v"),
+        F.posexplode(vec_col).alias("dim", "__x"),
+    ).select(
+        "__v",
+        "dim",
+        F.floor(F.col("__x").cast("double") * _COV_Q + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+    )
+    a = q.select("__v", F.col("dim").alias("dim_i"), F.col("qx").alias("qa"))
+    b = q.select("__v", F.col("dim").alias("dim_j"), F.col("qx").alias("qb"))
+    pairs = a.join(b, "__v").filter(F.col("dim_i") <= F.col("dim_j"))
+    g = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qa") * F.col("qb")).cast(dec).alias("sxy"),
+    )
+    sums = q.groupBy("dim").agg(F.sum("qx").cast(dec).alias("sx"))
+    si = sums.select(F.col("dim").alias("dim_i"), F.col("sx").alias("sxi"))
+    sj = sums.select(F.col("dim").alias("dim_j"), F.col("sx").alias("sxj"))
+    num = (
+        F.col("n").cast(dec) * F.col("sxy")
+        - F.col("sxi") * F.col("sxj")
+    )
+    wide = (
+        g.join(F.broadcast(si), "dim_i")
+        .join(F.broadcast(sj), "dim_j")
+        .select("dim_i", "dim_j", "n", num.alias("num"))
+    )
+    diag = wide.filter(F.col("dim_i") == F.col("dim_j")).select(
+        F.col("dim_i").alias("__d"), F.col("num").alias("__dnum")
+    )
+    di = diag.select(F.col("__d").alias("dim_i"), F.col("__dnum").alias("ni"))
+    dj = diag.select(F.col("__d").alias("dim_j"), F.col("__dnum").alias("nj"))
+    denom = F.sqrt(F.col("ni").cast("double")) * F.sqrt(
+        F.col("nj").cast("double")
+    )
+    return (
+        wide.join(F.broadcast(di), "dim_i")
+        .join(F.broadcast(dj), "dim_j")
+        .select(
+            F.col("dim_i").cast("int").alias("dim_i"),
+            F.col("dim_j").cast("int").alias("dim_j"),
+            "n",
+            (
+                F.col("num").cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                / F.lit(float(_COV_Q) * float(_COV_Q))
+            ).alias("cov"),
+            F.when(
+                (F.col("ni") > 0) & (F.col("nj") > 0),
+                F.col("num").cast("double") / denom,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("corr"),
+        )
+    )
+
+
+_COV_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS v, u.i - 1 AS dim,
+         CAST(FLOOR(CAST(u.x AS DOUBLE) * {_COV_Q} + 0.5) AS BIGINT) AS qx
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(generate_series(1, len(embedding)),
+                                 i -> struct_pack(i := i,
+                                                  x := embedding[i]))) AS u
+    FROM embeddings)
+), g AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(a.qx * b.qx) AS sxy
+  FROM q a JOIN q b ON a.v = b.v AND a.dim <= b.dim
+  GROUP BY 1, 2
+), sums AS (
+  SELECT dim, SUM(qx) AS sx FROM q GROUP BY 1
+), wide AS (
+  SELECT dim_i, dim_j, n,
+         n * sxy - si.sx * sj.sx AS num
+  FROM g
+  JOIN sums si ON si.dim = g.dim_i
+  JOIN sums sj ON sj.dim = g.dim_j
+), diag AS (
+  SELECT dim_i AS d, num AS dnum FROM wide WHERE dim_i = dim_j
+)
+SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j, n,
+       CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+         / {float(_COV_Q) * float(_COV_Q)!r} AS cov,
+       CASE WHEN di.dnum > 0 AND dj.dnum > 0
+            THEN CAST(num AS DOUBLE)
+                 / (sqrt(CAST(di.dnum AS DOUBLE))
+                    * sqrt(CAST(dj.dnum AS DOUBLE)))
+            ELSE 0.0 END AS corr
+FROM wide
+JOIN diag di ON di.d = wide.dim_i
+JOIN diag dj ON dj.d = wide.dim_j
+"""
+
+
+@query("embedding_cov_matrix", _COV_SQL)
+def embedding_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle covariance + correlation of the embeddings
+    table (d=64 -> 2,080 rows): the PCA/whitening training statistics,
+    quantized-exact with DECIMAL(38)/HUGEINT numerators and pinned
+    IEEE divisions (sqrt only — portable). Complements the gated
+    per-dim z-score params with the cross-dim structure."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    return embedding_cov(e)
