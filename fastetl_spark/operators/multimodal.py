@@ -1273,6 +1273,42 @@ def wav_sample_stats(
     )
 
 
+def _decode_pcm_payload(payload):
+    """Shared numpy PCM decode core for the Arrow twins: validate the
+    canonical 44-byte header from raw bytes, decode samples (8-bit
+    unsigned-128 / 16-bit signed LE, trailing odd byte ignored).
+    Returns (channels, bits, int64 sample array) or None for
+    NULL/headerless/non-PCM/empty payloads — exactly the docs the
+    gated JVM twins' filter("valid") join excludes."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    buf = bytes(payload)
+    if (
+        len(buf) < 44
+        or buf[0:4] != b"RIFF"
+        or buf[8:12] != b"WAVE"
+        or buf[12:16] != b"fmt "
+        or int.from_bytes(buf[20:22], "little") != 1  # PCM
+    ):
+        return None
+    ch = int.from_bytes(buf[22:24], "little")
+    bits = int.from_bytes(buf[34:36], "little")
+    ds = int.from_bytes(buf[40:44], "little")
+    if ch <= 0:
+        return None
+    data = buf[44 : 44 + ds]
+    if bits == 8:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    else:  # 16-bit signed LE; a trailing odd byte is not a sample
+        n16 = len(data) // 2
+        s = np.frombuffer(data[: n16 * 2], dtype="<i2").astype(np.int64)
+    if len(s) == 0:
+        return None
+    return ch, bits, s
+
+
 WAV_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1302,39 +1338,13 @@ def wav_sample_stats_pandas(
     gated twin's filter("valid") join."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
+                dec = _decode_pcm_payload(payload)
+                if dec is None:
                     continue
-                buf = bytes(payload)
-                if (
-                    len(buf) < 44
-                    or buf[0:4] != b"RIFF"
-                    or buf[8:12] != b"WAVE"
-                    or buf[12:16] != b"fmt "
-                    or int.from_bytes(buf[20:22], "little") != 1  # PCM
-                ):
-                    continue
-                ch = int.from_bytes(buf[22:24], "little")
-                bits = int.from_bytes(buf[34:36], "little")
-                ds = int.from_bytes(buf[40:44], "little")
-                if ch <= 0:
-                    continue
-                data = buf[44 : 44 + ds]
-                if bits == 8:
-                    s = np.frombuffer(data, dtype=np.uint8).astype(
-                        np.int64
-                    ) - 128
-                else:  # 16-bit signed LE; a trailing odd byte is not a sample
-                    n16 = len(data) // 2
-                    s = np.frombuffer(
-                        data[: n16 * 2], dtype="<i2"
-                    ).astype(np.int64)
-                if len(s) == 0:
-                    continue
+                ch, bits, s = dec
                 for c in range(min(ch, len(s))):
                     sc = s[c::ch]  # sample i belongs to channel i % ch
                     tot = int(sc.sum())
@@ -1428,12 +1438,16 @@ def audio_qa_report(
     depth, and a 1-sample channel is constant by definition (dead
     flags it; filter on n_samples if that reading is unwanted).
 
-    ``arrow=True`` computes the stats via wav_sample_stats_pandas (one
-    numpy pass per payload, no per-sample rows) — the 100 TB plan,
-    bit-equal to the gateable explode twin; the flags layer is
-    identical either way."""
-    stats_fn = wav_sample_stats_pandas if arrow else wav_sample_stats
-    stats = stats_fn(media, id_col=id_col, payload_col=payload_col)
+    ``arrow=True`` routes to wav_audio_qa_pandas — header validation,
+    decode, stats and flags in ONE mapInPandas pass (no per-sample
+    rows, no stats/header join): the 100 TB plan, equality-tested
+    against this gateable JVM form."""
+    if arrow:
+        return wav_audio_qa_pandas(
+            media, id_col=id_col, payload_col=payload_col,
+            dc_num=dc_num, dc_den=dc_den,
+        )
+    stats = wav_sample_stats(media, id_col=id_col, payload_col=payload_col)
     bits = (
         wav_header_info(media, id_col=id_col, payload_col=payload_col)
         .filter("valid")
@@ -1502,3 +1516,62 @@ def wav_audio_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return audio_qa_report(media, dc_num=1, dc_den=2)
+
+
+WAV_QA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("clip", T.BooleanType()),
+        T.StructField("dc_offset", T.BooleanType()),
+        T.StructField("dead", T.BooleanType()),
+    ]
+)
+
+
+def wav_audio_qa_pandas(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    dc_num: int = 1,
+    dc_den: int = 20,
+) -> DataFrame:
+    """ONE-PASS Arrow form of the audio QA screen: header validation,
+    PCM decode, per-channel stats and the three defect flags all inside
+    a single mapInPandas pass (numpy; <= channels rows out per doc) —
+    no stats/header join, no per-sample rows. The flag predicates are
+    the same exact-integer comparisons as audio_qa_report's JVM layer
+    (equality-tested), so this is both the 100 TB plan AND the
+    stateless shape the streaming gate feeds payload slices through."""
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _decode_pcm_payload(payload)
+                if dec is None:
+                    continue
+                ch, bits, s = dec
+                hi = 127 if bits == 8 else 32767
+                for c in range(min(ch, len(s))):
+                    sc = s[c::ch]
+                    mn, mx = int(sc.min()), int(sc.max())
+                    tot, n = int(sc.sum()), int(len(sc))
+                    rows.append(
+                        (
+                            int(did),
+                            c,
+                            n,
+                            mx >= hi or mn <= -hi - 1,
+                            abs(tot) * dc_den > n * hi * dc_num,
+                            mn == mx,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_QA_SCHEMA.fields]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        screen, WAV_QA_SCHEMA
+    )

@@ -1593,3 +1593,67 @@ def streaming_late_data_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+# --- 19th gate: audio QA screen at stream speed ------------------------------
+#
+# The decode-level multimodal tier run as a REAL stream: WAV payloads
+# (the wav_audio_qa fixture, planted clip markers and constant blocks
+# included) arrive as 3 file-source micro-batches and flow through the
+# ONE-PASS Arrow QA screen (wav_audio_qa_pandas — header validation,
+# PCM decode, per-channel flags inside a single mapInPandas, zero
+# state, APPEND mode), then hash-match the same _WAV_QA_SQL oracle as
+# the batch gate. With streaming_media_profile this pins the claim for
+# the decode tier too: the Arrow path emits identical bytes when the
+# corpus arrives incrementally — exactly how an audio ingest receives
+# payloads. Per-batch cost is pure local Arrow work, no shuffle.
+
+
+def _stream_audio_qa_sql() -> str:
+    from fastetl_spark.operators.multimodal import _WAV_QA_SQL
+
+    return _WAV_QA_SQL
+
+
+@query("streaming_audio_qa", _stream_audio_qa_sql())
+def streaming_audio_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip / DC-offset / dead-channel screening over a STREAM of WAV
+    payloads: the audio-QA fixture landed as 3 slice files, streamed
+    one file per trigger through wav_audio_qa_pandas in append mode,
+    drained and hash-checked against the batch oracle that recomputes
+    every flag from the fixture spec."""
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.multimodal import (
+        _wav_header_hex,
+        _wav_qa_data_hx,
+        _wav_qa_ds,
+        wav_audio_qa_pandas,
+    )
+
+    root = _scratch_root(sf_dir, "stream_audioqa")
+    in_dir = f"{root}/in"
+    d = read_table(spark, sf_dir, "documents")
+    enc = "encode(text, 'UTF-8')"
+    data_hx = _wav_qa_data_hx(enc)
+    media = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.encode("text", "UTF-8")
+        ).otherwise(
+            F.unhex(
+                F.expr(
+                    f"concat({_wav_header_hex(_wav_qa_ds(enc))}, {data_hx})"
+                )
+            )
+        ).alias("payload"),
+    )
+    _stage_slices(media, root, in_dir, F.col("doc_id") % 3)
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    qa = wav_audio_qa_pandas(stream, dc_num=1, dc_den=2)
+    return _drain_to_memory(qa, "st_audioqa_", "append").orderBy(
+        "doc_id", "channel"
+    )

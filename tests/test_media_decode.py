@@ -186,3 +186,38 @@ def test_engine_audio_facades_route_arrow(spark, sf_dir):
     # per-sample explode appears anywhere in the plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "Generate" not in plan
+
+
+def test_audio_qa_one_pass_twin_equals_jvm(spark, sf_dir):
+    """wav_audio_qa_pandas (header+decode+flags in ONE mapInPandas
+    pass — the 100 TB and streaming shape) is row-identical to the
+    gateable JVM stats+join form on the full QA fixture, including
+    planted clip markers, constant blocks and headerless docs."""
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.operators.multimodal import (
+        _wav_header_hex,
+        _wav_qa_data_hx,
+        _wav_qa_ds,
+        audio_qa_report,
+    )
+
+    d = read_table(spark, sf_dir, "documents").limit(120)
+    enc = "encode(text, 'UTF-8')"
+    media = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.encode("text", "UTF-8")
+        ).otherwise(
+            F.unhex(F.expr(
+                f"concat({_wav_header_hex(_wav_qa_ds(enc))}, "
+                f"{_wav_qa_data_hx(enc)})"
+            ))
+        ).alias("payload"),
+    )
+    jvm = sorted(map(tuple,
+                     audio_qa_report(media, arrow=False, dc_den=2).collect()))
+    one_pass = sorted(map(tuple,
+                          audio_qa_report(media, arrow=True,
+                                          dc_den=2).collect()))
+    assert jvm == one_pass and len(jvm) > 0
