@@ -19,8 +19,10 @@ all-pairs. No counterpart in the reference.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
@@ -659,6 +661,16 @@ def embedding_cov(df: DataFrame, id_col: str = "vec_id",
         F.sum(F.col("qa") * F.col("qb")).cast(dec).alias("sxy"),
     )
     sums = q.groupBy("dim").agg(F.sum("qx").cast(dec).alias("sx"))
+    return _cov_finish(g, sums)
+
+
+def _cov_finish(g: DataFrame, sums: DataFrame) -> DataFrame:
+    """Shared covariance tail: combine pairwise second moments g =
+    (dim_i, dim_j, n, sxy DECIMAL) and first moments sums = (dim, sx
+    DECIMAL) into (dim_i, dim_j, n, cov, corr) — both the relational
+    Gram expansion and the Arrow per-partition accumulator end here,
+    so the emitted IEEE shapes are identical by construction."""
+    dec = "decimal(38,0)"
     si = sums.select(F.col("dim").alias("dim_i"), F.col("sx").alias("sxi"))
     sj = sums.select(F.col("dim").alias("dim_j"), F.col("sx").alias("sxj"))
     num = (
@@ -750,3 +762,83 @@ def embedding_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dim z-score params with the cross-dim structure."""
     e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     return embedding_cov(e)
+
+
+def embedding_cov_pandas(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """The 100 TB shape of embedding_cov: vectors NEVER expand to dim
+    pairs — each Arrow batch accumulates one integer Gram matrix
+    (X^T X via numpy int64 matmul, exact: |qx| <= 1e6 so per-batch
+    sums stay far under 2^63) plus the first-moment vector, and emits
+    d*(d+1)/2 + d partial rows PER BATCH instead of d*(d+1)/2 rows per
+    VECTOR. The keyed combine over partials and the closing arithmetic
+    run through the same _cov_finish tail as the gated relational
+    form, so results are bit-identical (equality-tested)."""
+    from collections.abc import Iterator as _It
+
+    part_schema = T.StructType(
+        [
+            T.StructField("dim_i", T.IntegerType()),
+            T.StructField("dim_j", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+
+    def gram(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vecs = [
+                np.floor(np.asarray(v, dtype=np.float64) * _COV_Q + 0.5)
+                .astype(np.int64)
+                for v in pdf[vec_col]
+                if v is not None and len(v) > 0
+            ]
+            if not vecs:
+                continue
+            X = np.stack(vecs)
+            b, d = X.shape
+            G = X.T @ X  # exact int64 matmul at this quantization
+            S = X.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            rows = pd.DataFrame(
+                {
+                    "dim_i": iu.astype("int32"),
+                    "dim_j": ju.astype("int32"),
+                    "n": np.int64(b),
+                    "s": G[iu, ju],
+                }
+            )
+            moments = pd.DataFrame(
+                {
+                    "dim_i": np.arange(d, dtype="int32"),
+                    "dim_j": np.int32(-1),  # first-moment marker rows
+                    "n": np.int64(b),
+                    "s": S,
+                }
+            )
+            yield pd.concat([rows, moments], ignore_index=True)
+
+    dec = "decimal(38,0)"
+    parts = df.select(id_col, vec_col).mapInPandas(gram, part_schema)
+    g = (
+        parts.filter(F.col("dim_j") >= 0)
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum(F.col("s").cast(dec)).cast(dec).alias("sxy"),
+        )
+        .select(
+            F.col("dim_i").cast("long").alias("dim_i"),
+            F.col("dim_j").cast("long").alias("dim_j"),
+            "n",
+            "sxy",
+        )
+    )
+    sums = (
+        parts.filter(F.col("dim_j") == -1)
+        .groupBy(F.col("dim_i").cast("long").alias("dim"))
+        .agg(F.sum(F.col("s").cast(dec)).cast(dec).alias("sx"))
+    )
+    return _cov_finish(g, sums)

@@ -415,3 +415,29 @@ def test_retrieval_eval_handcrafted_metrics(spark):
 
     with _pytest.raises(ValueError):
         retrieval_eval(ranked, qrels, qids, k=99)
+
+
+def test_embedding_cov_gram_twin_equals_relational(spark, sf_dir):
+    """embedding_cov_pandas (per-partition integer Gram accumulation,
+    d*(d+1)/2 partial rows per BATCH instead of per VECTOR — the
+    100 TB path) is bit-identical to the gated relational expansion,
+    across a partitioning that splits batches unevenly, and both
+    report the full upper triangle."""
+    from fastetl_spark.io.readers import read_table as _rt
+    from fastetl_spark.operators.vector_sketch import (
+        embedding_cov,
+        embedding_cov_pandas,
+    )
+
+    e = _rt(spark, sf_dir, "embeddings").limit(200).repartition(7)
+    rel = sorted(map(tuple, embedding_cov(e).collect()))
+    gram = sorted(map(tuple, embedding_cov_pandas(e).collect()))
+    assert rel == gram
+    d = 64
+    assert len(rel) == d * (d + 1) // 2
+    # diagonal corr is 1 up to the sqrt(x)*sqrt(x) != x ulp for any
+    # non-constant dim
+    diag = [r for r in rel if r[0] == r[1]]
+    assert diag and all(
+        abs(r[4] - 1.0) < 1e-12 for r in diag if r[3] > 0
+    )
