@@ -91,6 +91,12 @@ HEADLINE = [
     "rrf_hybrid_retrieval",
     "embedding_sq8_codes",
     "streaming_drift_psi",
+    # round 10: decode tier + IR eval + covariance + lateness semantics
+    "wav_audio_qa",
+    "image_dims_parse",
+    "retrieval_eval_metrics",
+    "embedding_cov_matrix",
+    "streaming_late_data_windows",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the
