@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fastetl_spark.checkpointing import materialize
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.registry import query
 
@@ -1377,9 +1378,11 @@ def wav_sample_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes from the fixture spec independently, so the gate
     proves the DECODE, not a shared shortcut. (The gateable explode
     plan; wav_sample_stats_pandas is the equality-tested 100 TB
-    path.)"""
+    path.) The fixture media materializes once: the synthesized header
+    expression is enormous (beyond the 64 KB codegen limit) and the
+    operator consumes the frame twice (header parse + sample scan)."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    return wav_sample_stats(wav_fixture_media(d))
+    return wav_sample_stats(materialize(wav_fixture_media(d)))
 
 
 # --- audio QA screen (clipping / DC offset / dead channels, gated) ---------
@@ -1515,7 +1518,10 @@ def wav_audio_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload"),
     )
-    return audio_qa_report(media, dc_num=1, dc_den=2)
+    # one fixture synthesis, three consumers (stats header parse, stats
+    # sample scan, QA bits join) — without this the giant header hex
+    # expression evaluates once per consumer
+    return audio_qa_report(materialize(media), dc_num=1, dc_den=2)
 
 
 WAV_QA_SCHEMA = T.StructType(

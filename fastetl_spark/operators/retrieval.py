@@ -1128,15 +1128,18 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial row where negative stopword idf sinks every relevant
     doc, and a df=0 term that empties the qrel set — all four metric
     regimes under the oracle, not just documented)."""
+    from fastetl_spark.checkpointing import materialize
+
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     qrows = [(qid, list(terms)) for qid, terms in _EVAL_QUERY_SET]
     queries = spark.createDataFrame(
         qrows, "query_id int, terms array<string>"
     )
-    ranked = bm25_query_scores(d, queries).select(
+    # ranking and qrels both read the inverted index — build it once
+    posting = materialize(doc_posting(d))
+    ranked = bm25_from_posting(posting, queries).select(
         "query_id", "doc_id", "rank"
     )
-    posting = doc_posting(d)
     qt = queries.select(
         "query_id",
         F.explode("terms").alias("term"),
