@@ -1239,11 +1239,29 @@ def wav_sample_stats(
     pairs with payload_byte_profile_pandas."""
     info = wav_header_info(media, id_col=id_col, payload_col=payload_col)
     src = media.select(
-        F.col(id_col).alias("doc_id"), F.hex(payload_col).alias("__phx")
-    ).join(info.filter("valid"), "doc_id")
-    n_s = F.when(
-        F.col("bits_per_sample") == 8, F.col("data_bytes")
-    ).otherwise(F.expr("data_bytes div 2"))
+        F.col(id_col).alias("doc_id"),
+        F.hex(payload_col).alias("__phx"),
+        # bytes actually PRESENT after the header: a truncated upload
+        # whose header still claims the full data size must not read
+        # past the payload (phantom NULL samples) — clamp to the real
+        # buffer, exactly as the Arrow twin's buf[44:44+ds] slice does
+        F.greatest(
+            F.length(payload_col).cast("long") - 44, F.lit(0)
+        ).alias("__avail"),
+    ).join(
+        # only PCM depths this decoder understands: 24-bit (and any
+        # other depth) would be silently misread as 16-bit pairs —
+        # honest no-rows instead, matching the Arrow twin
+        info.filter("valid").filter(
+            F.col("bits_per_sample").isin(8, 16)
+            & (F.col("channels") > 0)
+        ),
+        "doc_id",
+    )
+    eff = F.least(F.col("data_bytes"), F.col("__avail"))
+    n_s = F.when(F.col("bits_per_sample") == 8, eff).otherwise(
+        (eff / 2).cast("long")
+    )
     idx = src.withColumn("__ns", n_s).filter(F.col("__ns") > 0).select(
         "doc_id",
         "channels",
@@ -1297,7 +1315,10 @@ def _decode_pcm_payload(payload):
     ch = int.from_bytes(buf[22:24], "little")
     bits = int.from_bytes(buf[34:36], "little")
     ds = int.from_bytes(buf[40:44], "little")
-    if ch <= 0:
+    if ch <= 0 or bits not in (8, 16):
+        # unsupported depth (e.g. 24-bit PCM) would be silently
+        # misdecoded as 16-bit pairs: honest no-rows instead, matching
+        # the JVM twin's bits_per_sample IN (8, 16) filter
         return None
     data = buf[44 : 44 + ds]
     if bits == 8:

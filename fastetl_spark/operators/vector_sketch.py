@@ -656,11 +656,17 @@ def embedding_cov(df: DataFrame, id_col: str = "vec_id",
     a = q.select("__v", F.col("dim").alias("dim_i"), F.col("qx").alias("qa"))
     b = q.select("__v", F.col("dim").alias("dim_j"), F.col("qx").alias("qb"))
     pairs = a.join(b, "__v").filter(F.col("dim_i") <= F.col("dim_j"))
+    # widen BEFORE the sums: each qa*qb product is ~1e12, so an int64
+    # accumulator would silently wrap around 1e7-1e9 vectors per pair —
+    # inside this module's stated scale — while DuckDB's SUM(BIGINT)
+    # widens to HUGEINT and stays exact (round-10 review finding)
     g = pairs.groupBy("dim_i", "dim_j").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("qa") * F.col("qb")).cast(dec).alias("sxy"),
+        F.sum(F.col("qa").cast(dec) * F.col("qb")).cast(dec).alias("sxy"),
     )
-    sums = q.groupBy("dim").agg(F.sum("qx").cast(dec).alias("sx"))
+    sums = q.groupBy("dim").agg(
+        F.sum(F.col("qx").cast(dec)).cast(dec).alias("sx")
+    )
     return _cov_finish(g, sums)
 
 
@@ -699,7 +705,10 @@ def _cov_finish(g: DataFrame, sums: DataFrame) -> DataFrame:
             "n",
             (
                 F.col("num").cast("double")
-                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                # n*(n-1) through decimal: the long product wraps past
+                # ~3e9 rows (same review finding as the moment sums)
+                / (F.col("n").cast(dec) * (F.col("n").cast(dec) - 1))
+                .cast("double")
                 / F.lit(float(_COV_Q) * float(_COV_Q))
             ).alias("cov"),
             F.when(

@@ -1059,31 +1059,16 @@ def make_posting_batch(dest_path: str):
     """foreachBatch body for incremental INVERTED-INDEX maintenance:
     each document micro-batch contributes exactly its own posting rows
     (doc_id, dl, term, tf) — no read-modify-write, because a document's
-    postings are independent of the rest of the corpus.
-
-    Idempotency does NOT rest on the commit marker alone (an append +
-    marker-after-write leaves a crash window that would double-append on
-    redelivery): every batch OVERWRITES its own partition directory
-    ``__batch=<id>/``, so re-running a batch — marker present or not —
-    converges to the same files. The marker only short-circuits the
-    rewrite."""
-    from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
+    postings are independent of the rest of the corpus. One commit
+    protocol for all per-batch-partition sinks: this is
+    make_batch_partition_sink with the posting projection as the
+    per-batch transform."""
     from fastetl_spark.operators.retrieval import doc_posting
 
-    commits_dir = dest_path.rstrip("/") + ".__commits__"
-
-    def posting_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker = f"{commits_dir}/{int(batch_id)}"
-        fs, path_cls = hadoop_fs(spark, dest_path)
-        if fs.exists(path_cls(marker)):
-            return  # redelivered batch: partition already written
-        doc_posting(batch_df.select("doc_id", "text")).write.mode(
-            "overwrite"
-        ).parquet(f"{dest_path.rstrip('/')}/__batch={int(batch_id)}")
-        write_text_file(spark, marker, "")
-
-    return posting_batch
+    return make_batch_partition_sink(
+        dest_path,
+        transform=lambda df: doc_posting(df.select("doc_id", "text")),
+    )
 
 
 def _stream_posting_sql() -> str:
@@ -1451,9 +1436,11 @@ def streaming_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the LATE-ROW FILTER of batch k uses the PREVIOUS batch's
 #     eviction watermark, i.e. max(event_time over batches <= k-2) -
 #     delay — one batch more lag than the progress line suggests;
-#   * an input row is DROPPED iff its window END < that late
-#     watermark (boundary measured: window_end == watermark is still
-#     admitted; numRowsDroppedByWatermark confirms each drop);
+#   * an input row is DROPPED iff its window END <= that late
+#     watermark (boundary measured on an epoch-ALIGNED window grid:
+#     window_end == watermark is dropped; an earlier probe whose base
+#     was off the window grid never actually hit the equality case —
+#     numRowsDroppedByWatermark confirms each drop);
 #   * eviction and the late filter complement each other monotonically,
 #     so an evicted window can never be resurrected by a late row and
 #     per-window counts only grow.
@@ -1499,7 +1486,7 @@ WITH ev AS (
   SELECT event_type, tss FROM sliced, wm
   WHERE b < 2
      OR (CAST(date_trunc('day', tss) AS TIMESTAMP)
-         + INTERVAL 1 DAY) >= wm.w
+         + INTERVAL 1 DAY) > wm.w
 )
 SELECT CAST(date_trunc('day', tss) AS TIMESTAMP) AS window_start,
        event_type,
@@ -1508,14 +1495,17 @@ FROM accepted GROUP BY 1, 2
 """
 
 
-def make_batch_partition_sink(dest_path: str):
-    """foreachBatch body that lands each micro-batch's emitted rows
-    under an own partition directory ``__batch=<id>/`` with a commit
-    marker — the same effectively-once recipe as make_posting_batch
-    (overwrite-own-partition converges under redelivery with or
-    without the marker; the marker only short-circuits the rewrite).
-    Use for update-mode sinks whose final answer is a fold over the
-    per-batch emissions (e.g. MAX for monotone counts)."""
+def make_batch_partition_sink(dest_path: str, transform=None):
+    """foreachBatch body that lands each micro-batch (optionally passed
+    through ``transform``) under an own partition directory
+    ``__batch=<id>/`` with a commit marker — THE effectively-once
+    recipe for per-batch-partition sinks, shared by the posting-index
+    gate (make_posting_batch) and the lateness gate's update-mode
+    fold. Idempotency does NOT rest on the marker alone (an append +
+    marker-after-write leaves a crash window that would double-append
+    on redelivery): every batch OVERWRITES its own partition, so
+    re-running a batch — marker present or not — converges to the same
+    files; the marker only short-circuits the rewrite."""
     from fastetl_spark.io.fsutil import hadoop_fs, write_text_file
 
     commits_dir = dest_path.rstrip("/") + ".__commits__"
@@ -1526,7 +1516,8 @@ def make_batch_partition_sink(dest_path: str):
         fs, path_cls = hadoop_fs(bspark, dest_path)
         if fs.exists(path_cls(marker)):
             return  # redelivered batch: partition already written
-        batch_df.write.mode("overwrite").parquet(
+        out = transform(batch_df) if transform is not None else batch_df
+        out.write.mode("overwrite").parquet(
             f"{dest_path.rstrip('/')}/__batch={int(batch_id)}"
         )
         write_text_file(bspark, marker, "")

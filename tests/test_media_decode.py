@@ -57,6 +57,13 @@ def test_wav_sample_stats_edge_payloads_both_twins(spark):
 
     nonpcm = bytearray(_wav(1, 8000, 16, b"\x01\x02"))
     nonpcm[20] = 2  # audio format != 1 (PCM) -> invalid
+    # truncated upload: header claims 1000 data bytes, only 4 arrived —
+    # both twins must clamp to the REAL buffer (2 complete 16-bit
+    # samples), never fabricate phantom samples from the declared size
+    truncated = bytearray(_wav(1, 8000, 16, bytes([1, 0, 2, 0])))
+    truncated[40:44] = (1000).to_bytes(4, "little")
+    zero_ch = bytearray(_wav(1, 8000, 8, b"\x40\x40"))
+    zero_ch[22:24] = (0).to_bytes(2, "little")  # 0 channels -> no rows
     rows = [
         (1, _wav(2, 8000, 16, bytes([0, 1, 0, 2, 0, 3, 9]))),  # odd tail
         (2, _wav(1, 8000, 8, b"")),  # valid header, zero samples
@@ -64,6 +71,9 @@ def test_wav_sample_stats_edge_payloads_both_twins(spark):
         (4, bytes(nonpcm)),
         (5, None),
         (6, _wav(1, 16000, 8, bytes([0, 255, 128]))),  # full 8-bit range
+        (7, bytes(truncated)),
+        (8, _wav(1, 8000, 24, bytes(range(12)))),  # 24-bit: unsupported
+        (9, bytes(zero_ch)),
     ]
     media = spark.createDataFrame(rows, "doc_id long, payload binary")
     jvm = sorted(map(tuple, wav_sample_stats(media).collect()))
@@ -75,7 +85,10 @@ def test_wav_sample_stats_edge_payloads_both_twins(spark):
     assert got[(1, 0)][3:5] == (256, 768)  # samples 256, 768 (LE hi=1,3)
     # doc 6: 8-bit unsigned-128 decode spans the full range
     assert got[(6, 0)][3:5] == (-128, 127)
-    assert {k[0] for k in got} == {1, 6}  # 2/3/4/5 yield nothing
+    # doc 7: clamped to the 2 real samples, not the declared 500
+    assert got[(7, 0)][2] == 2 and got[(7, 0)][3:5] == (1, 2)
+    # 2/3/4/5 invalid; 8 unsupported depth; 9 zero channels
+    assert {k[0] for k in got} == {1, 6, 7}
 
 
 def test_image_dims_walk_handcrafted_jpegs(spark):

@@ -327,7 +327,12 @@ def test_watermark_two_stage_lag_and_boundary(spark, tmp_path):
     test names the contract that broke): the late-row filter of batch
     k uses the eviction watermark of batch k-1 (= max event time over
     batches <= k-2 minus delay), and a row is dropped iff its window
-    END < that value — window_end == watermark is still admitted."""
+    END <= that value — a window ending exactly AT the watermark is
+    dropped. The base sits ON the window grid (multiple of the window
+    size) so the equality case is genuinely exercised: Spark windows
+    align to the epoch, and an off-grid base silently shifts every
+    window end off the boundary (a first version of this test made
+    exactly that mistake and measured nothing at the boundary)."""
     import glob as _glob
     import os
     import shutil
@@ -335,12 +340,12 @@ def test_watermark_two_stage_lag_and_boundary(spark, tmp_path):
     root = str(tmp_path / "wm")
     in_dir = f"{root}/in"
     os.makedirs(in_dir)
-    base = 1704067200  # 2024-01-01 UTC
+    base = 1704070000  # multiple of the 10000s window: ends hit the grid
     # delay 40000s; slice0 max = 100000 -> late watermark for batch 2
-    # onward = 60000. batch1 carries an already-late row (end 50000 <
+    # onward = 60000. batch1 carries an already-late row (end 50000 <=
     # 60000) that must STILL be admitted (filter lags one batch);
-    # batch2 re-sends that window (drop), a boundary window end==60000
-    # (admit) and a clearly-fresh row (admit).
+    # batch2 re-sends that window (drop), a true boundary window with
+    # end == 60000 (DROPPED) and a clearly-fresh row (admit).
     slices = [
         [(0, 100000)],
         [(1, 45000)],
@@ -382,11 +387,11 @@ def test_watermark_two_stage_lag_and_boundary(spark, tmp_path):
     accepted = {k for _, k in seen}
     assert 1 in accepted  # late but filter lags one batch
     assert 2 not in accepted  # same window, one batch later: dropped
-    assert 3 in accepted  # window_end == watermark: admitted
+    assert 3 not in accepted  # window_end == watermark: DROPPED
     assert 4 in accepted
     dropped = sum(
         op.get("numRowsDroppedByWatermark", 0)
         for p in q.recentProgress
         for op in p.get("stateOperators", [])
     )
-    assert dropped == 1
+    assert dropped == 2
