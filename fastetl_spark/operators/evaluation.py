@@ -1,0 +1,498 @@
+"""Model/data-quality EVALUATION operators under the exact oracle gate.
+
+A curation pipeline does not stop at producing filtered data — it has
+to grade its own screens: how well a score separates classes (AUC),
+whether predicted probabilities are honest (calibration), how much two
+duplicate screens agree beyond chance (Cohen's kappa), whether numeric
+columns look fabricated (Benford first-digit screen), and how
+re-identifiable quasi-identifier groups are (k-anonymity).  The
+reference ships row-count/QA guards (fastetl/custom_functions/
+fast_etl.py `compare_source_dest_rowcount`, `validate_db_string`);
+this module is the statistical extension of that audit tier.
+
+Every statistic here is EXACT: integer pair/rank counts all the way
+down, with one pinned IEEE division (or literal-constant subtraction)
+at the very end — so Spark and DuckDB hash-match bit for bit
+regardless of partition order.
+
+Scale notes per operator are in the docstrings; the common theme is
+that nothing ever materializes a pairwise frame: AUC folds pair counts
+through cumulative rank sums (the Mann-Whitney identity), silhouette
+(operators/kmeans) folds pairwise distances through per-cluster
+moments, kappa/Benford/k-anonymity are single groupBy passes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fastetl_spark.io.readers import ensure_parallelism, read_table
+from fastetl_spark.operators.dedup import normalize_text
+from fastetl_spark.registry import query
+
+# --- exact AUC via the Mann-Whitney rank identity -------------------------
+
+# AUC = P(score_pos > score_neg) + 0.5 * P(tie). Pair counts fold
+# through per-score-value cumulative counts (never a pairwise join):
+#   wins_t = sum_v pos_t(v) * neg_t(< v)
+#   ties_t = sum_v pos_t(v) * neg_t(= v)
+#   auc_t  = (2*wins_t + ties_t) / (2 * npos_t * nneg_t)
+# Everything integer until the single final division. BIGINT holds the
+# numerator up to ~3e9 rows (2*npos*nneg <= N^2/2); past that the sums
+# widen to DECIMAL(38) the way dedup's checksum ranges do.
+
+_AUC_SQL = """
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), vt AS (
+  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), tot AS (
+  SELECT value, CAST(SUM(cnt) AS BIGINT) AS c,
+         CAST(COALESCE(SUM(SUM(cnt)) OVER (
+           ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_below
+  FROM vt GROUP BY value
+), j AS (
+  SELECT vt.event_type, vt.value, vt.cnt, tot.c, tot.cum_below,
+         CAST(COALESCE(SUM(vt.cnt) OVER (
+           PARTITION BY vt.event_type ORDER BY vt.value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_pos_below
+  FROM vt JOIN tot USING (value)
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM tot
+), per AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt * (cum_below - cum_pos_below)) AS BIGINT) AS wins,
+         CAST(SUM(cnt * (c - cnt)) AS BIGINT) AS ties
+  FROM j GROUP BY 1
+)
+SELECT event_type, n_pos, (n.n_total - n_pos) AS n_neg,
+       CAST(2 * wins + ties AS DOUBLE)
+         / CAST(2 * n_pos * (n.n_total - n_pos) AS DOUBLE) AS auc
+FROM per CROSS JOIN n
+"""
+
+
+def auc_by_class(ev: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Exact one-vs-rest AUC of ``score_col`` for every class of
+    ``label_col``, via cumulative rank sums over grouped score values.
+
+    Scale shape: one groupBy on (label, score), one on score, two
+    windows ordered by score, one final groupBy(label). The global
+    cumulative window runs over DISTINCT score values only (already
+    aggregated), which for real score columns is bounded by value
+    cardinality; a 100 TB variant pre-buckets scores into fixed-width
+    bins first (turning the unpartitioned window into a broadcastable
+    bin table) at the cost of within-bin tie approximation."""
+    vt = (
+        ev.filter(F.col(score_col).isNotNull() & ~F.isnan(score_col))
+        .groupBy(label_col, score_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_tot = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = (
+        vt.groupBy(score_col)
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .withColumn(
+            "cum_below",
+            F.coalesce(F.sum("c").over(w_tot), F.lit(0)).cast("long"),
+        )
+    )
+    w_pos = (
+        Window.partitionBy(label_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = vt.join(tot, score_col).withColumn(
+        "cum_pos_below",
+        F.coalesce(F.sum("cnt").over(w_pos), F.lit(0)).cast("long"),
+    )
+    n_total = tot.agg(F.sum("c").cast("long").alias("n_total"))
+    per = j.groupBy(label_col).agg(
+        F.sum("cnt").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") * (F.col("cum_below") - F.col("cum_pos_below")))
+        .cast("long")
+        .alias("wins"),
+        F.sum(F.col("cnt") * (F.col("c") - F.col("cnt")))
+        .cast("long")
+        .alias("ties"),
+    )
+    return per.crossJoin(F.broadcast(n_total)).select(
+        label_col,
+        "n_pos",
+        (F.col("n_total") - F.col("n_pos")).alias("n_neg"),
+        (
+            (2 * F.col("wins") + F.col("ties")).cast("double")
+            / (2 * F.col("n_pos") * (F.col("n_total") - F.col("n_pos"))).cast(
+                "double"
+            )
+        ).alias("auc"),
+    )
+
+
+@query("auc_score_eval", _AUC_SQL)
+def auc_score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest AUC of `value` as a discriminator for each
+    event_type: does the value column separate purchases from the
+    rest?  Exact Mann-Whitney pair counts (wins + half-ties) without
+    a pairwise join."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    return auc_by_class(ev, "event_type", "value")
+
+
+# --- calibration / reliability bins ---------------------------------------
+
+# Predicted probability := percent_rank of the score (the exact
+# rational (rank-1)/(N-1), RANK so ties share a value). Deciles are
+# computed as integer floor-division 10*(r-1) DIV (N-1) — no doubles
+# anywhere until the two output divisions (mean predicted, observed
+# positive rate), each a single pinned IEEE op.
+
+_CAL_POS = "purchase"
+
+_CAL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev
+), r AS (
+  SELECT event_type,
+         CAST(RANK() OVER (ORDER BY value) AS BIGINT) - 1 AS rm1
+  FROM ev
+), b AS (
+  SELECT LEAST(9, (10 * rm1) // (n.n_total - 1)) AS bin,
+         rm1,
+         CASE WHEN event_type = '{_CAL_POS}' THEN 1 ELSE 0 END AS pos,
+         n.n_total
+  FROM r CROSS JOIN n
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(rm1) AS DOUBLE)
+         / CAST(COUNT(*) * (MAX(n_total) - 1) AS DOUBLE) AS mean_phat,
+       CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+FROM b GROUP BY 1
+"""
+
+
+@query("calibration_bins", _CAL_SQL)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for `value`-rank as a purchase
+    probability: decile bins of the exact percent-rank, each with its
+    mean predicted probability and observed positive rate.  A
+    well-calibrated score has mean_phat tracking frac_pos.
+
+    The rank window is unpartitioned (single sort task) — same shape
+    as any exact global ranking; the 100 TB variant derives the decile
+    boundaries from the gated GK sketch and maps rows by range join,
+    which this repo already ships (operators/quantiles)."""
+    ev = (
+        ensure_parallelism(read_table(spark, sf_dir, "events"))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", "value")
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    r = ev.select(
+        "event_type",
+        (F.rank().over(Window.orderBy("value")).cast("long") - 1).alias(
+            "rm1"
+        ),
+    )
+    b = r.crossJoin(F.broadcast(n)).select(
+        F.least(
+            F.lit(9),
+            F.expr("(10 * rm1) DIV (n_total - 1)"),
+        ).cast("long").alias("bin"),
+        "rm1",
+        F.when(F.col("event_type") == _CAL_POS, 1).otherwise(0).alias("pos"),
+        "n_total",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (
+            F.sum("rm1").cast("double")
+            / (F.count(F.lit(1)) * (F.max("n_total") - 1)).cast("double")
+        ).alias("mean_phat"),
+        (
+            F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("frac_pos"),
+    )
+
+
+# --- Cohen's kappa between two duplicate screens ---------------------------
+
+# kappa = (p_o - p_e) / (1 - p_e) over the 2x2 agreement table of two
+# binary screens. Cleared denominators:
+#   kappa = (n*agree - a1*b1 - a0*b0) / (n*n - a1*b1 - a0*b0)
+# — every term a BIGINT count, one final division.
+
+_KAPPA_SQL = """
+WITH fa AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS dup_a,
+         COUNT(*) OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         ) > 1 AS dup_b
+  FROM documents
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN dup_a = dup_b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(SUM(CASE WHEN dup_a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN dup_b THEN 1 ELSE 0 END) AS BIGINT) AS b1
+  FROM fa
+)
+SELECT n AS n_docs, agree AS n_agree, a1 AS n_dup_exact, b1 AS n_dup_normalized,
+       CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) = 0 THEN 1.0
+            ELSE CAST(n * agree - a1 * b1 - (n - a1) * (n - b1) AS DOUBLE)
+                 / CAST(n * n - a1 * b1 - (n - a1) * (n - b1) AS DOUBLE)
+       END AS kappa
+FROM agg
+"""
+
+
+@query("dedup_screen_kappa", _KAPPA_SQL)
+def dedup_screen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-screen agreement: Cohen's kappa between the exact-hash
+    duplicate flag and the whitespace-normalized duplicate flag
+    (dedup_exact vs dedup_normalized, operators/dedup) — "how much
+    does normalization change dedup decisions, beyond chance".  Two
+    fingerprint groupBys + one scalar fold; no pairwise anything."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    fp = d.select(
+        "doc_id",
+        F.md5("text").alias("fpa"),
+        F.md5(normalize_text(F.col("text"))).alias("fpb"),
+    )
+    ca = fp.groupBy("fpa").agg(F.count(F.lit(1)).alias("na"))
+    cb = fp.groupBy("fpb").agg(F.count(F.lit(1)).alias("nb"))
+    flags = (
+        fp.join(ca, "fpa")
+        .join(cb, "fpb")
+        .select(
+            (F.col("na") > 1).alias("dup_a"),
+            (F.col("nb") > 1).alias("dup_b"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("dup_a") == F.col("dup_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum(F.when(F.col("dup_a"), 1).otherwise(0)).cast("long").alias("a1"),
+        F.sum(F.when(F.col("dup_b"), 1).otherwise(0)).cast("long").alias("b1"),
+    )
+    num = (
+        F.col("n") * F.col("agree")
+        - F.col("a1") * F.col("b1")
+        - (F.col("n") - F.col("a1")) * (F.col("n") - F.col("b1"))
+    )
+    den = (
+        F.col("n") * F.col("n")
+        - F.col("a1") * F.col("b1")
+        - (F.col("n") - F.col("a1")) * (F.col("n") - F.col("b1"))
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.col("a1").alias("n_dup_exact"),
+        F.col("b1").alias("n_dup_normalized"),
+        F.when(den == 0, F.lit(1.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("kappa"),
+    )
+
+
+# --- Benford first-significant-digit screen --------------------------------
+
+# First significant digit extracted EXACTLY: scale by 1e6 (pinned IEEE
+# multiply), floor to BIGINT, take the first character of the integer's
+# decimal string — both engines print BIGINTs identically, so no
+# log10/pow boundary-rounding hazards. Expected Benford mass is a
+# shared python-computed literal.
+
+_BENFORD_EXP = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+_BENFORD_SQL = f"""
+WITH m AS (
+  SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS mv
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0
+), d AS (
+  SELECT CAST(substr(CAST(mv AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM m WHERE mv > 0
+), exp(digit, expected_frac) AS (
+  VALUES {", ".join(f"({d}, {_BENFORD_EXP[d]!r})" for d in range(1, 10))}
+), obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+  FROM d GROUP BY 1
+)
+SELECT o.digit, o.n_obs,
+       CAST(o.n_obs AS DOUBLE) / CAST(o.n_total AS DOUBLE) AS obs_frac,
+       e.expected_frac,
+       ABS(CAST(o.n_obs AS DOUBLE) / CAST(o.n_total AS DOUBLE)
+           - e.expected_frac) AS abs_dev
+FROM obs o JOIN exp e USING (digit)
+"""
+
+
+@query("benford_screen", _BENFORD_SQL)
+def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on event values — the classic
+    fabricated-numbers detector for ingested numeric columns.  Digit
+    extraction goes through BIGINT decimal printing (exact in both
+    engines), expected mass is a shared literal; one division + one
+    subtraction per output row.  Single map + groupBy(9 rows)."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    m = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value") & (F.col("value") > 0)
+    ).select(
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("mv")
+    )
+    d = m.filter(F.col("mv") > 0).select(
+        F.substring(F.col("mv").cast("string"), 1, 1).cast("int").alias(
+            "digit"
+        )
+    )
+    exp = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(k, v) for k, v in _BENFORD_EXP.items()],
+            "digit int, expected_frac double",
+        )
+    )
+    obs = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .withColumn(
+            "n_total",
+            F.sum("n_obs").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("long"),
+        )
+    )
+    return obs.join(exp, "digit").select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs").cast("double") / F.col("n_total").cast("double"))
+        .alias("obs_frac"),
+        "expected_frac",
+        F.abs(
+            F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+            - F.col("expected_frac")
+        ).alias("abs_dev"),
+    )
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+_KANON_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, FLOOR(value) AS vband,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT LEAST(k, 5) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows
+FROM g GROUP BY 1
+"""
+
+
+@query("k_anonymity_report", _KANON_SQL)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the quasi-identifier (event_type, day,
+    unit value band): group-size histogram bucketed at 1/2/3/4/5+.
+    Rows in k<5 groups are the re-identification surface a privacy
+    review flags before publishing (complements pii_scrub).  Two
+    groupBys, all integers."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    g = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor("value").alias("vband"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    return g.groupBy(F.least(F.col("k"), F.lit(5)).alias("k_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+
+
+# --- feature-hashing linear scorer ------------------------------------------
+
+# The hashing trick: tokens land in a FIXED feature space via a
+# portable hash, weights are a deterministic function of the bucket —
+# so scoring is a pure per-row map + sum, with NO vocabulary build, no
+# dictionary join, no shuffle beyond the final groupBy(doc).  This is
+# the shape of a fastText-style quality classifier at 100 TB: the
+# model is a broadcast array, the corpus never shuffles.
+
+_FH_BUCKETS = 1024
+_FH_MULT = 2654435761  # Knuth multiplicative constant
+_FH_MOD = 1001
+
+
+_FH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+           % {_FH_BUCKETS} AS bucket
+  FROM tok WHERE token <> ''
+), w AS (
+  SELECT doc_id,
+         (bucket * {_FH_MULT}) % {_FH_MOD} - {(_FH_MOD - 1) // 2} AS weight
+  FROM h
+)
+SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS score,
+       SUM(weight) > 0 AS flagged
+FROM w GROUP BY doc_id
+"""
+
+
+@query("hashed_feature_score", _FH_SQL)
+def hashed_feature_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear scorer over document tokens: md5-portable
+    bucket in [0, {buckets}), deterministic pseudo-weights, per-doc
+    integer score + sign flag.  Demonstrates the fixed-feature-space
+    classifier pattern (fastText/vowpal-wabbit style): map-side only
+    until one groupBy(doc_id); swap the pseudo-weights for a broadcast
+    learned-weight array and the plan is production quality
+    filtering."""
+    from fastetl_spark.operators.dedup import md5_prefix_hash
+
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    h = tok.select(
+        "doc_id",
+        F.pmod(md5_prefix_hash(F.col("token")), F.lit(_FH_BUCKETS)).alias(
+            "bucket"
+        ),
+    )
+    w = h.select(
+        "doc_id",
+        (
+            F.pmod(F.col("bucket") * F.lit(_FH_MULT), F.lit(_FH_MOD))
+            - F.lit((_FH_MOD - 1) // 2)
+        ).alias("weight"),
+    )
+    return w.groupBy("doc_id").agg(
+        F.sum("weight").cast("long").alias("score"),
+        (F.sum("weight") > 0).alias("flagged"),
+    )

@@ -75,6 +75,7 @@ def load_all() -> None:
     import fastetl_spark.operators.sessionize  # noqa: F401
     import fastetl_spark.operators.spatial  # noqa: F401
     import fastetl_spark.operators.multimodal  # noqa: F401
+    import fastetl_spark.operators.evaluation  # noqa: F401
     import fastetl_spark.meta.profile  # noqa: F401
     import fastetl_spark.operators.dedup_index  # noqa: F401
     import fastetl_spark.plans.curation_pipeline  # noqa: F401
