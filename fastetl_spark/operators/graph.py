@@ -1037,3 +1037,190 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("src"), ((F.col("node") * 7 + 11) % n).alias("dst")
     )
     return kcore_peel(nodes, edges.unionAll(e3)).orderBy("node")
+
+
+# --- strongly connected components via pointer jumping ---------------------
+
+# SCC over the FUNCTIONAL doc graph f(u) = (u*u + 3) mod n (out-degree
+# exactly 1, no ring edge): the graph decomposes into rho shapes whose
+# SCCs are the cycles, plus singleton tail nodes — non-trivial and
+# data-dependent (cycle count/length vary with n).
+#
+# The algorithm is classic PARALLEL POINTER JUMPING (Wyllie's list
+# ranking generalized to functional graphs): K = ceil(log2 n) rounds of
+# self-join doubling carrying (succ, min-id-on-walk):
+#   succ_{k+1}(u) = succ_k(succ_k(u))        -- f^(2^(k+1))
+#   min_{k+1}(u)  = least(min_k(u), min_k(succ_k(u)))
+# After 2^K >= n steps, succ_K(u) lies on u's cycle for every u, so the
+# IMAGE of succ_K is exactly the set of cycle nodes; a cycle node's
+# min-on-walk is the min of its cycle (its walk stays in the cycle and
+# 2^K >= cycle length), which serves as the SCC id.  Tail nodes are
+# singleton SCCs.  O(log n) keyed equi-joins on an n-row frame — no
+# quadratic closure, no unbounded frontier; the shape that survives a
+# 1000-executor scale-up.  (General digraphs need the FW-BW/coloring
+# outer loop; out-degree-1 graphs — retry chains, next-pointer tables,
+# canonical-redirect maps — are the common ETL case and close exactly.)
+
+_SCC_SQL = """
+WITH RECURSIVE nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), f AS (
+  SELECT doc_id AS u, (doc_id * doc_id + 3) % (SELECT n FROM nn) AS v
+  FROM documents
+), walk(u, v) AS (
+  SELECT u, v FROM f
+  UNION
+  SELECT w.u, f2.v FROM walk w JOIN f f2 ON f2.u = w.v
+), cyc AS (
+  SELECT u FROM walk WHERE u = v
+), mins AS (
+  SELECT u, MIN(v) AS mv FROM walk GROUP BY u
+)
+SELECT f.u AS node,
+       CASE WHEN c.u IS NOT NULL THEN m.mv ELSE f.u END AS scc_id,
+       (c.u IS NOT NULL) AS on_cycle
+FROM f
+LEFT JOIN cyc c ON c.u = f.u
+JOIN mins m ON m.u = f.u
+"""
+
+
+def functional_scc(f: DataFrame, n: int | None = None) -> DataFrame:
+    """Strongly connected components of a functional graph given as an
+    out-degree-1 edge frame ``(node, succ)``: pointer-jumping doubling,
+    ceil(log2 n) self-joins, each materialized to keep lineage linear.
+    Returns (node, scc_id, on_cycle): cycle nodes share their cycle's
+    min id, tail nodes are singletons."""
+    if n is None:
+        n = f.count()
+    rounds = max(1, (max(n, 2) - 1).bit_length())  # ceil(log2 n)
+    st = f.select("node", "succ", F.col("node").alias("minid"))
+    for _ in range(rounds):
+        other = st.select(
+            F.col("node").alias("__n2"),
+            F.col("succ").alias("__s2"),
+            F.col("minid").alias("__m2"),
+        )
+        st = (
+            st.join(other, st["succ"] == other["__n2"])
+            .select(
+                "node",
+                F.col("__s2").alias("succ"),
+                F.least("minid", "__m2").alias("minid"),
+            )
+            .transform(materialize)
+        )
+    cycle_nodes = st.select(F.col("succ").alias("__cn")).distinct()
+    return (
+        st.join(cycle_nodes, st["node"] == cycle_nodes["__cn"], "left")
+        .select(
+            "node",
+            F.when(F.col("__cn").isNotNull(), F.col("minid"))
+            .otherwise(F.col("node"))
+            .alias("scc_id"),
+            F.col("__cn").isNotNull().alias("on_cycle"),
+        )
+    )
+
+
+@query("scc_functional_graph", _SCC_SQL)
+def scc_functional_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC membership of the functional doc graph u -> (u*u+3) mod n by
+    log-round pointer jumping, gated against DuckDB's own recursive
+    transitive closure of the same graph (cycle test (u,u), SCC id =
+    min reachable id — equivalent on out-degree-1 graphs because a
+    cycle node's reachable set IS its cycle)."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    f = d.select(
+        F.col("doc_id").alias("node"),
+        ((F.col("doc_id") * F.col("doc_id") + 3) % n).alias("succ"),
+    )
+    return functional_scc(f, n)
+
+
+# --- DAG longest-path levels (topological layering) -------------------------
+
+# A DAG whose every edge at least doubles the node id (u -> 2u+1,
+# u -> 2u+2, u -> 3u+2, targets < n) has longest-path length <= log2 n:
+# along any path x_{k+1} >= 2*x_k + 1, so x_k >= 2^k - 1.  Bellman-Ford
+# relaxation therefore converges in ceil(log2(n+1)) rounds — the level
+# assignment (critical-path depth) every scheduler/lineage system needs,
+# with a round count that is LOGARITHMIC by construction rather than
+# diameter-bound-hopeful.
+
+def dag_longest_levels(nodes: DataFrame, edges: DataFrame,
+                       rounds: int) -> DataFrame:
+    """Longest-path-from-source level per node of a DAG via monotone
+    max-plus relaxation: lv(v) <- max(lv(v), max over u->v of lv(u)+1),
+    iterated ``rounds`` times (caller supplies a provable bound on the
+    longest path).  Returns (node, level)."""
+    lv = nodes.select("node", F.lit(0).cast("long").alias("lv"))
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    for _ in range(rounds):
+        contrib = (
+            lv.join(e, lv["node"] == e["u"])
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.max("lv") + 1).alias("cand"))
+        )
+        lv = (
+            lv.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.greatest("lv", F.coalesce("cand", F.lit(0)))
+                .cast("long")
+                .alias("lv"),
+            )
+            .transform(materialize)
+        )
+    return lv.select("node", F.col("lv").alias("level"))
+
+
+_DAG_SQL = """
+WITH RECURSIVE nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), e0 AS (
+  SELECT doc_id AS u, 2 * doc_id + 1 AS v FROM documents
+  WHERE 2 * doc_id + 1 < (SELECT n FROM nn)
+  UNION ALL
+  SELECT doc_id, 2 * doc_id + 2 FROM documents
+  WHERE 2 * doc_id + 2 < (SELECT n FROM nn)
+  UNION ALL
+  SELECT doc_id, 3 * doc_id + 2 FROM documents
+  WHERE 3 * doc_id + 2 < (SELECT n FROM nn)
+), e AS (
+  SELECT DISTINCT u, v FROM e0
+), walk(node, depth) AS (
+  SELECT doc_id, 0 FROM documents
+  WHERE doc_id NOT IN (SELECT v FROM e)
+  UNION
+  SELECT e.v, w.depth + 1 FROM walk w JOIN e ON e.u = w.node
+)
+SELECT node, CAST(MAX(depth) AS BIGINT) AS level FROM walk GROUP BY node
+"""
+
+
+@query("dag_longest_levels", _DAG_SQL)
+def dag_longest_levels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path levels of the doubling DAG over doc ids (edges
+    u -> 2u+1 / 2u+2 / 3u+2): Bellman-Ford max-plus relaxation with a
+    log2(n)-round convergence bound guaranteed by the edge family,
+    gated against DuckDB's depth-tagged recursive walk from the
+    sources.  Every node is source-reachable (a maximal path's start
+    has no in-edge), so the level sets agree exactly."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    fams = [
+        (2, 1), (2, 2), (3, 2),
+    ]
+    e = None
+    for a, b in fams:
+        part = nodes.filter(F.col("node") * a + b < n).select(
+            F.col("node").alias("src"),
+            (F.col("node") * a + b).alias("dst"),
+        )
+        e = part if e is None else e.unionAll(part)
+    e = e.distinct()
+    rounds = max(1, int(n).bit_length()) + 1  # > log2(n+1) path bound
+    return dag_longest_levels(nodes, e, rounds)

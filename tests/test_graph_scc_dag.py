@@ -1,0 +1,53 @@
+"""Hand-built-graph checks for pointer-jumping SCC and DAG levels
+(the oracle gate covers the doc-graph instantiations; these pin the
+operator semantics on graphs small enough to verify by eye)."""
+
+from __future__ import annotations
+
+from fastetl_spark.operators.graph import dag_longest_levels, functional_scc
+
+
+def test_functional_scc_cycle_and_tails(spark):
+    # 0 -> 1 -> 2 -> 0 (cycle), 3 -> 0 and 4 -> 3 (tail chain),
+    # 5 -> 5 (self-loop cycle)
+    f = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0), (4, 3), (5, 5)],
+        "node long, succ long",
+    )
+    rows = {r["node"]: r for r in functional_scc(f, n=6).collect()}
+    assert [rows[i]["scc_id"] for i in range(6)] == [0, 0, 0, 3, 4, 5]
+    assert [rows[i]["on_cycle"] for i in range(6)] == [
+        True, True, True, False, False, True,
+    ]
+
+
+def test_functional_scc_two_cycles(spark):
+    # two disjoint 2-cycles: {10, 11} and {20, 21}
+    f = spark.createDataFrame(
+        [(10, 11), (11, 10), (20, 21), (21, 20)], "node long, succ long"
+    )
+    rows = {r["node"]: r["scc_id"] for r in functional_scc(f, n=4).collect()}
+    assert rows == {10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dag_longest_levels_diamond(spark):
+    # 0 -> 1 -> 3, 0 -> 2 -> 3, 2 -> 4; longest paths: 1/1/2/2... by eye:
+    # lv(0)=0, lv(1)=1, lv(2)=1, lv(3)=2, lv(4)=2; isolated 5 stays 0
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (2, 4)], "src long, dst long"
+    )
+    rows = {r["node"]: r["level"]
+            for r in dag_longest_levels(nodes, edges, rounds=4).collect()}
+    assert rows == {0: 0, 1: 1, 2: 1, 3: 2, 4: 2, 5: 0}
+
+
+def test_dag_longest_levels_takes_max_not_min(spark):
+    # 0 -> 3 directly AND 0 -> 1 -> 2 -> 3: level(3) must be 3, not 1
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 3), (0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    rows = {r["node"]: r["level"]
+            for r in dag_longest_levels(nodes, edges, rounds=5).collect()}
+    assert rows[3] == 3
