@@ -1040,3 +1040,60 @@ def user_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("monetary_cents"),
         )
     )
+
+
+# --- leave-one-out target encoding -----------------------------------------
+
+# The classic high-cardinality categorical encoder with the classic
+# leakage fix: encode each row's category by the mean target of the
+# OTHER rows in its category, (sum_cat - own) / (n_cat - 1).  Targets
+# quantize to integer cents first, so the per-category sums are exact
+# BIGINTs under any partitioning and the encode is one pinned division
+# — no double-summation order hazard, no fold.  One groupBy + one
+# broadcast join back; the category table is k rows.
+
+_LOO_SQL = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), cat AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(cents) AS BIGINT) AS sum_cat
+  FROM base GROUP BY 1
+)
+SELECT b.event_id, b.event_type, b.cents,
+       CASE WHEN c.n_cat > 1
+            THEN CAST(c.sum_cat - b.cents AS DOUBLE)
+                 / CAST(c.n_cat - 1 AS DOUBLE)
+       END AS loo_mean_cents
+FROM base b JOIN cat c USING (event_type)
+"""
+
+
+@query("target_encode_loo", _LOO_SQL)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against the value
+    column (integer cents): each event gets the mean target of its
+    category EXCLUDING itself — the leakage-safe categorical feature
+    every tabular training pipeline derives.  Singleton categories
+    encode NULL (no honest LOO value exists)."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    base = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cat = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("cents").cast("long").alias("sum_cat"),
+    )
+    return base.join(F.broadcast(cat), "event_type").select(
+        "event_id", "event_type", "cents",
+        F.when(
+            F.col("n_cat") > 1,
+            (F.col("sum_cat") - F.col("cents")).cast("double")
+            / (F.col("n_cat") - 1).cast("double"),
+        ).alias("loo_mean_cents"),
+    )

@@ -730,3 +730,171 @@ def similarity_ivfpq_oneshot_exhaustive(
         nprobe=IVF_K,
         refine=n,
     )
+
+
+# --- margin-based mutual-kNN pairs (bitext-mining criterion) ---------------
+
+# The Artetxe & Schwenk margin criterion (the standard bitext/parallel-
+# data miner, "Margin-based Parallel Corpus Mining", ACL 2019): score a
+# candidate pair not by raw cosine but by the RATIO margin
+#   margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+# which discounts hubness (vectors whose neighborhood is uniformly
+# close), then keep pairs that are each other's best margin match.
+# Every float here is a pinned-order fold (dot products left-to-right,
+# k-NN averages summed in rank order), so the mutual-pair set is
+# hash-stable across engines and partitionings.
+
+_MKNN_K = 4
+
+_MKNN_SQL = f"""
+WITH c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, b.label AS dlabel,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM c a, c b WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT src, dst, dlabel, sim,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+  FROM scored
+), knn AS (
+  SELECT * FROM ranked WHERE rnk <= {_MKNN_K}
+), den AS (
+  SELECT src, list_sum(list(sim ORDER BY rnk)) / {_MKNN_K} AS avg_nn
+  FROM knn GROUP BY src
+), margins AS (
+  SELECT k.src, k.dst,
+         k.sim / ((ds.avg_nn + dd.avg_nn) / 2) AS margin
+  FROM knn k
+  JOIN den ds ON ds.src = k.src
+  JOIN den dd ON dd.src = k.dst
+), best AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY margin DESC, dst) AS mr
+    FROM margins
+  ) WHERE mr = 1
+), lab AS (
+  SELECT vec_id, label FROM embeddings
+)
+SELECT b1.src AS vec_id_a, b1.dst AS vec_id_b,
+       (la.label = lb.label) AS same_label
+FROM best b1
+JOIN best b2 ON b2.src = b1.dst AND b2.dst = b1.src
+JOIN lab la ON la.vec_id = b1.src
+JOIN lab lb ON lb.vec_id = b1.dst
+WHERE b1.src < b1.dst
+"""
+
+
+def mutual_margin_pairs(corpus: DataFrame, id_col: str, vec_col: str,
+                        k: int = _MKNN_K,
+                        extra_cols: list[str] | None = None) -> DataFrame:
+    """Mutual best-match pairs under the ratio-margin criterion: for
+    each vector, rerank its cosine top-k by margin (cosine divided by
+    the mean of the two endpoints' k-NN cosine averages) and keep
+    pairs that pick each other.  Returns (vec_id_a, vec_id_b) with
+    vec_id_a < vec_id_b, plus ``extra_cols`` from each endpoint
+    prefixed a_/b_.
+
+    Scale shape: the pairwise stage is the pluggable part — here the
+    exact crossJoin baseline (the oracle form); a large corpus feeds
+    the same margin/mutuality tail from LSH- or IVF-bucketed candidate
+    pairs (similarity.lsh_topk / ann_index), since margin and
+    mutuality only ever read each side's top-k list."""
+    extra = list(extra_cols or [])
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("v"),
+        *extra,
+    ).withColumn("vn", l2_norm(F.col("v")))
+    a = c.select(
+        F.col("vid").alias("src"), F.col("v").alias("av"),
+        F.col("vn").alias("an"),
+    )
+    b = c.select(
+        F.col("vid").alias("dst"), F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    scored = (
+        a.crossJoin(broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            (dot(F.col("av"), F.col("bv"))
+             / (F.col("an") * F.col("bn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    # k-NN average folded in rank order — pinned double summation
+    den = knn.groupBy("src").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "sim"))
+                    ),
+                    lambda s: s["sim"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / k
+        ).alias("avg_nn")
+    )
+    margins = (
+        knn.join(den.withColumnRenamed("src", "__s").withColumnRenamed(
+            "avg_nn", "den_src"), F.col("src") == F.col("__s"))
+        .drop("__s")
+        .join(den.withColumnRenamed("src", "__d").withColumnRenamed(
+            "avg_nn", "den_dst"), F.col("dst") == F.col("__d"))
+        .drop("__d")
+        .select(
+            "src", "dst",
+            (F.col("sim")
+             / ((F.col("den_src") + F.col("den_dst")) / 2)).alias("margin"),
+        )
+    )
+    wm = Window.partitionBy("src").orderBy(F.desc("margin"), F.asc("dst"))
+    best = (
+        margins.withColumn("mr", F.row_number().over(wm))
+        .filter(F.col("mr") == 1)
+        .select("src", "dst")
+    )
+    rev = best.select(F.col("src").alias("__rs"), F.col("dst").alias("__rd"))
+    pairs = (
+        best.join(
+            rev,
+            (F.col("__rs") == F.col("dst")) & (F.col("__rd") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("vec_id_a"), F.col("dst").alias("vec_id_b"))
+    )
+    if not extra:
+        return pairs
+    ea = c.select(F.col("vid").alias("vec_id_a"),
+                  *[F.col(x).alias(f"a_{x}") for x in extra])
+    eb = c.select(F.col("vid").alias("vec_id_b"),
+                  *[F.col(x).alias(f"b_{x}") for x in extra])
+    return pairs.join(ea, "vec_id_a").join(eb, "vec_id_b")
+
+
+@query("mutual_margin_pairs", _MKNN_SQL)
+def mutual_margin_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion mutual best matches over the embeddings table,
+    with a same-label flag grading how often the miner pairs within a
+    ground-truth cluster — the alignment-mining primitive for parallel/
+    near-duplicate corpus construction."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
+    out = mutual_margin_pairs(e, "vec_id", "embedding",
+                              extra_cols=["label"])
+    return out.select(
+        "vec_id_a", "vec_id_b",
+        (F.col("a_label") == F.col("b_label")).alias("same_label"),
+    )
