@@ -97,6 +97,13 @@ HEADLINE = [
     "retrieval_eval_metrics",
     "embedding_cov_matrix",
     "streaming_late_data_windows",
+    # round 10 (cont.): evaluation tier + pointer-jumping graph ops +
+    # margin mining
+    "auc_score_eval",
+    "cluster_silhouette_exact",
+    "scc_functional_graph",
+    "dag_longest_levels",
+    "mutual_margin_pairs",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the

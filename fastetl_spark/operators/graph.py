@@ -1157,22 +1157,29 @@ def dag_longest_levels(nodes: DataFrame, edges: DataFrame,
     longest path).  Returns (node, level)."""
     lv = nodes.select("node", F.lit(0).cast("long").alias("lv"))
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    prev_sum: int | None = None
     for _ in range(rounds):
-        contrib = (
-            lv.join(e, lv["node"] == e["u"])
-            .groupBy(F.col("v").alias("node"))
-            .agg((F.max("lv") + 1).alias("cand"))
+        # one shuffle per round: current levels UNION relaxed
+        # contributions, folded by a single max-groupBy (map-side
+        # combined) — the join+groupBy+join form pays two.  sum(lv) is
+        # strictly monotone until the fixpoint, so it doubles as the
+        # convergence probe, riding the materialize action via
+        # observe() (no extra job per round — the kcore pattern).
+        contrib = lv.join(e, lv["node"] == e["u"]).select(
+            F.col("v").alias("node"), (F.col("lv") + 1).alias("lv")
         )
+        obs = Observation()
         lv = (
-            lv.join(contrib, "node", "left")
-            .select(
-                "node",
-                F.greatest("lv", F.coalesce("cand", F.lit(0)))
-                .cast("long")
-                .alias("lv"),
-            )
+            lv.unionAll(contrib)
+            .groupBy("node")
+            .agg(F.max("lv").cast("long").alias("lv"))
+            .observe(obs, F.sum("lv").alias("s"))
             .transform(materialize)
         )
+        cur = obs.get["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
     return lv.select("node", F.col("lv").alias("level"))
 
 
