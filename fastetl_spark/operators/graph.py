@@ -1231,3 +1231,160 @@ def dag_longest_levels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.distinct()
     rounds = max(1, int(n).bit_length()) + 1  # > log2(n+1) path bound
     return dag_longest_levels(nodes, e, rounds)
+
+
+# --- connected components by alternating large-star / small-star -----------
+
+# The Kiveris et al. algorithm ("Connected Components in MapReduce and
+# Beyond", SoCC 2014) — the published trillion-edge CC used when even
+# the edge-induced subgraph is too big for per-round full-frontier
+# min-label propagation (dedup.connected_components' iterative path).
+# Each round rewires edges toward local minima:
+#   large-star(u): m = min(N(u) + {u}); for v in N(u), v > u: edge (v, m)
+#   small-star(u): S = {v in N(u): v <= u} + {u}, m = min S;
+#                  for v in S, v != m: edge (v, m)
+# Alternating LS/SS contracts path distances like pointer halving, so
+# rounds are logarithmic in component diameter; each round is ONE
+# groupBy(node) + one distinct on the (shrinking) edge set.  On
+# convergence the edges form stars: every node points at its
+# component's minimum.
+
+def two_phase_star_cc(edges: DataFrame, nodes: DataFrame | None = None,
+                      a_col: str = "src", b_col: str = "dst",
+                      id_col: str = "node",
+                      max_rounds: int = 32) -> DataFrame:
+    """Connected components of an undirected edge list via alternating
+    large-star/small-star rounds.  Returns (id_col, component).
+
+    Convergence is detected by an exact (count, keyed-sum) fingerprint
+    of the canonical edge set riding each round's materialize via
+    observe(); both star transforms are idempotent on a converged star
+    forest, so a stable fingerprint is permanent (the per-query oracle
+    independently verifies the labels, so a fingerprint collision
+    cannot ship a wrong answer silently)."""
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    prev_sig: tuple[int, int] | None = None
+    for r in range(max_rounds):
+        # ---- large-star: neighbors larger than u point at u's min
+        sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
+            .unionAll(e.select(F.col("b").alias("node"),
+                               F.col("a").alias("nbr")))
+        mins = sym.groupBy("node").agg(
+            F.least(F.min("nbr"), F.first("node")).alias("m")
+        )
+        ls = (
+            sym.filter(F.col("nbr") > F.col("node"))
+            .join(mins, "node")
+            .select(F.col("nbr").alias("a"), F.col("m").alias("b"))
+        )
+        # ---- small-star over the large-star output
+        sym2 = ls.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
+            .unionAll(ls.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr")))
+        smalls = sym2.filter(F.col("nbr") <= F.col("node")).unionAll(
+            sym2.select("node", F.col("node").alias("nbr")).distinct()
+        )
+        mins2 = smalls.groupBy("node").agg(F.min("nbr").alias("m"))
+        ss = (
+            smalls.join(mins2, "node")
+            .filter(F.col("nbr") != F.col("m"))
+            .select(F.col("nbr").alias("a"), F.col("m").alias("b"))
+        )
+        obs = Observation()
+        e = (
+            ss.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"))
+            .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.col("a") * 1048573 + F.col("b")), F.lit(0)
+                ).alias("s"),
+            )
+            .transform(materialize)
+        )
+        sig = (int(obs.get["n"]), int(obs.get["s"]))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star forest in (least, greatest) canonical form: each
+    # edge is (root=component min, child), so children key on b
+    parents = e.select(F.col("b").alias(id_col),
+                       F.col("a").alias("component"))
+    roots = (
+        e.select(F.col("a").alias(id_col)).distinct()
+        .join(parents, id_col, "left_anti")
+        .select(id_col, F.col(id_col).alias("component"))
+    )
+    labeled = parents.unionAll(roots)
+    if nodes is None:
+        return labeled
+    return (
+        nodes.select(id_col).distinct()
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+
+
+_STAR_CC_SQL = """
+WITH RECURSIVE nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  WHERE doc_id + 1 < (SELECT n FROM nn) AND doc_id % 13 <> 12
+  UNION ALL
+  SELECT doc_id, doc_id + 5 FROM documents
+  WHERE doc_id + 5 < (SELECT n FROM nn) AND doc_id % 29 = 0
+), edges AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION
+  SELECT b, a FROM e0
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+)
+SELECT node AS doc_id, MIN(label) AS component,
+       MIN(label) = node AS is_canonical
+FROM walk GROUP BY node
+"""
+
+
+@query("cc_two_phase_star", _STAR_CC_SQL)
+def cc_two_phase_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components over an irregular
+    chain+chord doc graph (chains broken every 13 ids, sparse +5
+    chords merging adjacent chains), gated against the recursive
+    min-label closure.  The edge-rewiring CC complements the
+    min-label-propagation CC (dedup.connected_components): rounds
+    follow log(component diameter) with the edge set SHRINKING toward
+    a star forest, instead of a full-frontier label frame every
+    round."""
+    d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    n = d.count()
+    ids = d.select(F.col("doc_id").alias("node"))
+    e1 = ids.filter(
+        (F.col("node") + 1 < n) & (F.col("node") % 13 != 12)
+    ).select(F.col("node").alias("src"), (F.col("node") + 1).alias("dst"))
+    e2 = ids.filter(
+        (F.col("node") + 5 < n) & (F.col("node") % 29 == 0)
+    ).select(F.col("node").alias("src"), (F.col("node") + 5).alias("dst"))
+    labeled = two_phase_star_cc(e1.unionAll(e2), nodes=ids)
+    return labeled.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("is_canonical"),
+    )

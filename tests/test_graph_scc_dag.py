@@ -51,3 +51,31 @@ def test_dag_longest_levels_takes_max_not_min(spark):
     rows = {r["node"]: r["level"]
             for r in dag_longest_levels(nodes, edges, rounds=5).collect()}
     assert rows[3] == 3
+
+
+def test_two_phase_star_cc_hand_built(spark):
+    from fastetl_spark.operators.graph import two_phase_star_cc
+
+    # component {1,5,9,30} (min in "middle" of the edge list), pair
+    # {2,7}, isolated 4 attached via nodes
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 30), (30, 1), (2, 7)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 4, 5, 7, 9, 30]], "node long"
+    )
+    rows = {r["node"]: r["component"]
+            for r in two_phase_star_cc(edges, nodes=nodes).collect()}
+    assert rows == {1: 1, 5: 1, 9: 1, 30: 1, 2: 2, 7: 2, 4: 4}
+
+
+def test_two_phase_star_cc_long_path(spark):
+    from fastetl_spark.operators.graph import two_phase_star_cc
+
+    # a 40-node path with the min at one end: stresses the round count
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    rows = {r["node"]: r["component"]
+            for r in two_phase_star_cc(edges).collect()}
+    assert rows == {i: 0 for i in range(41)}
