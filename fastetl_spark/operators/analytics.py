@@ -2117,3 +2117,112 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long").alias("qv"),
     )
     return poisson_bootstrap_means(ev, "event_type", "event_id", "qv")
+
+
+# --- weighted median per group ----------------------------------------------
+
+# The weighted lower median: smallest value whose cumulative weight
+# reaches half the group total.  Distinct values aggregate first (ties
+# fold into one row), so the cumulative window runs over value
+# cardinality per group, and every comparison is integer (quantities)
+# against pass-through doubles (prices) — no derived-float hazard.
+
+_WMED_SQL = """
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, price, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM g
+)
+SELECT l_returnflag, MAX(tot) AS total_weight,
+       MIN(CASE WHEN 2 * cw >= tot THEN price END) AS weighted_median
+FROM c GROUP BY 1
+"""
+
+
+@query("weighted_median_price", _WMED_SQL)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    robust center a pricing audit wants when line sizes vary by orders
+    of magnitude.  One groupBy on (group, value) then a per-group
+    cumulative window over distinct values only."""
+    li = ensure_parallelism(read_table(spark, sf_dir, "lineitem"))
+    g = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag", "price", "w",
+        F.sum("w").over(wc).cast("long").alias("cw"),
+        F.sum("w").over(wt).cast("long").alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max("tot").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tot"), F.col("price"))
+        ).alias("weighted_median"),
+    )
+
+
+# --- hourly seasonal adjustment ---------------------------------------------
+
+# Seasonal-naive adjustment: subtract the hour-of-day mean from each
+# event's value — the preprocessing every diurnal-pattern anomaly
+# screen runs before thresholding.  Hour means are exact rationals
+# (integer cent sums / counts, one pinned division each); the per-event
+# residual is one pinned subtraction on those doubles.  One 24-row
+# groupBy broadcast back over the events — no window over the corpus.
+
+_SEASONAL_SQL = """
+WITH base AS (
+  SELECT event_id, EXTRACT(hour FROM ts) AS hh,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), hm AS (
+  SELECT hh, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(cents) AS BIGINT) AS sum_h
+  FROM base GROUP BY 1
+)
+SELECT b.event_id, CAST(b.hh AS BIGINT) AS hour_of_day, b.cents,
+       CAST(h.sum_h AS DOUBLE) / CAST(h.n_h AS DOUBLE) AS seasonal_cents,
+       CAST(b.cents AS DOUBLE)
+         - CAST(h.sum_h AS DOUBLE) / CAST(h.n_h AS DOUBLE) AS residual_cents
+FROM base b JOIN hm h USING (hh)
+"""
+
+
+@query("seasonal_adjust_hourly", _SEASONAL_SQL)
+def seasonal_adjust_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal adjustment of event values: per-event
+    residual against the exact hourly mean (integer cents; the two
+    divisions and one subtraction are the only float ops)."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    base = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "event_id",
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hm = base.groupBy("hh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("cents").cast("long").alias("sum_h"),
+    )
+    mean = F.col("sum_h").cast("double") / F.col("n_h").cast("double")
+    return base.join(F.broadcast(hm), "hh").select(
+        "event_id",
+        F.col("hh").cast("long").alias("hour_of_day"),
+        "cents",
+        mean.alias("seasonal_cents"),
+        (F.col("cents").cast("double") - mean).alias("residual_cents"),
+    )
