@@ -96,6 +96,15 @@ def auc_by_class(ev: DataFrame, label_col: str, score_col: str) -> DataFrame:
         .groupBy(label_col, score_col)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return auc_from_score_counts(vt, label_col, score_col)
+
+
+def auc_from_score_counts(vt: DataFrame, label_col: str,
+                          score_col: str) -> DataFrame:
+    """The AUC tail on pre-aggregated (label, score, cnt) counts —
+    split out so a streaming monitor maintaining the count state can
+    compute the SAME statistic per micro-batch (stream/batch
+    equivalence on the alert value, not just the counts)."""
     w_tot = (
         Window.orderBy(score_col)
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -1648,3 +1648,61 @@ def streaming_audio_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(qa, "st_audioqa_", "append").orderBy(
         "doc_id", "channel"
     )
+
+
+# --- 20th gate: in-stream AUC maintenance ------------------------------------
+#
+# The evaluation tier's discrimination monitor run live: the stream
+# maintains per-(class, score-value) counts in complete mode, and each
+# micro-batch recomputes the EXACT Mann-Whitney AUC from those counts
+# inside foreachBatch — so the gate pins the alert statistic a score
+# monitor would page on, not just its input counts (the same
+# stream/batch-equivalence contract as streaming_drift_psi).  Complete-
+# mode overwrite converges under any redelivery.
+
+
+def _stream_auc_sql() -> str:
+    from fastetl_spark.operators.evaluation import _AUC_SQL
+
+    return _AUC_SQL
+
+
+@query("streaming_auc_monitor", _stream_auc_sql())
+def streaming_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest AUC of value per event_type, maintained over 3
+    file-source micro-batches: complete-mode (event_type, value) counts
+    feed operators/evaluation.auc_from_score_counts per batch, and the
+    drained final AUC frame must hash-match the batch oracle
+    (auc_score_eval's SQL) exactly."""
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.evaluation import auc_from_score_counts
+
+    root = _scratch_root(sf_dir, "stream_auc")
+    in_dir, dest, ckpt = f"{root}/in", f"{root}/dest", f"{root}/ckpt"
+    ev = read_table(spark, sf_dir, "events")
+    _stage_slices(ev, root, in_dir, F.col("event_id") % 3)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    counts = (
+        stream.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+    def auc_batch(batch_df: DataFrame, batch_id: int) -> None:
+        auc_from_score_counts(batch_df, "event_type", "value").write.mode(
+            "overwrite"
+        ).parquet(dest)
+
+    q = (
+        counts.writeStream.foreachBatch(auc_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest)
