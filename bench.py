@@ -104,6 +104,7 @@ HEADLINE = [
     "scc_functional_graph",
     "dag_longest_levels",
     "mutual_margin_pairs",
+    "cc_two_phase_star",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the

@@ -2226,3 +2226,54 @@ def seasonal_adjust_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("seasonal_cents"),
         (F.col("cents").cast("double") - mean).alias("residual_cents"),
     )
+
+
+# --- skyline / Pareto frontier ----------------------------------------------
+
+# The classic skyline query (Borzsony/Kossmann/Stocker, ICDE 2001):
+# points not dominated in (maximize quantity, minimize price).  The
+# sort-based evaluation needs NO pairwise dominance join: collapse to
+# min-price per distinct quantity, then a running min over quantity
+# descending — a point is on the frontier iff it beats every
+# higher-quantity point's best price.  One groupBy + one per-group
+# window over distinct quantities; prices are pass-through doubles
+# (comparisons only, no derived-float arithmetic).
+
+_PARETO_SQL = """
+WITH g AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS quantity,
+         MIN(l_extendedprice) AS minp
+  FROM lineitem GROUP BY 1, 2
+), w AS (
+  SELECT l_returnflag, quantity, minp,
+         MIN(minp) OVER (PARTITION BY l_returnflag ORDER BY quantity DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+  FROM g
+)
+SELECT l_returnflag, quantity, minp AS frontier_price
+FROM w WHERE prev_min IS NULL OR minp < prev_min
+"""
+
+
+@query("pareto_frontier_lineitems", _PARETO_SQL)
+def pareto_frontier_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag skyline of (quantity up, price down): the
+    undominated quantity/price trade-off curve, via the sort-based
+    running-min evaluation instead of the quadratic dominance
+    self-join."""
+    li = ensure_parallelism(read_table(spark, sf_dir, "lineitem"))
+    g = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("quantity")
+    ).agg(F.min("l_extendedprice").alias("minp"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.desc("quantity"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        g.withColumn("prev_min", F.min("minp").over(w))
+        .filter(F.col("prev_min").isNull() | (F.col("minp") < F.col("prev_min")))
+        .select(
+            "l_returnflag", "quantity", F.col("minp").alias("frontier_price")
+        )
+    )
