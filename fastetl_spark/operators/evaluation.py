@@ -180,7 +180,8 @@ WITH ev AS (
          CAST(RANK() OVER (ORDER BY value) AS BIGINT) - 1 AS rm1
   FROM ev
 ), b AS (
-  SELECT LEAST(9, (10 * rm1) // (n.n_total - 1)) AS bin,
+  SELECT CASE WHEN n.n_total > 1
+              THEN LEAST(9, (10 * rm1) // (n.n_total - 1)) ELSE 0 END AS bin,
          rm1,
          CASE WHEN event_type = '{_CAL_POS}' THEN 1 ELSE 0 END AS pos,
          n.n_total
@@ -189,8 +190,10 @@ WITH ev AS (
 SELECT CAST(bin AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(pos) AS BIGINT) AS n_pos,
-       CAST(SUM(rm1) AS DOUBLE)
-         / CAST(COUNT(*) * (MAX(n_total) - 1) AS DOUBLE) AS mean_phat,
+       CASE WHEN MAX(n_total) > 1
+            THEN CAST(SUM(rm1) AS DOUBLE)
+                 / CAST(COUNT(*) * (MAX(n_total) - 1) AS DOUBLE)
+            ELSE 0.0 END AS mean_phat,
        CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
 FROM b GROUP BY 1
 """
@@ -220,10 +223,10 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     b = r.crossJoin(F.broadcast(n)).select(
-        F.least(
-            F.lit(9),
-            F.expr("(10 * rm1) DIV (n_total - 1)"),
-        ).cast("long").alias("bin"),
+        F.when(
+            F.col("n_total") > 1,
+            F.least(F.lit(9), F.expr("(10 * rm1) DIV (n_total - 1)")),
+        ).otherwise(F.lit(0)).cast("long").alias("bin"),
         "rm1",
         F.when(F.col("event_type") == _CAL_POS, 1).otherwise(0).alias("pos"),
         "n_total",
@@ -231,10 +234,11 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pos").cast("long").alias("n_pos"),
-        (
+        F.when(
+            F.max("n_total") > 1,
             F.sum("rm1").cast("double")
-            / (F.count(F.lit(1)) * (F.max("n_total") - 1)).cast("double")
-        ).alias("mean_phat"),
+            / (F.count(F.lit(1)) * (F.max("n_total") - 1)).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("mean_phat"),
         (
             F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("frac_pos"),
@@ -410,7 +414,8 @@ def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KANON_SQL = """
 WITH g AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, FLOOR(value) AS vband,
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CASE WHEN isnan(value) THEN NULL ELSE FLOOR(value) END AS vband,
          CAST(COUNT(*) AS BIGINT) AS k
   FROM events GROUP BY 1, 2, 3
 )
@@ -429,10 +434,13 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     review flags before publishing (complements pii_scrub).  Two
     groupBys, all integers."""
     ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    # NaN normalizes to NULL in BOTH engines before banding: Spark's
+    # floor(NaN) would silently merge NaN rows into vband 0 while
+    # DuckDB keeps NaN as its own group — the one floor() divergence
     g = ev.groupBy(
         "event_type",
         F.col("ts").cast("date").alias("day"),
-        F.floor("value").alias("vband"),
+        F.when(~F.isnan("value"), F.floor("value")).alias("vband"),
     ).agg(F.count(F.lit(1)).cast("long").alias("k"))
     return g.groupBy(F.least(F.col("k"), F.lit(5)).alias("k_bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),

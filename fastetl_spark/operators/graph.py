@@ -1094,7 +1094,26 @@ def functional_scc(f: DataFrame, n: int | None = None) -> DataFrame:
     if n is None:
         n = f.count()
     rounds = max(1, (max(n, 2) - 1).bit_length())  # ceil(log2 n)
-    st = f.select("node", "succ", F.col("node").alias("minid"))
+    # successors that are not themselves nodes (dangling pointers —
+    # legal when the caller filtered the node set) become PHANTOM
+    # absorbing rows: self-looping, with a +inf min so they never win a
+    # fold and never appear in the output.  Without them the doubling
+    # self-join would silently DROP every chain that dead-ends.
+    phantoms = (
+        f.select(F.col("succ").alias("node"))
+        .join(f.select("node"), "node", "left_anti")
+        .distinct()
+        .select(
+            "node",
+            F.col("node").alias("succ"),
+            F.lit((1 << 62)).cast("long").alias("minid"),
+            F.lit(True).alias("__ph"),
+        )
+    )
+    st = f.select(
+        "node", "succ", F.col("node").alias("minid"),
+        F.lit(False).alias("__ph"),
+    ).unionAll(phantoms)
     for _ in range(rounds):
         other = st.select(
             F.col("node").alias("__n2"),
@@ -1107,12 +1126,22 @@ def functional_scc(f: DataFrame, n: int | None = None) -> DataFrame:
                 "node",
                 F.col("__s2").alias("succ"),
                 F.least("minid", "__m2").alias("minid"),
+                "__ph",
             )
             .transform(materialize)
         )
-    cycle_nodes = st.select(F.col("succ").alias("__cn")).distinct()
+    real = st.filter(~F.col("__ph"))
+    cycle_nodes = (
+        real.select(F.col("succ").alias("__cn"))
+        .distinct()
+        .join(  # a walk absorbed by a phantom ends OFF-cycle
+            st.filter(F.col("__ph")).select(F.col("node").alias("__cn")),
+            "__cn",
+            "left_anti",
+        )
+    )
     return (
-        st.join(cycle_nodes, st["node"] == cycle_nodes["__cn"], "left")
+        real.join(cycle_nodes, real["node"] == cycle_nodes["__cn"], "left")
         .select(
             "node",
             F.when(F.col("__cn").isNotNull(), F.col("minid"))
@@ -1317,6 +1346,13 @@ def two_phase_star_cc(edges: DataFrame, nodes: DataFrame | None = None,
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # an unconverged edge set is NOT a star forest — the parent
+        # extraction below would emit duplicate, conflicting labels;
+        # fail loudly instead of shipping them
+        raise RuntimeError(
+            f"two_phase_star_cc did not converge in {max_rounds} rounds"
+        )
     # converged star forest in (least, greatest) canonical form: each
     # edge is (root=component min, child), so children key on b
     parents = e.select(F.col("b").alias(id_col),

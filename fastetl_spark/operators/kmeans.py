@@ -268,11 +268,13 @@ WITH q AS (
          COALESCE(MIN(CASE WHEN clabel <> label
                            THEN CAST(tot AS DOUBLE)
                                 / CAST(n_l AS DOUBLE) END), 0.0) AS b_dist,
+         CAST(COUNT(CASE WHEN clabel <> label THEN 1 END) AS BIGINT) AS n_other,
          CAST(MAX(CASE WHEN clabel = label THEN n_l END) AS BIGINT) AS n_own
   FROM per GROUP BY 1, 2
 )
 SELECT v AS vec_id, label, n_own, a_dist, b_dist,
-       CASE WHEN n_own = 1 OR GREATEST(a_dist, b_dist) = 0 THEN 0.0
+       CASE WHEN n_own = 1 OR n_other = 0
+                 OR GREATEST(a_dist, b_dist) = 0 THEN 0.0
             ELSE (b_dist - a_dist) / GREATEST(a_dist, b_dist) END AS silhouette
 FROM folded
 """
@@ -343,6 +345,9 @@ def cluster_silhouette(emb: DataFrame, id_col: str = "vec_id",
             F.lit(0.0),
         ).alias("b_dist"),
         F.max(F.when(own, F.col("n_l"))).cast("long").alias("n_own"),
+        # no other cluster exists (k=1): silhouette is undefined — emit
+        # the 0 convention, not (0-a)/a = -1
+        F.count(F.when(~own, F.lit(1))).cast("long").alias("n_other"),
     )
     return folded.select(
         F.col("v").alias("vec_id"),
@@ -352,6 +357,7 @@ def cluster_silhouette(emb: DataFrame, id_col: str = "vec_id",
         "b_dist",
         F.when(
             (F.col("n_own") == 1)
+            | (F.col("n_other") == 0)
             | (F.greatest("a_dist", "b_dist") == 0),
             F.lit(0.0),
         )

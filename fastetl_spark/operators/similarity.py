@@ -762,7 +762,7 @@ WITH c AS (
 ), knn AS (
   SELECT * FROM ranked WHERE rnk <= {_MKNN_K}
 ), den AS (
-  SELECT src, list_sum(list(sim ORDER BY rnk)) / {_MKNN_K} AS avg_nn
+  SELECT src, list_sum(list(sim ORDER BY rnk)) / COUNT(*) AS avg_nn
   FROM knn GROUP BY src
 ), margins AS (
   SELECT k.src, k.dst,
@@ -832,7 +832,10 @@ def mutual_margin_pairs(corpus: DataFrame, id_col: str, vec_col: str,
     knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
-    # k-NN average folded in rank order — pinned double summation
+    # k-NN average folded in rank order — pinned double summation;
+    # divide by the ACTUAL neighbor count (a corpus with fewer than
+    # k+1 vectors has shorter lists — dividing by the constant k would
+    # understate avg_nn and inflate every margin)
     den = knn.groupBy("src").agg(
         (
             F.aggregate(
@@ -845,7 +848,7 @@ def mutual_margin_pairs(corpus: DataFrame, id_col: str, vec_col: str,
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            / k
+            / F.count(F.lit(1))
         ).alias("avg_nn")
     )
     margins = (

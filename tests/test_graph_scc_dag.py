@@ -79,3 +79,26 @@ def test_two_phase_star_cc_long_path(spark):
     rows = {r["node"]: r["component"]
             for r in two_phase_star_cc(edges).collect()}
     assert rows == {i: 0 for i in range(41)}
+
+
+def test_functional_scc_dangling_successor_kept(spark):
+    from fastetl_spark.operators.graph import functional_scc
+
+    # 0 -> 1 -> 99 where 99 has no out-edge (dangling): both nodes are
+    # singleton tails, neither may vanish from the output
+    f = spark.createDataFrame([(0, 1), (1, 99)], "node long, succ long")
+    rows = {r["node"]: (r["scc_id"], r["on_cycle"])
+            for r in functional_scc(f, n=2).collect()}
+    assert rows == {0: (0, False), 1: (1, False)}
+
+
+def test_two_phase_star_cc_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    from fastetl_spark.operators.graph import two_phase_star_cc
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        two_phase_star_cc(edges, max_rounds=1)

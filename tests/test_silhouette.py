@@ -33,3 +33,12 @@ def test_silhouette_identical_clusters_is_zero(spark):
     )
     for r in cluster_silhouette(df, scale=1).collect():
         assert r["silhouette"] == 0.0
+
+
+def test_silhouette_single_cluster_is_zero_not_minus_one(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0], 0), (2, [2.0], 0), (3, [9.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    for r in cluster_silhouette(df, scale=1).collect():
+        assert r["silhouette"] == 0.0
