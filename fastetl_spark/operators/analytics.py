@@ -2277,3 +2277,128 @@ def pareto_frontier_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "quantity", F.col("minp").alias("frontier_price")
         )
     )
+
+
+# --- functional-dependency profiler -----------------------------------------
+
+# Schema discovery (the Metanome/TANE primitive): a candidate FD
+# lhs -> rhs HOLDS iff every lhs value maps to exactly one rhs value,
+# measured exactly as |distinct (lhs, rhs)| - |distinct lhs| violating
+# extra mappings.  One distinct-aggregate per candidate over the same
+# scan; candidates here cover the plausible event-table rules,
+# including one that holds by construction (event_id is a key) and
+# ones that fail (user behavior is not single-typed).
+
+_FD_CANDIDATES = [
+    ("event_id", "event_type"),
+    ("event_id", "user_id"),
+    ("user_id", "event_type"),
+    ("event_type", "user_id"),
+]
+
+_FD_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(COUNT(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+       CAST(COUNT(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT ({lhs}, {rhs})) - COUNT(DISTINCT {lhs}) AS BIGINT)
+         AS extra_mappings,
+       COUNT(DISTINCT ({lhs}, {rhs})) = COUNT(DISTINCT {lhs}) AS holds
+FROM events"""
+    for lhs, rhs in _FD_CANDIDATES
+)
+
+
+@query("functional_dependency_profile", _FD_SQL)
+def functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact functional-dependency check over candidate column pairs
+    of the events table: lhs -> rhs holds iff distinct-pair count
+    equals distinct-lhs count.  Each candidate is one distinct
+    aggregate (map-side partial); at 100 TB the same counts come from
+    the gated HLL sketches first, with the exact pass reserved for
+    survivors."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    out = None
+    for lhs, rhs in _FD_CANDIDATES:
+        row = ev.agg(
+            F.countDistinct(lhs).cast("long").alias("n_lhs"),
+            F.countDistinct(lhs, rhs).cast("long").alias("n_pairs"),
+        ).select(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_lhs",
+            "n_pairs",
+            (F.col("n_pairs") - F.col("n_lhs")).alias("extra_mappings"),
+            (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# --- event-type PMI co-occurrence --------------------------------------------
+
+# Pointwise-mutual-information screen over event-type pairs
+# co-occurring within a user: lift = (n_users * n_both) /
+# (n_a * n_b) as the exact-rational PMI argument (one division), with
+# integer counts alongside so the consumer can apply any smoothing.
+# Type-pair space is tiny (k^2), user aggregation is one groupBy.
+
+_PMI_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both, ma.n_t AS n_a, mb.n_t AS n_b,
+       CAST(n.n_users * p.n_both AS DOUBLE)
+         / CAST(ma.n_t * mb.n_t AS DOUBLE) AS lift
+FROM p
+JOIN m ma ON ma.event_type = p.type_a
+JOIN m mb ON mb.event_type = p.type_b
+CROSS JOIN n
+"""
+
+
+@query("event_type_pmi", _PMI_SQL)
+def event_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user co-occurrence lift between event-type pairs — the PMI
+    argument (lift > 1 = types attract, < 1 = repel) with exact
+    integer supports.  The self-join runs on the DISTINCT (user, type)
+    frame (at most k rows per user), so pair volume is bounded by
+    n_users * k^2, never events^2."""
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    m = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ma = F.broadcast(m.select(F.col("event_type").alias("type_a"),
+                              F.col("n_t").alias("n_a")))
+    mb = F.broadcast(m.select(F.col("event_type").alias("type_b"),
+                              F.col("n_t").alias("n_b")))
+    return (
+        p.join(ma, "type_a")
+        .join(mb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (
+                (F.col("n_users") * F.col("n_both")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
