@@ -513,3 +513,211 @@ def hashed_feature_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("weight").cast("long").alias("score"),
         (F.sum("weight") > 0).alias("flagged"),
     )
+
+
+# --- two-sample Kolmogorov-Smirnov statistic --------------------------------
+
+# D = max_v |F_t(v) - F_rest(v)|, evaluated exactly: cumulative counts
+# over the MERGED value support, cross-multiplied so the max runs over
+# integers — |c_t * n_rest - c_rest * n_t| — with one division at the
+# end.  The exact-distribution drift twin of the binned PSI family:
+# PSI needs bin edges, KS needs none.
+
+_KS_SQL = """
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), vt AS (
+  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), tot AS (
+  SELECT value, CAST(SUM(cnt) AS BIGINT) AS c,
+         CAST(SUM(SUM(cnt)) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_all
+  FROM vt GROUP BY value
+), types AS (
+  SELECT DISTINCT event_type FROM ev
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM tot
+), grid AS (
+  SELECT t.event_type, s.value, s.cum_all,
+         COALESCE(v.cnt, 0) AS cnt0
+  FROM types t CROSS JOIN tot s
+  LEFT JOIN vt v ON v.event_type = t.event_type AND v.value = s.value
+), cums AS (
+  SELECT event_type, value, cum_all,
+         CAST(SUM(cnt0) OVER (PARTITION BY event_type ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_t
+  FROM grid
+), nt AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_t FROM vt GROUP BY 1
+)
+SELECT c.event_type, nt.n_t, (n.n_total - nt.n_t) AS n_rest,
+       CAST(MAX(ABS(c.cum_t * (n.n_total - nt.n_t)
+                    - (c.cum_all - c.cum_t) * nt.n_t)) AS BIGINT) AS max_num,
+       CAST(MAX(ABS(c.cum_t * (n.n_total - nt.n_t)
+                    - (c.cum_all - c.cum_t) * nt.n_t)) AS DOUBLE)
+         / CAST(nt.n_t * (n.n_total - nt.n_t) AS DOUBLE) AS d_stat
+FROM cums c
+JOIN nt USING (event_type)
+CROSS JOIN n
+GROUP BY c.event_type, nt.n_t, n.n_total
+"""
+
+
+@query("ks_two_sample", _KS_SQL)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic of each event_type's value
+    distribution against the rest of the corpus: the strongest
+    "did the distribution move" screen, no binning required.  The
+    type x merged-support grid is k x |distinct values| rows; the
+    cumulative windows run over distinct values only (same scale note
+    and same bucketing escape hatch as auc_by_class)."""
+    ev = (
+        ensure_parallelism(read_table(spark, sf_dir, "events"))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", "value")
+    )
+    vt = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_all = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = (
+        vt.groupBy("value")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .withColumn("cum_all", F.sum("c").over(w_all).cast("long"))
+    )
+    types = ev.select("event_type").distinct()
+    n = tot.agg(F.sum("c").cast("long").alias("n_total"))
+    grid = (
+        types.crossJoin(tot.select("value", "cum_all"))
+        .join(vt, ["event_type", "value"], "left")
+        .select(
+            "event_type", "value", "cum_all",
+            F.coalesce("cnt", F.lit(0)).alias("cnt0"),
+        )
+    )
+    w_t = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = grid.withColumn("cum_t", F.sum("cnt0").over(w_t).cast("long"))
+    nt = vt.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n_t"))
+    num = F.abs(
+        F.col("cum_t") * (F.col("n_total") - F.col("n_t"))
+        - (F.col("cum_all") - F.col("cum_t")) * F.col("n_t")
+    )
+    return (
+        cums.join(F.broadcast(nt), "event_type")
+        .crossJoin(F.broadcast(n))
+        .groupBy("event_type", "n_t", "n_total")
+        .agg(F.max(num).cast("long").alias("max_num"))
+        .select(
+            "event_type", "n_t",
+            (F.col("n_total") - F.col("n_t")).alias("n_rest"),
+            "max_num",
+            (
+                F.col("max_num").cast("double")
+                / (F.col("n_t") * (F.col("n_total") - F.col("n_t")))
+                .cast("double")
+            ).alias("d_stat"),
+        )
+    )
+
+
+# --- Spearman rank correlation ----------------------------------------------
+
+# Pearson on CENTERED doubled midranks: with ties, avg rank = rank +
+# (cnt-1)/2, so 2*avgrank = 2*rank + cnt - 1 is an integer, and
+# centering by its exact mean (n+1) makes both sums zero — so
+# rho = sum(x'y') / (sqrt(sum x'^2) * sqrt(sum y'^2)) with every sum a
+# BIGINT (|x'| <= 2n => sums <= 4n^3, safe past 100M rows; wider
+# corpora widen to DECIMAL(38)) and exactly two pinned sqrts + one
+# division at the end.
+
+_SPEARMAN_SQL = """
+WITH ev AS (
+  SELECT value, ts FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev
+), r AS (
+  SELECT
+    CAST(2 * RANK() OVER (ORDER BY value)
+         + COUNT(*) OVER (PARTITION BY value) - 1 AS BIGINT) AS mx,
+    CAST(2 * RANK() OVER (ORDER BY ts)
+         + COUNT(*) OVER (PARTITION BY ts) - 1 AS BIGINT) AS my
+  FROM ev
+), c AS (
+  SELECT mx - (n.n_total + 1) AS x, my - (n.n_total + 1) AS y
+  FROM r CROSS JOIN n
+)
+SELECT (SELECT n_total FROM n) AS n,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(y * y) AS BIGINT) AS syy,
+       CASE WHEN SUM(x * x) = 0 OR SUM(y * y) = 0 THEN 0.0
+            ELSE CAST(SUM(x * y) AS DOUBLE)
+                 / (sqrt(CAST(SUM(x * x) AS DOUBLE))
+                    * sqrt(CAST(SUM(y * y) AS DOUBLE))) END AS rho
+FROM c
+"""
+
+
+@query("spearman_rank_corr", _SPEARMAN_SQL)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman correlation between event value and
+    event time — "is spend drifting over the window" as a single
+    monotone-association number, exact integer moments under the
+    gate."""
+    ev = (
+        ensure_parallelism(read_table(spark, sf_dir, "events"))
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & F.col("ts").isNotNull()
+        )
+        .select("value", "ts")
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    mx = (
+        2 * F.rank().over(Window.orderBy("value"))
+        + F.count(F.lit(1)).over(Window.partitionBy("value"))
+        - 1
+    ).cast("long")
+    my = (
+        2 * F.rank().over(Window.orderBy("ts"))
+        + F.count(F.lit(1)).over(Window.partitionBy("ts"))
+        - 1
+    ).cast("long")
+    r = ev.select(mx.alias("mx"), my.alias("my"))
+    c = r.crossJoin(F.broadcast(n)).select(
+        (F.col("mx") - (F.col("n_total") + 1)).alias("x"),
+        (F.col("my") - (F.col("n_total") + 1)).alias("y"),
+        "n_total",
+    )
+    agg = c.agg(
+        F.max("n_total").alias("n"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return agg.select(
+        "n", "sxy", "sxx", "syy",
+        F.when(
+            (F.col("sxx") == 0) | (F.col("syy") == 0), F.lit(0.0)
+        )
+        .otherwise(
+            F.col("sxy").cast("double")
+            / (
+                F.sqrt(F.col("sxx").cast("double"))
+                * F.sqrt(F.col("syy").cast("double"))
+            )
+        )
+        .alias("rho"),
+    )
