@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.operators.dedup import normalize_text
+from fastetl_spark.operators.ranks import bucketed_cum_sum, range_bounds
 from fastetl_spark.registry import query
 
 # --- exact AUC via the Mann-Whitney rank identity -------------------------
@@ -74,8 +75,10 @@ WITH ev AS (
   FROM j GROUP BY 1
 )
 SELECT event_type, n_pos, (n.n_total - n_pos) AS n_neg,
-       CAST(2 * wins + ties AS DOUBLE)
-         / CAST(2 * n_pos * (n.n_total - n_pos) AS DOUBLE) AS auc
+       CASE WHEN n_pos * (n.n_total - n_pos) = 0 THEN NULL
+            ELSE CAST(2 * wins + ties AS DOUBLE)
+                 / CAST(2 * n_pos * (n.n_total - n_pos) AS DOUBLE)
+       END AS auc
 FROM per CROSS JOIN n
 """
 
@@ -84,13 +87,14 @@ def auc_by_class(ev: DataFrame, label_col: str, score_col: str) -> DataFrame:
     """Exact one-vs-rest AUC of ``score_col`` for every class of
     ``label_col``, via cumulative rank sums over grouped score values.
 
-    Scale shape: one groupBy on (label, score), one on score, two
-    windows ordered by score, one final groupBy(label). The global
-    cumulative window runs over DISTINCT score values only (already
-    aggregated), which for real score columns is bounded by value
-    cardinality; a 100 TB variant pre-buckets scores into fixed-width
-    bins first (turning the unpartitioned window into a broadcastable
-    bin table) at the cost of within-bin tie approximation."""
+    Scale shape: one groupBy on (label, score), one on score, then the
+    bucketed distributed prefix sum of operators/ranks (hash exchanges
+    only — no Exchange SinglePartition anywhere), one final
+    groupBy(label).  For continuous scores where distinct ~ rows, the
+    binned variant ``auc_binned`` keeps the support frame bounded (and
+    is exact whenever the bins cover the distinct values).  Degenerate
+    classes (n_neg == 0, e.g. a label covering the whole frame) emit
+    NULL rather than 0/0 = NaN — pinned in both engines."""
     vt = (
         ev.filter(F.col(score_col).isNotNull() & ~F.isnan(score_col))
         .groupBy(label_col, score_col)
@@ -104,28 +108,30 @@ def auc_from_score_counts(vt: DataFrame, label_col: str,
     """The AUC tail on pre-aggregated (label, score, cnt) counts —
     split out so a streaming monitor maintaining the count state can
     compute the SAME statistic per micro-batch (stream/batch
-    equivalence on the alert value, not just the counts)."""
-    w_tot = (
-        Window.orderBy(score_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    equivalence on the alert value, not just the counts).
+
+    Both cumulative counts run through the bucketed distributed prefix
+    sum (operators/ranks): the global cum over the score support AND
+    the per-label cum share one set of literal split points, so the
+    plan has hash exchanges only — the former global
+    ``Window.orderBy(score)`` single-partition stage is gone, and the
+    per-label windows no longer funnel a whole label through one task
+    either (they partition by (label, bucket))."""
+    bounds = range_bounds(vt, score_col)
+    tot = bucketed_cum_sum(
+        vt.groupBy(score_col).agg(F.sum("cnt").cast("long").alias("c")),
+        score_col,
+        "c",
+        bounds=bounds,
     )
-    tot = (
-        vt.groupBy(score_col)
-        .agg(F.sum("cnt").cast("long").alias("c"))
-        .withColumn(
-            "cum_below",
-            F.coalesce(F.sum("c").over(w_tot), F.lit(0)).cast("long"),
-        )
-    )
-    w_pos = (
-        Window.partitionBy(label_col)
-        .orderBy(score_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    j = vt.join(tot, score_col).withColumn(
-        "cum_pos_below",
-        F.coalesce(F.sum("cnt").over(w_pos), F.lit(0)).cast("long"),
-    )
+    j = bucketed_cum_sum(
+        vt,
+        score_col,
+        "cnt",
+        bounds=bounds,
+        partition_cols=[label_col],
+        out_col="cum_pos_below",
+    ).join(tot, score_col)
     n_total = tot.agg(F.sum("c").cast("long").alias("n_total"))
     per = j.groupBy(label_col).agg(
         F.sum("cnt").cast("long").alias("n_pos"),
@@ -140,12 +146,17 @@ def auc_from_score_counts(vt: DataFrame, label_col: str,
         label_col,
         "n_pos",
         (F.col("n_total") - F.col("n_pos")).alias("n_neg"),
-        (
+        F.when(
+            F.col("n_pos") * (F.col("n_total") - F.col("n_pos")) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
             (2 * F.col("wins") + F.col("ties")).cast("double")
             / (2 * F.col("n_pos") * (F.col("n_total") - F.col("n_pos"))).cast(
                 "double"
             )
-        ).alias("auc"),
+        )
+        .alias("auc"),
     )
 
 
@@ -206,41 +217,52 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean predicted probability and observed positive rate.  A
     well-calibrated score has mean_phat tracking frac_pos.
 
-    The rank window is unpartitioned (single sort task) — same shape
-    as any exact global ranking; the 100 TB variant derives the decile
-    boundaries from the gated GK sketch and maps rows by range join,
-    which this repo already ships (operators/quantiles)."""
+    RANK is never computed per row: every row with value v shares
+    rm1 = (# rows with value < v), so the op compresses to the
+    (value, event_type) support, takes the distributed exclusive
+    prefix sum of operators/ranks over the value support (hash
+    exchanges only — the former unpartitioned rank window is gone),
+    and folds SUM(rm1) per bin as SUM(cnt * cum_below).  Exact for
+    ties by construction (RANK gives the min rank = cum_below + 1)."""
     ev = (
         ensure_parallelism(read_table(spark, sf_dir, "events"))
         .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select("event_type", "value")
     )
     n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    r = ev.select(
-        "event_type",
-        (F.rank().over(Window.orderBy("value")).cast("long") - 1).alias(
-            "rm1"
-        ),
+    vt = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    b = r.crossJoin(F.broadcast(n)).select(
-        F.when(
-            F.col("n_total") > 1,
-            F.least(F.lit(9), F.expr("(10 * rm1) DIV (n_total - 1)")),
-        ).otherwise(F.lit(0)).cast("long").alias("bin"),
-        "rm1",
-        F.when(F.col("event_type") == _CAL_POS, 1).otherwise(0).alias("pos"),
-        "n_total",
+    vv = vt.groupBy("value").agg(F.sum("cnt").cast("long").alias("cv"))
+    vv = bucketed_cum_sum(
+        vv, "value", "cv", bounds=range_bounds(vv, "value")
+    )
+    b = (
+        vt.join(vv.select("value", "cum_below"), "value")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.when(
+                F.col("n_total") > 1,
+                F.least(F.lit(9), F.expr("(10 * cum_below) DIV (n_total - 1)")),
+            ).otherwise(F.lit(0)).cast("long").alias("bin"),
+            "cnt",
+            "cum_below",
+            F.when(F.col("event_type") == _CAL_POS, F.col("cnt"))
+            .otherwise(F.lit(0))
+            .alias("pos"),
+            "n_total",
+        )
     )
     return b.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("n"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.when(
             F.max("n_total") > 1,
-            F.sum("rm1").cast("double")
-            / (F.count(F.lit(1)) * (F.max("n_total") - 1)).cast("double"),
+            F.sum(F.col("cnt") * F.col("cum_below")).cast("double")
+            / (F.sum("cnt") * (F.max("n_total") - 1)).cast("double"),
         ).otherwise(F.lit(0.0)).alias("mean_phat"),
         (
-            F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double")
+            F.sum("pos").cast("double") / F.sum("cnt").cast("double")
         ).alias("frac_pos"),
     )
 
@@ -557,9 +579,11 @@ WITH ev AS (
 SELECT c.event_type, nt.n_t, (n.n_total - nt.n_t) AS n_rest,
        CAST(MAX(ABS(c.cum_t * (n.n_total - nt.n_t)
                     - (c.cum_all - c.cum_t) * nt.n_t)) AS BIGINT) AS max_num,
-       CAST(MAX(ABS(c.cum_t * (n.n_total - nt.n_t)
-                    - (c.cum_all - c.cum_t) * nt.n_t)) AS DOUBLE)
-         / CAST(nt.n_t * (n.n_total - nt.n_t) AS DOUBLE) AS d_stat
+       CASE WHEN nt.n_t * (n.n_total - nt.n_t) = 0 THEN NULL
+            ELSE CAST(MAX(ABS(c.cum_t * (n.n_total - nt.n_t)
+                         - (c.cum_all - c.cum_t) * nt.n_t)) AS DOUBLE)
+                 / CAST(nt.n_t * (n.n_total - nt.n_t) AS DOUBLE)
+       END AS d_stat
 FROM cums c
 JOIN nt USING (event_type)
 CROSS JOIN n
@@ -572,9 +596,13 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic of each event_type's value
     distribution against the rest of the corpus: the strongest
     "did the distribution move" screen, no binning required.  The
-    type x merged-support grid is k x |distinct values| rows; the
-    cumulative windows run over distinct values only (same scale note
-    and same bucketing escape hatch as auc_by_class)."""
+    type x merged-support grid is k x |distinct values| rows; both
+    cumulative counts run through the bucketed distributed prefix sum
+    of operators/ranks sharing one set of split points (hash exchanges
+    only — no single-partition stage, and no per-type window funneling
+    a whole type through one task).  For continuous values where
+    distinct ~ rows, ``ks_binned`` bounds the support.  A degenerate
+    type covering the whole frame emits NULL d_stat, not 0/0 = NaN."""
     ev = (
         ensure_parallelism(read_table(spark, sf_dir, "events"))
         .filter(F.col("value").isNotNull() & ~F.isnan("value"))
@@ -583,13 +611,14 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt = ev.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    w_all = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot = (
-        vt.groupBy("value")
-        .agg(F.sum("cnt").cast("long").alias("c"))
-        .withColumn("cum_all", F.sum("c").over(w_all).cast("long"))
+    bounds = range_bounds(vt, "value")
+    tot = bucketed_cum_sum(
+        vt.groupBy("value").agg(F.sum("cnt").cast("long").alias("c")),
+        "value",
+        "c",
+        bounds=bounds,
+        inclusive=True,
+        out_col="cum_all",
     )
     types = ev.select("event_type").distinct()
     n = tot.agg(F.sum("c").cast("long").alias("n_total"))
@@ -601,12 +630,15 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cnt", F.lit(0)).alias("cnt0"),
         )
     )
-    w_t = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = bucketed_cum_sum(
+        grid,
+        "value",
+        "cnt0",
+        bounds=bounds,
+        partition_cols=["event_type"],
+        inclusive=True,
+        out_col="cum_t",
     )
-    cums = grid.withColumn("cum_t", F.sum("cnt0").over(w_t).cast("long"))
     nt = vt.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n_t"))
     num = F.abs(
         F.col("cum_t") * (F.col("n_total") - F.col("n_t"))
@@ -621,11 +653,16 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_t",
             (F.col("n_total") - F.col("n_t")).alias("n_rest"),
             "max_num",
-            (
+            F.when(
+                F.col("n_t") * (F.col("n_total") - F.col("n_t")) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
                 F.col("max_num").cast("double")
                 / (F.col("n_t") * (F.col("n_total") - F.col("n_t")))
                 .cast("double")
-            ).alias("d_stat"),
+            )
+            .alias("d_stat"),
         )
     )
 
@@ -635,10 +672,14 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pearson on CENTERED doubled midranks: with ties, avg rank = rank +
 # (cnt-1)/2, so 2*avgrank = 2*rank + cnt - 1 is an integer, and
 # centering by its exact mean (n+1) makes both sums zero — so
-# rho = sum(x'y') / (sqrt(sum x'^2) * sqrt(sum y'^2)) with every sum a
-# BIGINT (|x'| <= 2n => sums <= 4n^3, safe past 100M rows; wider
-# corpora widen to DECIMAL(38)) and exactly two pinned sqrts + one
-# division at the end.
+# rho = sum(x'y') / (sqrt(sum x'^2) * sqrt(sum y'^2)) with exactly two
+# pinned sqrts + one division at the end.  |x'| <= 2n means the moment
+# sums reach 4n^3, which overflows BIGINT already at n ~ 1.3e6 rows —
+# so the products and sums run in DECIMAL(38,0) (exact to n ~ 2.9e12;
+# the decimal/HUGEINT shape of dedup's checksum ranges).  The
+# diagnostic sxy/sxx/syy output columns stay BIGINT via TRY_CAST
+# (exact at any n where they fit, honest NULL — never a silent wrap —
+# beyond); rho itself is computed from the decimals and stays exact.
 
 _SPEARMAN_SQL = """
 WITH ev AS (
@@ -654,18 +695,24 @@ WITH ev AS (
          + COUNT(*) OVER (PARTITION BY ts) - 1 AS BIGINT) AS my
   FROM ev
 ), c AS (
-  SELECT mx - (n.n_total + 1) AS x, my - (n.n_total + 1) AS y
+  SELECT CAST(mx - (n.n_total + 1) AS DECIMAL(19,0)) AS x,
+         CAST(my - (n.n_total + 1) AS DECIMAL(19,0)) AS y
   FROM r CROSS JOIN n
+), m AS (
+  SELECT CAST(SUM(x * y) AS DECIMAL(38,0)) AS dxy,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS dxx,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS dyy
+  FROM c
 )
 SELECT (SELECT n_total FROM n) AS n,
-       CAST(SUM(x * y) AS BIGINT) AS sxy,
-       CAST(SUM(x * x) AS BIGINT) AS sxx,
-       CAST(SUM(y * y) AS BIGINT) AS syy,
-       CASE WHEN SUM(x * x) = 0 OR SUM(y * y) = 0 THEN 0.0
-            ELSE CAST(SUM(x * y) AS DOUBLE)
-                 / (sqrt(CAST(SUM(x * x) AS DOUBLE))
-                    * sqrt(CAST(SUM(y * y) AS DOUBLE))) END AS rho
-FROM c
+       TRY_CAST(dxy AS BIGINT) AS sxy,
+       TRY_CAST(dxx AS BIGINT) AS sxx,
+       TRY_CAST(dyy AS BIGINT) AS syy,
+       CASE WHEN dxx = 0 OR dyy = 0 THEN 0.0
+            ELSE CAST(dxy AS DOUBLE)
+                 / (sqrt(CAST(dxx AS DOUBLE))
+                    * sqrt(CAST(dyy AS DOUBLE))) END AS rho
+FROM m
 """
 
 
@@ -673,8 +720,15 @@ FROM c
 def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Spearman correlation between event value and
     event time — "is spend drifting over the window" as a single
-    monotone-association number, exact integer moments under the
-    gate."""
+    monotone-association number, exact under the gate.
+
+    No row ever gets ranked through a window: every row with value v
+    shares the doubled midrank 2*cum_below(v) + cnt(v) + 1, so both
+    rank maps compress to their distinct supports, take the
+    distributed exclusive prefix sum of operators/ranks (hash
+    exchanges only — the two former unpartitioned rank windows are
+    gone), and join back to the rows by value/ts.  Moments run in
+    DECIMAL(38,0) (see the identity note above)."""
     ev = (
         ensure_parallelism(read_table(spark, sf_dir, "events"))
         .filter(
@@ -685,38 +739,49 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value", "ts")
     )
     n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    mx = (
-        2 * F.rank().over(Window.orderBy("value"))
-        + F.count(F.lit(1)).over(Window.partitionBy("value"))
-        - 1
-    ).cast("long")
-    my = (
-        2 * F.rank().over(Window.orderBy("ts"))
-        + F.count(F.lit(1)).over(Window.partitionBy("ts"))
-        - 1
-    ).cast("long")
-    r = ev.select(mx.alias("mx"), my.alias("my"))
+
+    def doubled_midranks(key: str, out: str) -> DataFrame:
+        sup = ev.groupBy(key).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        sup = bucketed_cum_sum(
+            sup, key, "cnt", bounds=range_bounds(sup, key)
+        )
+        return sup.select(
+            key,
+            (2 * F.col("cum_below") + F.col("cnt") + 1)
+            .cast("long")
+            .alias(out),
+        )
+
+    r = ev.join(doubled_midranks("value", "mx"), "value").join(
+        doubled_midranks("ts", "my"), "ts"
+    )
+    dec = "decimal(19,0)"
     c = r.crossJoin(F.broadcast(n)).select(
-        (F.col("mx") - (F.col("n_total") + 1)).alias("x"),
-        (F.col("my") - (F.col("n_total") + 1)).alias("y"),
+        (F.col("mx") - (F.col("n_total") + 1)).cast(dec).alias("x"),
+        (F.col("my") - (F.col("n_total") + 1)).cast(dec).alias("y"),
         "n_total",
     )
     agg = c.agg(
         F.max("n_total").alias("n"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("dxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("dxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("dyy"),
     )
     return agg.select(
-        "n", "sxy", "sxx", "syy",
+        "n",
+        F.expr("try_cast(dxy AS bigint)").alias("sxy"),
+        F.expr("try_cast(dxx AS bigint)").alias("sxx"),
+        F.expr("try_cast(dyy AS bigint)").alias("syy"),
         F.when(
-            (F.col("sxx") == 0) | (F.col("syy") == 0), F.lit(0.0)
+            (F.col("dxx") == 0) | (F.col("dyy") == 0), F.lit(0.0)
         )
         .otherwise(
-            F.col("sxy").cast("double")
+            F.col("dxy").cast("double")
             / (
-                F.sqrt(F.col("sxx").cast("double"))
-                * F.sqrt(F.col("syy").cast("double"))
+                F.sqrt(F.col("dxx").cast("double"))
+                * F.sqrt(F.col("dyy").cast("double"))
             )
         )
         .alias("rho"),

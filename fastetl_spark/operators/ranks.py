@@ -1,0 +1,168 @@
+"""Distributed exact cumulative counts / ranks — no single-partition sort.
+
+``Window.orderBy(key)`` with no partition key funnels every row through
+ONE task: the textbook scale-killer the shuffle audit flags as
+``Exchange SinglePartition``.  This module provides the exact
+replacement used by the rank-statistic tier (AUC, KS, Spearman,
+calibration): a bucketed two-level prefix sum.
+
+    1. *Distinct-value compression* happens upstream: callers pass one
+       row per (partition, key) with a count — cumulative counts over
+       the compressed support equal ranks over raw rows.
+    2. ``range_bounds`` collects approximate equi-depth split points to
+       the driver as LITERAL floats (one bounded job, < num_buckets
+       values).  Split points only steer load balance: the prefix sum
+       below is exact for ANY monotone bucketing, and embedding the
+       values as literals makes every downstream plan deterministic
+       (no sketch-recompute hazard between the offset job and the
+       final job).
+    3. ``bucketed_cum_sum`` assigns each key its bucket, collects the
+       per-(group, bucket) totals to the driver (bounded by
+       |groups| * num_buckets rows — the same bounded-collect pattern
+       as ann_index.py:129), turns them into exclusive running
+       offsets, broadcast-joins the offsets back, and finishes with a
+       window partitioned BY BUCKET.  Every stage is a hash exchange;
+       no Exchange SinglePartition anywhere.
+
+Equivalence (asserted bit-for-bit by tests/test_ranks.py): for unique
+(group, key) rows, ``offset(bucket) + within-bucket prefix`` equals the
+global ``Window.partitionBy(group).orderBy(key)`` prefix sum, because
+bucketing is monotone in key (key1 <= key2 implies bkt1 <= bkt2).
+
+At 100 TB: the support frame shuffles by bucket hash (balanced by the
+equi-depth split points), each bucket sorts locally, the offset table
+is a broadcast of at most |groups| * num_buckets longs.  Wall-clock is
+two jobs over the compressed support plus the caller's final job.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+_BKT = "__rank_bkt"
+_OFF = "__rank_off"
+
+
+def _as_double(key: Column, dtype) -> Column:
+    """Monotone numeric image of ``key`` for bucketing.  Timestamps map
+    through tz-free calendar arithmetic (epoch day * 86400 + h/m/s) —
+    NOT a session-timezone cast, which is non-monotone across DST
+    backward transitions.  Sub-second truncation is fine: the mapping
+    only has to be monotone, equal images just share a bucket."""
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return (
+            F.unix_date(key.cast("date")).cast("double") * 86400.0
+            + F.hour(key) * 3600
+            + F.minute(key) * 60
+            + F.second(key)
+        )
+    if isinstance(dtype, DateType):
+        return F.unix_date(key).cast("double")
+    return key.cast("double")
+
+
+def range_bounds(
+    g: DataFrame, key_col: str, num_buckets: int = 64
+) -> list[float]:
+    """Approximate equi-depth split points for ``key_col``, returned as
+    a sorted list of literal floats (one bounded job).
+
+    Exactness of downstream prefix sums does NOT depend on these values
+    — any monotone bucketing works — so percentile_approx error only
+    affects balance."""
+    if num_buckets < 2:
+        return []
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
+    row = g.agg(F.percentile_approx(kd, qs, 10000).alias("b")).head()
+    vals = (row["b"] if row is not None else None) or []
+    return sorted({float(v) for v in vals if v is not None})
+
+
+def bucket_of(key: Column, bounds: list[float]) -> Column:
+    """Monotone bucket id of a NUMERIC ``key`` given literal split
+    points: bucket = #{b in bounds : key > b}.  Ties at a split point
+    land in the lower bucket; equal keys always share a bucket."""
+    if not bounds:
+        return F.lit(0)
+    kd = key.cast("double")
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(kd > b, 1).otherwise(0),
+    )
+
+
+def bucketed_cum_sum(
+    g: DataFrame,
+    key_col: str,
+    cnt_col: str,
+    *,
+    bounds: list[float],
+    partition_cols: tuple[str, ...] | list[str] = (),
+    inclusive: bool = False,
+    out_col: str = "cum_below",
+) -> DataFrame:
+    """``g`` + ``out_col`` = prefix sum of ``cnt_col`` in ``key_col``
+    order (per ``partition_cols`` group) with no single-partition stage.
+
+    Requirements: one row per (partition_cols, key_col) — compress with
+    a groupBy first — and |distinct partition_cols| bounded (the offset
+    collect is |groups| * buckets rows).  ``inclusive=False`` gives the
+    exclusive prefix (rows strictly below), ``True`` includes the
+    current key.  Runs one bounded driver job eagerly (the offset
+    totals); the returned frame is lazy."""
+    spark = g.sparkSession
+    pc = list(partition_cols)
+    kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
+    gb = g.withColumn(_BKT, bucket_of(kd, bounds).cast("int"))
+    totals = (
+        gb.groupBy(*pc, _BKT)
+        .agg(F.sum(cnt_col).cast("long").alias("t"))
+        .collect()
+    )
+    per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
+    for r in totals:
+        per_group[tuple(r[c] for c in pc)].append((r[_BKT], r["t"]))
+    rows = []
+    for grp, lst in per_group.items():
+        running = 0
+        for bkt, tot in sorted(lst):
+            rows.append((*grp, bkt, running))
+            running += tot
+    schema = StructType(
+        [
+            *(StructField(c, g.schema[c].dataType) for c in pc),
+            StructField(_BKT, IntegerType(), False),
+            StructField(_OFF, LongType(), False),
+        ]
+    )
+    off = F.broadcast(spark.createDataFrame(rows, schema))
+    w = (
+        Window.partitionBy(*pc, _BKT)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    return (
+        gb.join(off, pc + [_BKT])
+        .withColumn(
+            out_col,
+            (
+                F.col(_OFF) + F.coalesce(F.sum(cnt_col).over(w), F.lit(0))
+            ).cast("long"),
+        )
+        .drop(_BKT, _OFF)
+    )
