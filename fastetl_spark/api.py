@@ -1149,6 +1149,47 @@ class Engine:
             pairs, nodes=nodes, a_col=a_col, b_col=b_col, id_col=id_col
         )
 
+    def auc_report(self, df: DataFrame, label_col: str, score_col: str,
+                   binned: bool = False,
+                   num_bins: int = 16384) -> DataFrame:
+        """One-vs-rest AUC per label (operators/evaluation.auc_by_class,
+        gated by `auc_score_eval`): exact Mann-Whitney pair counts via
+        the distributed rank primitive — no single-partition sort, no
+        pairwise join.  The exact path's support frames scale with
+        |distinct scores|; for CONTINUOUS scores at 100 TB pass
+        ``binned=True`` (fixed-width bins, every frame bounded at
+        ``num_bins`` rows per label; within-bin distinct scores count
+        as ties, and binned == exact bit-for-bit whenever the bins
+        cover the distinct values — equality-tested).  Runs 2-3 bounded
+        eager jobs at call time (split points + bucket offsets)."""
+        from fastetl_spark.operators.evaluation import auc_binned, auc_by_class
+
+        if binned:
+            return auc_binned(df, label_col, score_col, num_bins=num_bins)
+        return auc_by_class(df, label_col, score_col)
+
+    def ks_report(self, df: DataFrame, label_col: str, value_col: str,
+                  binned: bool = False, num_bins: int = 16384) -> DataFrame:
+        """Two-sample KS per label vs rest (operators/evaluation.
+        ks_from_counts, gated by `ks_two_sample`): exact D over the
+        merged value support via the distributed rank primitive.  For
+        CONTINUOUS values at 100 TB pass ``binned=True`` — the merged
+        support is bounded at ``num_bins`` rows and the binned D
+        lower-bounds the exact D by at most the largest within-bin CDF
+        movement (exact when the bins cover the distinct values —
+        equality-tested)."""
+        from fastetl_spark.operators.evaluation import ks_binned, ks_from_counts
+
+        base = df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(value_col)
+        )
+        if binned:
+            return ks_binned(base, label_col, value_col, num_bins=num_bins)
+        vt = base.groupBy(label_col, value_col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        return ks_from_counts(vt, label_col, value_col)
+
 
 # --- operator-shaped wrappers (reference operator parity) ----------------
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
@@ -591,66 +591,57 @@ GROUP BY c.event_type, nt.n_t, n.n_total
 """
 
 
-@query("ks_two_sample", _KS_SQL)
-def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample KS statistic of each event_type's value
-    distribution against the rest of the corpus: the strongest
-    "did the distribution move" screen, no binning required.  The
-    type x merged-support grid is k x |distinct values| rows; both
-    cumulative counts run through the bucketed distributed prefix sum
-    of operators/ranks sharing one set of split points (hash exchanges
-    only — no single-partition stage, and no per-type window funneling
-    a whole type through one task).  For continuous values where
-    distinct ~ rows, ``ks_binned`` bounds the support.  A degenerate
-    type covering the whole frame emits NULL d_stat, not 0/0 = NaN."""
-    ev = (
-        ensure_parallelism(read_table(spark, sf_dir, "events"))
-        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
-        .select("event_type", "value")
-    )
-    vt = ev.groupBy("event_type", "value").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    bounds = range_bounds(vt, "value")
+def ks_from_counts(
+    vt: DataFrame, label_col: str, value_col: str
+) -> DataFrame:
+    """The KS tail on pre-aggregated (label, value, cnt) counts —
+    shared by the exact gated query (value = the raw support) and
+    ``ks_binned`` (value = a fixed-width bin id).  Both cumulative
+    counts run through the bucketed distributed prefix sum of
+    operators/ranks sharing one set of split points (hash exchanges
+    only — no single-partition stage, and no per-label window
+    funneling a whole label through one task).  A degenerate label
+    covering the whole frame emits NULL d_stat, not 0/0 = NaN."""
+    bounds = range_bounds(vt, value_col)
     tot = bucketed_cum_sum(
-        vt.groupBy("value").agg(F.sum("cnt").cast("long").alias("c")),
-        "value",
+        vt.groupBy(value_col).agg(F.sum("cnt").cast("long").alias("c")),
+        value_col,
         "c",
         bounds=bounds,
         inclusive=True,
         out_col="cum_all",
     )
-    types = ev.select("event_type").distinct()
+    types = vt.select(label_col).distinct()
     n = tot.agg(F.sum("c").cast("long").alias("n_total"))
     grid = (
-        types.crossJoin(tot.select("value", "cum_all"))
-        .join(vt, ["event_type", "value"], "left")
+        types.crossJoin(tot.select(value_col, "cum_all"))
+        .join(vt, [label_col, value_col], "left")
         .select(
-            "event_type", "value", "cum_all",
+            label_col, value_col, "cum_all",
             F.coalesce("cnt", F.lit(0)).alias("cnt0"),
         )
     )
     cums = bucketed_cum_sum(
         grid,
-        "value",
+        value_col,
         "cnt0",
         bounds=bounds,
-        partition_cols=["event_type"],
+        partition_cols=[label_col],
         inclusive=True,
         out_col="cum_t",
     )
-    nt = vt.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n_t"))
+    nt = vt.groupBy(label_col).agg(F.sum("cnt").cast("long").alias("n_t"))
     num = F.abs(
         F.col("cum_t") * (F.col("n_total") - F.col("n_t"))
         - (F.col("cum_all") - F.col("cum_t")) * F.col("n_t")
     )
     return (
-        cums.join(F.broadcast(nt), "event_type")
+        cums.join(F.broadcast(nt), label_col)
         .crossJoin(F.broadcast(n))
-        .groupBy("event_type", "n_t", "n_total")
+        .groupBy(label_col, "n_t", "n_total")
         .agg(F.max(num).cast("long").alias("max_num"))
         .select(
-            "event_type", "n_t",
+            label_col, "n_t",
             (F.col("n_total") - F.col("n_t")).alias("n_rest"),
             "max_num",
             F.when(
@@ -665,6 +656,100 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d_stat"),
         )
     )
+
+
+@query("ks_two_sample", _KS_SQL)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic of each event_type's value
+    distribution against the rest of the corpus: the strongest
+    "did the distribution move" screen, no binning required.  The
+    label x merged-support grid is k x |distinct values| rows; for
+    continuous values where distinct ~ rows, ``ks_binned`` bounds the
+    support (exact whenever the bins cover the distinct values)."""
+    ev = (
+        ensure_parallelism(read_table(spark, sf_dir, "events"))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", "value")
+    )
+    vt = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return ks_from_counts(vt, "event_type", "value")
+
+
+# --- binned scale variants of AUC / KS --------------------------------------
+
+# For continuous score columns, distinct values ~ rows and the
+# rank-support frames above grow with the corpus.  The binned variants
+# quantize the score to a fixed-width integer bin FIRST, bounding every
+# downstream frame at num_bins rows per label.  Both statistics are
+# invariant under monotone relabeling of the support, so the ONLY
+# approximation is within-bin ties: when every distinct value lands in
+# its own bin ("the bins cover the distinct values"), binned == exact
+# bit-for-bit (equality-tested in tests/test_evaluation.py).  This is
+# the same exact-when-covering contract as the quantile sketch tier
+# (operators/quantiles.covering_accuracy_for).
+
+
+def fixed_width_bin(
+    ev: DataFrame, score_col: str, num_bins: int
+) -> Column:
+    """Monotone fixed-width bin id for ``score_col`` in [0, num_bins):
+    one eager min/max job whose results are embedded as LITERALS (so
+    downstream plans are deterministic — the range_bounds pattern).
+    Callers pre-filter NULL/NaN."""
+    row = ev.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    ).head()
+    lo = row["lo"] if row is not None else None
+    hi = row["hi"] if row is not None else None
+    if lo is None or hi is None or hi == lo:
+        return F.lit(0)
+    width = (float(hi) - float(lo)) / num_bins
+    return F.least(
+        F.lit(num_bins - 1),
+        F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(width)).cast(
+            "int"
+        ),
+    )
+
+
+def auc_binned(
+    ev: DataFrame, label_col: str, score_col: str, num_bins: int = 16384
+) -> DataFrame:
+    """One-vs-rest AUC on fixed-width score bins — the 100 TB path for
+    continuous scores: the support frame is <= num_bins rows however
+    large the corpus.  Within-bin distinct scores count as ties
+    (AUC error <= within-bin pair mass / 2); exact when the bins cover
+    the distinct values."""
+    ev = ev.filter(F.col(score_col).isNotNull() & ~F.isnan(score_col))
+    vt = (
+        ev.select(
+            label_col, fixed_width_bin(ev, score_col, num_bins).alias("__bin")
+        )
+        .groupBy(label_col, "__bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return auc_from_score_counts(vt, label_col, "__bin")
+
+
+def ks_binned(
+    ev: DataFrame, label_col: str, value_col: str, num_bins: int = 16384
+) -> DataFrame:
+    """Two-sample KS on fixed-width value bins — the 100 TB path for
+    continuous values: the merged support is <= num_bins rows.  The
+    binned D is evaluated only at bin boundaries, so it LOWER-bounds
+    the exact D (by at most the largest within-bin CDF movement);
+    exact when the bins cover the distinct values."""
+    ev = ev.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
+    vt = (
+        ev.select(
+            label_col, fixed_width_bin(ev, value_col, num_bins).alias("__bin")
+        )
+        .groupBy(label_col, "__bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return ks_from_counts(vt, label_col, "__bin")
 
 
 # --- Spearman rank correlation ----------------------------------------------

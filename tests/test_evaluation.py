@@ -39,3 +39,77 @@ def test_auc_perfect_separation(spark):
     rows = {r["cls"]: r for r in auc_by_class(df, "cls", "score").collect()}
     assert rows["hi"]["auc"] == 1.0
     assert rows["lo"]["auc"] == 0.0
+
+
+def _lattice_df(spark):
+    # integer-lattice scores: every distinct value gets its own bin at
+    # num_bins=16, so binned MUST equal exact bit-for-bit
+    rows = [("p", float(i % 10)) for i in range(40)] + [
+        ("n", float((i * 7) % 10)) for i in range(25)
+    ]
+    return spark.createDataFrame(rows, "cls string, score double")
+
+
+def test_auc_binned_equals_exact_when_bins_cover(spark):
+    from fastetl_spark.operators.evaluation import auc_binned
+
+    df = _lattice_df(spark)
+    exact = {r["cls"]: r for r in auc_by_class(df, "cls", "score").collect()}
+    binned = {
+        r["cls"]: r
+        for r in auc_binned(df, "cls", "score", num_bins=16).collect()
+    }
+    for cls in exact:
+        assert binned[cls]["n_pos"] == exact[cls]["n_pos"]
+        assert binned[cls]["auc"] == exact[cls]["auc"]  # bit-equal
+
+
+def test_ks_binned_equals_exact_when_bins_cover(spark):
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+    df = _lattice_df(spark)
+    exact = {r["cls"]: r for r in eng.ks_report(df, "cls", "score").collect()}
+    binned = {
+        r["cls"]: r
+        for r in eng.ks_report(
+            df, "cls", "score", binned=True, num_bins=16
+        ).collect()
+    }
+    for cls in exact:
+        assert binned[cls]["n_t"] == exact[cls]["n_t"]
+        assert binned[cls]["max_num"] == exact[cls]["max_num"]
+        assert binned[cls]["d_stat"] == exact[cls]["d_stat"]  # bit-equal
+
+
+def test_ks_binned_lower_bounds_exact(spark):
+    # coarse bins merge support points: binned D can only shrink
+    from fastetl_spark.api import Engine
+
+    eng = Engine(spark)
+    df = _lattice_df(spark)
+    exact = {r["cls"]: r["d_stat"] for r in eng.ks_report(df, "cls", "score").collect()}
+    coarse = {
+        r["cls"]: r["d_stat"]
+        for r in eng.ks_report(df, "cls", "score", binned=True, num_bins=3).collect()
+    }
+    for cls in exact:
+        assert coarse[cls] <= exact[cls] + 1e-12
+
+
+def test_auc_report_facade_routes_exact(spark):
+    from fastetl_spark.api import Engine
+
+    df = _lattice_df(spark)
+    a = {r["cls"]: r["auc"] for r in Engine(spark).auc_report(df, "cls", "score").collect()}
+    b = {r["cls"]: r["auc"] for r in auc_by_class(df, "cls", "score").collect()}
+    assert a == b
+
+
+def test_auc_degenerate_single_class_is_null(spark):
+    # one label covering the whole frame: n_neg == 0 -> NULL, not NaN
+    df = spark.createDataFrame(
+        [("only", 1.0), ("only", 2.0)], "cls string, score double"
+    )
+    rows = auc_by_class(df, "cls", "score").collect()
+    assert rows[0]["n_neg"] == 0 and rows[0]["auc"] is None
