@@ -1181,34 +1181,71 @@ def scc_functional_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dag_longest_levels(nodes: DataFrame, edges: DataFrame,
                        rounds: int) -> DataFrame:
     """Longest-path-from-source level per node of a DAG via monotone
-    max-plus relaxation: lv(v) <- max(lv(v), max over u->v of lv(u)+1),
-    iterated ``rounds`` times (caller supplies a provable bound on the
-    longest path).  Returns (node, level)."""
+    max-plus relaxation: lv(v) <- max(lv(v), max over u->v of lv(u)+1)
+    until fixpoint (at most ``rounds`` rounds — the caller supplies a
+    provable bound on the longest path).  Returns (node, level).
+
+    Work-list Bellman-Ford: after round t only nodes whose level
+    CHANGED in round t can improve a successor, so each round joins
+    the edge frame against the changed FRONTIER only — late rounds
+    touch a vanishing fraction of the edges instead of re-relaxing
+    all of them (the classic frontier optimization; round count is
+    unchanged, per-round work shrinks with the frontier).  One
+    materialize per round: the level update left-joins the frontier's
+    relaxed candidates and carries a ``changed`` flag, whose count
+    rides the action via observe() — the next frontier is a filter on
+    the already-materialized result, not a recompute.
+
+    Raises ``RuntimeError`` if ``rounds`` is exhausted while the
+    frontier is still non-empty (mirroring two_phase_star_cc): a
+    too-small bound must fail loudly, not return short levels."""
     lv = nodes.select("node", F.lit(0).cast("long").alias("lv"))
-    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    prev_sum: int | None = None
+    # materialize the edge frame ONCE: every round joins it, and an
+    # unmaterialized plan would re-derive it (scans and all) per round
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).transform(
+        materialize
+    )
+    frontier = lv
+    pending: int | None = None
     for _ in range(rounds):
-        # one shuffle per round: current levels UNION relaxed
-        # contributions, folded by a single max-groupBy (map-side
-        # combined) — the join+groupBy+join form pays two.  sum(lv) is
-        # strictly monotone until the fixpoint, so it doubles as the
-        # convergence probe, riding the materialize action via
-        # observe() (no extra job per round — the kcore pattern).
-        contrib = lv.join(e, lv["node"] == e["u"]).select(
-            F.col("v").alias("node"), (F.col("lv") + 1).alias("lv")
+        # ONE exchange per round, same as the full-relaxation form, but
+        # the union carries only the FRONTIER's contributions: base
+        # levels tagged __base ride along so max(lv) vs max(base lv)
+        # yields both the update and the changed flag in one groupBy.
+        contrib = frontier.join(e, frontier["node"] == e["u"]).select(
+            F.col("v").alias("node"),
+            (F.col("lv") + 1).alias("lv"),
+            F.lit(False).alias("__base"),
         )
+        changed = F.col("lv") > F.coalesce("__old", F.lit(-1))
         obs = Observation()
-        lv = (
-            lv.unionAll(contrib)
+        upd = (
+            lv.select("node", "lv", F.lit(True).alias("__base"))
+            .unionAll(contrib)
             .groupBy("node")
-            .agg(F.max("lv").cast("long").alias("lv"))
-            .observe(obs, F.sum("lv").alias("s"))
+            .agg(
+                F.max("lv").cast("long").alias("lv"),
+                F.max(F.when(F.col("__base"), F.col("lv")))
+                .cast("long")
+                .alias("__old"),
+            )
+            .observe(
+                obs,
+                F.sum(F.when(changed, 1).otherwise(0)).alias("c"),
+            )
             .transform(materialize)
         )
-        cur = obs.get["s"]
-        if cur == prev_sum:
+        lv = upd.select("node", "lv")
+        pending = int(obs.get["c"] or 0)
+        if pending == 0:
             break
-        prev_sum = cur
+        frontier = upd.filter(changed).select("node", "lv")
+    if pending:
+        raise RuntimeError(
+            f"dag_longest_levels: frontier still has {pending} improving"
+            f" node(s) after {rounds} rounds — the bound is below the"
+            " longest path (graph may not be the promised DAG family)"
+        )
     return lv.select("node", F.col("lv").alias("level"))
 
 

@@ -102,3 +102,25 @@ def test_two_phase_star_cc_raises_when_unconverged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         two_phase_star_cc(edges, max_rounds=1)
+
+
+def test_dag_longest_levels_raises_on_short_bound(spark):
+    # a 4-hop chain cannot converge in 2 rounds: must fail loudly
+    # instead of returning short levels (the r10 ADVICE finding)
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="frontier still has"):
+        dag_longest_levels(nodes, edges, rounds=2)
+
+
+def test_dag_longest_levels_frontier_converges_early(spark):
+    # generous bound: converges by empty frontier, extra rounds unused
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "node long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    rows = {r["node"]: r["level"]
+            for r in dag_longest_levels(nodes, edges, rounds=50).collect()}
+    assert rows == {0: 0, 1: 1, 2: 2}

@@ -8,7 +8,12 @@ Runs, in order, and prints a one-page PASS/FAIL summary:
                                    semantics that only diverge at scale,
                                    e.g. DuckDB date_diff boundary counting,
                                    have historically surfaced ONLY here)
-  4. bench at sf0.1               (wall + scaling guards; detail JSON)
+  4. shuffle audit --check        (regenerates SHUFFLES.md; FAILS on any
+                                   sort-class Exchange SinglePartition not
+                                   on the explicit allowlist — the round-10
+                                   lesson: global sort windows must not
+                                   sail through the gate)
+  5. bench at sf0.1               (wall + scaling guards; detail JSON)
 
 Usage: python tools/release_gate.py [--skip-tests] [--skip-bench]
 Exit code 0 iff every stage passed.
@@ -56,6 +61,13 @@ def main() -> int:
             2400,
         )
         stages.append((f"oracle sweep sf{sf}", ok, wall, tail))
+
+    ok, wall, tail = run(
+        "shuffle audit",
+        [sys.executable, "tools/shuffle_audit.py", "--check"],
+        2400,
+    )
+    stages.append(("shuffle audit", ok, wall, tail))
 
     if not skip_bench:
         ok, wall, tail = run("bench", [sys.executable, "bench.py"], 1800)
