@@ -2296,6 +2296,12 @@ _FD_CANDIDATES = [
     ("event_type", "user_id"),
 ]
 
+# NULL semantics are PINNED by an explicit both-sides-present filter:
+# without it Spark's countDistinct(lhs, rhs) drops rows where EITHER
+# column is NULL while DuckDB's COUNT(DISTINCT (lhs, rhs)) keeps a
+# row-struct with a NULL field — a cross-engine divergence that the
+# NULL-free fixture would mask (r10 ADVICE).  An FD is therefore
+# evaluated over rows where both sides are present, by definition.
 _FD_SQL = " UNION ALL ".join(
     f"""
 SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
@@ -2304,7 +2310,8 @@ SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
        CAST(COUNT(DISTINCT ({lhs}, {rhs})) - COUNT(DISTINCT {lhs}) AS BIGINT)
          AS extra_mappings,
        COUNT(DISTINCT ({lhs}, {rhs})) = COUNT(DISTINCT {lhs}) AS holds
-FROM events"""
+FROM events
+WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL"""
     for lhs, rhs in _FD_CANDIDATES
 )
 
@@ -2318,9 +2325,18 @@ def functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     the gated HLL sketches first, with the exact pass reserved for
     survivors."""
     ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    return fd_profile(ev, _FD_CANDIDATES)
+
+
+def fd_profile(
+    df: DataFrame, candidates: list[tuple[str, str]]
+) -> DataFrame:
+    """FD check lhs -> rhs per candidate pair, evaluated over rows
+    where BOTH columns are non-NULL (pinned — see _FD_SQL note)."""
     out = None
-    for lhs, rhs in _FD_CANDIDATES:
-        row = ev.agg(
+    for lhs, rhs in candidates:
+        base = df.filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
+        row = base.agg(
             F.countDistinct(lhs).cast("long").alias("n_lhs"),
             F.countDistinct(lhs, rhs).cast("long").alias("n_pairs"),
         ).select(

@@ -350,3 +350,43 @@ def test_spc_flags_synthetic_spike(spark):
         .collect()
     }
     assert flagged == {10}  # only the spike day
+
+
+def test_fd_profile_null_semantics_pinned(spark):
+    # r10 ADVICE: a NULL on either side must not count as a mapping —
+    # Spark countDistinct and DuckDB struct-DISTINCT disagree there, so
+    # the operator filters both-present rows explicitly.  a=1 maps only
+    # to 'x' among complete rows: the FD HOLDS despite the NULL rows.
+    from fastetl_spark.operators.analytics import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, None), (None, "y"), (2, None)],
+        "a int, b string",
+    )
+    rows = {(r["lhs"], r["rhs"]): r for r in fd_profile(df, [("a", "b")]).collect()}
+    r = rows[("a", "b")]
+    assert r["n_lhs"] == 1 and r["n_pairs"] == 1
+    assert r["holds"] is True and r["extra_mappings"] == 0
+
+
+def test_fd_profile_duckdb_agrees_on_nulls(spark):
+    # the SAME pinned filter in SQL: both engines now agree on a
+    # NULL-bearing frame (this was the latent divergence)
+    import duckdb
+
+    from fastetl_spark.operators.analytics import fd_profile
+
+    data = [(1, "x"), (1, "y"), (1, None), (None, "y"), (2, "z"), (2, "z")]
+    df = spark.createDataFrame(data, "a int, b string")
+    got = {
+        (r["lhs"], r["rhs"]): (r["n_lhs"], r["n_pairs"], r["holds"])
+        for r in fd_profile(df, [("a", "b")]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a int, b varchar)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", data)
+    n_lhs, n_pairs = con.execute(
+        "SELECT COUNT(DISTINCT a), COUNT(DISTINCT (a, b)) FROM t"
+        " WHERE a IS NOT NULL AND b IS NOT NULL"
+    ).fetchone()
+    assert got[("a", "b")] == (n_lhs, n_pairs, n_lhs == n_pairs)
