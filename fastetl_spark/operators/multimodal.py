@@ -842,14 +842,98 @@ def image_dims_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate proves the parse. With wav_header_parse this completes
     the decode-free typed-metadata tier of the multimodal pillar."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
-    media = d.select(
+    return image_dims_info(image_fixture_media(d))
+
+
+def image_fixture_media(d: DataFrame) -> DataFrame:
+    """The synthetic image-header fixture frame (doc_id, payload) the
+    gated query and the deep-header twin's equality test share."""
+    return d.select(
         "doc_id",
         F.concat(
             F.unhex(F.expr(_img_payload_hex())),
             F.encode("text", "UTF-8"),
         ).alias("payload"),
     )
-    return image_dims_info(media)
+
+
+def _parse_image_dims_py(payload) -> tuple[str, int | None, int | None]:
+    """Python mirror of image_dims_info's header parse with an
+    UNBOUNDED JPEG marker walk — same signatures, same priority order,
+    same honest-NULL semantics for dead walks, but SOF markers at any
+    depth are reachable (real EXIF-laden phone JPEGs routinely carry
+    more metadata segments than _JPEG_HOPS / deeper than
+    _IMG_PREFIX)."""
+    if payload is None:
+        return ("unknown", None, None)
+    b = bytes(payload)
+    n = len(b)
+    if (
+        n >= 24
+        and b[:8] == b"\x89PNG\r\n\x1a\x0a"
+        and b[12:16] == b"IHDR"
+    ):
+        return (
+            "image/png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if n >= 4 and b[:3] == b"\xff\xd8\xff":
+        o = 2
+        while o + 9 <= n and b[o] == 0xFF:
+            if b[o + 1] in (0xC0, 0xC2):  # SOF0 / SOF2
+                return (
+                    "image/jpeg",
+                    int.from_bytes(b[o + 7 : o + 9], "big"),
+                    int.from_bytes(b[o + 5 : o + 7], "big"),
+                )
+            o = o + 2 + int.from_bytes(b[o + 2 : o + 4], "big")
+        return ("image/jpeg", None, None)
+    if n >= 10 and b[:6] in (b"GIF89a", b"GIF87a"):
+        return (
+            "image/gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    return ("unknown", None, None)
+
+
+IMG_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_dims_pandas(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Deep-header Arrow twin of image_dims_info: the same PNG/GIF/JPEG
+    header parse over the raw bytes in a mapInPandas batch, with an
+    UNBOUNDED marker walk — the escape hatch for JPEGs whose SOF sits
+    past _JPEG_HOPS segments or _IMG_PREFIX bytes, where the gated JVM
+    twin reports honest NULL dims by design.  Equality-tested against
+    image_dims_info on the gated fixture (identical wherever the
+    bounded walk resolves dims; the deep walk additionally recovers
+    the buried-SOF arm).  One row out per payload, O(header) work per
+    row, payload bytes never become Spark rows."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                fmt, w, h = _parse_image_dims_py(payload)
+                rows.append((int(did), fmt, w, h))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMG_DIMS_SCHEMA.fields]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        parse, IMG_DIMS_SCHEMA
+    )
 
 
 # --- grouped-map applyInPandas (§2.11 plugin surface) ---------------------
@@ -1230,9 +1314,10 @@ def wav_sample_stats(
     groupBy — the same exchange profile as the byte profile.
 
     SCALE WARNING: this is the GATEABLE twin, not the production path.
-    The explode keeps the full hex payload string in every per-sample
-    row (O(n_samples x payload_len) intermediate — a 5 MB WAV is ~2.5M
-    rows each dragging a 10 MB string). At real audio sizes use
+    The explode keeps the hex'd header+data string (capped at
+    44 + data_bytes — trailing chunks are never hex'd) in every
+    per-sample row (O(n_samples x data_len) intermediate — a 5 MB WAV
+    is ~2.5M rows each dragging a 10 MB string). At real audio sizes use
     wav_sample_stats_pandas: the equality-tested Arrow twin decodes
     each payload with one numpy frombuffer pass and emits <=channels
     rows per doc — THE 100 TB plan, exactly as payload_byte_profile
@@ -1240,7 +1325,7 @@ def wav_sample_stats(
     info = wav_header_info(media, id_col=id_col, payload_col=payload_col)
     src = media.select(
         F.col(id_col).alias("doc_id"),
-        F.hex(payload_col).alias("__phx"),
+        F.col(payload_col).alias("__pay"),
         # bytes actually PRESENT after the header: a truncated upload
         # whose header still claims the full data size must not read
         # past the payload (phantom NULL samples) — clamp to the real
@@ -1262,12 +1347,28 @@ def wav_sample_stats(
     n_s = F.when(F.col("bits_per_sample") == 8, eff).otherwise(
         (eff / 2).cast("long")
     )
-    idx = src.withColumn("__ns", n_s).filter(F.col("__ns") > 0).select(
-        "doc_id",
-        "channels",
-        "bits_per_sample",
-        "__phx",
-        F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)).alias("i"),
+    # hex only header + effective data chunk (the r9 nit): trailing
+    # chunks/junk past 44 + data_bytes never reach the hex string —
+    # the same slice the Arrow twin takes with buf[44:44+ds]
+    idx = (
+        src.withColumn("__ns", n_s)
+        .filter(F.col("__ns") > 0)
+        .withColumn(
+            "__phx",
+            F.hex(
+                F.expr(
+                    "substring(__pay, 1,"
+                    " CAST(44 + least(data_bytes, __avail) AS INT))"
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "channels",
+            "bits_per_sample",
+            "__phx",
+            F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)).alias("i"),
+        )
     )
     # data chunk starts at byte 44 -> hex offset 88 (1-indexed substr)
     b8 = F.conv(F.expr("substring(__phx, 89 + i * 2, 2)"), 16, 10).cast("long")

@@ -234,3 +234,68 @@ def test_audio_qa_one_pass_twin_equals_jvm(spark, sf_dir):
                           audio_qa_report(media, arrow=True,
                                           dc_den=2).collect()))
     assert jvm == one_pass and len(jvm) > 0
+
+
+def test_image_dims_pandas_equals_jvm_twin_on_fixture(spark, sf_dir):
+    """Deep-header Arrow twin vs the gated bounded JVM walk on the
+    fixture: identical wherever the bounded walk resolves, and the
+    deep walk RECOVERS the buried-SOF arm (doc_id % 31 JPEGs, where
+    the JVM twin reports honest NULLs) with the fixture-stamped dims."""
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.multimodal import (
+        image_dims_info,
+        image_dims_pandas,
+        image_fixture_media,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    media = image_fixture_media(d)
+    jvm = {r["doc_id"]: r for r in image_dims_info(media).collect()}
+    deep = {r["doc_id"]: r for r in image_dims_pandas(media).collect()}
+    assert set(jvm) == set(deep)
+    buried = 0
+    for did, j in jvm.items():
+        p = deep[did]
+        assert p["format"] == j["format"], did
+        if j["width"] is not None:
+            assert (p["width"], p["height"]) == (j["width"], j["height"]), did
+        elif j["format"] == "image/jpeg" and did % 31 == 0:
+            buried += 1  # the deep walk must FIND the stamped dims
+            assert p["width"] == 16 + (did % 1280)
+            assert p["height"] == 16 + ((did * 7) % 720)
+    assert buried > 0  # the fixture plants this arm — prove it fired
+
+
+def test_image_dims_pandas_unbounded_walk_and_edges(spark):
+    from fastetl_spark.operators.multimodal import (
+        _JPEG_HOPS,
+        image_dims_pandas,
+    )
+
+    app0 = bytes.fromhex("FFE000104A46494600010100000100010000")
+
+    def com(n: int) -> bytes:
+        return b"\xff\xfe" + (2 + n).to_bytes(2, "big") + b"A" * n
+
+    def sof(h: int, w: int) -> bytes:
+        return (
+            bytes([0xFF, 0xC0, 0, 17, 8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes.fromhex("03011100021101031101")
+        )
+
+    rows = [
+        # SOF buried past the JVM hop bound AND past 512 bytes: the
+        # deep walk still finds it
+        (1, b"\xff\xd8" + app0 + com(200) * (2 * _JPEG_HOPS) + sof(9, 11)),
+        (2, b"\xff\xd8" + app0[:6]),          # truncated: NULL dims
+        (3, None),                             # NULL payload
+        (4, b"\x00junk"),                      # headerless
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_dims_pandas(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (11, 9)
+    assert got[2]["format"] == "image/jpeg" and got[2]["width"] is None
+    assert got[3]["format"] == "unknown" and got[3]["width"] is None
+    assert got[4]["format"] == "unknown"
