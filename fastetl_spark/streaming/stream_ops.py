@@ -1706,3 +1706,108 @@ def streaming_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(dest)
+
+
+# --- 21st gate: late data x stateful dedup COMPOSED --------------------------
+#
+# The lateness gate (18th) pins windowed aggregation under out-of-order
+# arrival; the dedup gate pins dropDuplicates state; this gate pins
+# their COMPOSITION — the classic silent-double-count worry: a
+# duplicate REDELIVERED after its original's dedup state was evicted
+# by the watermark.  Empirically pinned on this engine build (and
+# asserted by test_dedup_watermark_eviction_filter_complement): the
+# late-row filter of batch k drops event times <= max(batches <= k-2)
+# - delay, while end-of-batch-j eviction removes state <= max(batches
+# <= j-1) - delay.  filter(k) == eviction(end k-1) EXACTLY — both
+# boundaries inclusive — so a redelivered duplicate either (a) passes
+# the filter, in which case its original's state is still alive and it
+# is SUPPRESSED, or (b) is dropped by the filter.  A double-emit is
+# impossible; the oracle below leans on that invariant: every
+# (event_type, second) pair is emitted at most once, and a pair first
+# seen only in the late batch survives iff it beats the frozen filter
+# line.  The fixture redelivers every 5th slice-0/1 row inside the
+# late batch 2 (the at-least-once shape), alongside batch 2's own
+# too-old days (partially dropped) and newest tail (kept).
+
+_LDD_WM_DAYS = 15
+_LDD_REDELIVER_MOD = 5
+
+
+def _stream_late_dedup_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, date_trunc('second', ts) AS tss FROM events
+), base AS (
+  SELECT event_type, tss,
+         CASE WHEN tss >= TIMESTAMP '{_LATE_CUT_HI}'
+               AND tss < TIMESTAMP '{_LATE_CUT_TAIL}' THEN 0
+              WHEN tss >= TIMESTAMP '{_LATE_CUT_LO}'
+               AND tss < TIMESTAMP '{_LATE_CUT_HI}' THEN 1
+              ELSE 2 END AS b
+  FROM ev
+), wm AS (
+  SELECT MAX(tss) - INTERVAL {_LDD_WM_DAYS} DAYS AS w FROM base WHERE b = 0
+), pairs AS (
+  SELECT event_type, tss, MIN(b) AS bmin FROM base GROUP BY 1, 2
+), emitted AS (
+  SELECT p.event_type, p.tss FROM pairs p, wm
+  WHERE p.bmin < 2 OR p.tss > wm.w
+)
+SELECT CAST(date_trunc('day', tss) AS TIMESTAMP) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM emitted GROUP BY 1, 2
+"""
+
+
+@query("streaming_late_dedup", _stream_late_dedup_sql())
+def streaming_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates under a 15-day watermark fed out of order WITH
+    redelivered duplicates in the late batch: every 5th row of slices
+    0/1 arrives again in batch 2, after two watermark advances.  The
+    drained append stream must contain each (event_type, second) pair
+    at most ONCE — redelivered rows are suppressed by still-live state
+    (the filter/eviction complement), batch 2's too-old days fall to
+    the late filter, its newest tail is kept — and the per-day unique
+    counts hash-match the replay oracle."""
+    from fastetl_spark.io.readers import read_table
+
+    root = _scratch_root(sf_dir, "stream_late_dedup")
+    in_dir, ckpt = f"{root}/in", f"{root}/ckpt"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("tss"),
+        "event_id",
+    )
+    slice_no = (
+        F.when(
+            (F.col("tss") >= F.lit(_LATE_CUT_HI).cast("timestamp"))
+            & (F.col("tss") < F.lit(_LATE_CUT_TAIL).cast("timestamp")),
+            0,
+        )
+        .when(
+            (F.col("tss") >= F.lit(_LATE_CUT_LO).cast("timestamp"))
+            & (F.col("tss") < F.lit(_LATE_CUT_HI).cast("timestamp")),
+            1,
+        )
+        .otherwise(2)
+    )
+    base = ev.withColumn("b", slice_no)
+    redelivered = base.filter(
+        (F.col("b") < 2) & (F.col("event_id") % _LDD_REDELIVER_MOD == 0)
+    ).withColumn("b", F.lit(2))
+    staged = base.unionByName(redelivered).select("event_type", "tss", "b")
+    _stage_slices(staged, root, in_dir, F.col("b"))
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    dd = (
+        stream.withWatermark("tss", f"{_LDD_WM_DAYS} days")
+        .dropDuplicates(["event_type", "tss"])
+        .select("event_type", "tss")
+    )
+    drained = _drain_to_memory(dd, "st_ldd_", "append")
+    return drained.groupBy(
+        F.date_trunc("day", "tss").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_unique"))

@@ -395,3 +395,75 @@ def test_watermark_two_stage_lag_and_boundary(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped == 2
+
+
+def test_dedup_watermark_eviction_filter_complement(spark, tmp_path):
+    """Pin the dropDuplicates lateness contract the 21st gate's oracle
+    encodes (measured on this engine build): the late-row filter of
+    batch k drops event times <= max(batches <= k-2) - delay, and
+    end-of-batch-j state eviction removes times <= max(batches <= j-1)
+    - delay.  filter(k) == eviction(end k-1), both inclusive, so a
+    redelivered duplicate either passes the filter into still-live
+    state (suppressed) or is dropped by the filter — the silent
+    double-count is impossible.  The boundary sits EXACTLY on the
+    watermark (t == wm): dropped by the filter AND evicted from state,
+    the equality case where a one-sided convention would double-emit."""
+    import glob as _glob
+    import os
+    import shutil
+
+    root = str(tmp_path / "ddwm")
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    # delay 10s.  slice0 max=20 -> wm line = 10; E sits ON the line.
+    # slice1 advances max to 21.  slice2: dup E@10 (== line: filter
+    # MUST drop it; a double-emit here is the contract break), dup
+    # A@20 (> line: state alive, suppressed), first-seen G@10 (== line,
+    # dropped) and fresh H@30 (admitted).
+    slices = [
+        [("E", 10), ("A", 20)],
+        [("F", 21)],
+        [("E", 10), ("A", 20), ("G", 10), ("H", 30)],
+    ]
+    for i, rows in enumerate(slices):
+        df = spark.createDataFrame(rows, "k string, sec long").select(
+            "k", F.timestamp_seconds(F.col("sec") + 1704070000).alias("ts")
+        )
+        stage = f"{root}/s{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            _glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{in_dir}/slice_{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    dd = stream.withWatermark("ts", "10 seconds").dropDuplicates(["k", "ts"])
+    seen: list[tuple[int, str]] = []
+
+    def fb(bdf, bid):
+        seen.extend((int(bid), str(r["k"])) for r in bdf.collect())
+
+    q = (
+        dd.writeStream.foreachBatch(fb)
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from collections import Counter
+
+    emits = Counter(k for _, k in seen)
+    assert emits["E"] == 1  # boundary dup filtered, NOT double-emitted
+    assert emits["A"] == 1  # in-state dup suppressed
+    assert emits["G"] == 0  # first-seen at the boundary: dropped
+    assert emits["H"] == 1
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 2  # E@10 and G@10, both on the line
