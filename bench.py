@@ -105,6 +105,10 @@ HEADLINE = [
     "dag_longest_levels",
     "mutual_margin_pairs",
     "cc_two_phase_star",
+    # round 11: distributed-rank rank statistics + late-dedup composition
+    "spearman_rank_corr",
+    "ks_two_sample",
+    "streaming_late_dedup",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the

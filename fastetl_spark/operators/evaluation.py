@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.operators.dedup import normalize_text
-from fastetl_spark.operators.ranks import bucketed_cum_sum, range_bounds
+from fastetl_spark.operators.ranks import (
+    bucketed_cum_sum,
+    collect_bucket_totals,
+    drop_partition_level,
+    materialize_with_bounds,
+    totals_to_offsets,
+)
 from fastetl_spark.registry import query
 
 # --- exact AUC via the Mann-Whitney rank identity -------------------------
@@ -104,34 +110,75 @@ def auc_by_class(ev: DataFrame, label_col: str, score_col: str) -> DataFrame:
 
 
 def auc_from_score_counts(vt: DataFrame, label_col: str,
-                          score_col: str) -> DataFrame:
+                          score_col: str,
+                          small_support: bool = False) -> DataFrame:
     """The AUC tail on pre-aggregated (label, score, cnt) counts —
     split out so a streaming monitor maintaining the count state can
     compute the SAME statistic per micro-batch (stream/batch
     equivalence on the alert value, not just the counts).
 
-    Both cumulative counts run through the bucketed distributed prefix
-    sum (operators/ranks): the global cum over the score support AND
-    the per-label cum share one set of literal split points, so the
-    plan has hash exchanges only — the former global
-    ``Window.orderBy(score)`` single-partition stage is gone, and the
-    per-label windows no longer funnel a whole label through one task
-    either (they partition by (label, bucket))."""
-    bounds = range_bounds(vt, score_col)
-    tot = bucketed_cum_sum(
-        vt.groupBy(score_col).agg(F.sum("cnt").cast("long").alias("c")),
-        score_col,
-        "c",
-        bounds=bounds,
-    )
-    j = bucketed_cum_sum(
-        vt,
-        score_col,
-        "cnt",
-        bounds=bounds,
-        partition_cols=[label_col],
-        out_col="cum_pos_below",
-    ).join(tot, score_col)
+    Default (corpus-scale) path: both cumulative counts run through
+    the bucketed distributed prefix sum (operators/ranks) — hash
+    exchanges only, no ``Window.orderBy(score)`` single-partition
+    stage, and no per-label window funneling a whole label through one
+    task (they partition by (label, bucket)).  Exactly TWO bounded
+    eager jobs before the final one: the support is materialized WITH
+    its split points riding the same action (materialize_with_bounds),
+    and one per-(label, bucket) totals collect serves BOTH prefix sums
+    — the global per-bucket offsets are the driver-side sum over
+    labels (drop_partition_level).
+
+    ``small_support=True`` keeps the plain-window single-job plan for
+    callers whose count frame is ALREADY dictionary-sized — the
+    streaming monitor's per-batch complete-mode state, where five
+    scheduled jobs per micro-batch would dwarf the data.  Both forms
+    are bit-equal (test_auc_small_support_form_bit_equal); the window
+    form's single-partition sort is legitimate ONLY because the input
+    is bounded state, never raw rows."""
+    if small_support:
+        w_tot = (
+            Window.orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        tot = (
+            vt.groupBy(score_col)
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .withColumn(
+                "cum_below",
+                F.coalesce(F.sum("c").over(w_tot), F.lit(0)).cast("long"),
+            )
+        )
+        w_pos = (
+            Window.partitionBy(label_col)
+            .orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        j = vt.join(tot, score_col).withColumn(
+            "cum_pos_below",
+            F.coalesce(F.sum("cnt").over(w_pos), F.lit(0)).cast("long"),
+        )
+    else:
+        vt, bounds = materialize_with_bounds(vt, score_col)
+        nb = len(bounds) + 1
+        totals = collect_bucket_totals(
+            vt, score_col, "cnt", bounds=bounds, partition_cols=[label_col]
+        )
+        tot = bucketed_cum_sum(
+            vt.groupBy(score_col).agg(F.sum("cnt").cast("long").alias("c")),
+            score_col,
+            "c",
+            bounds=bounds,
+            offsets=totals_to_offsets(drop_partition_level(totals), nb),
+        )
+        j = bucketed_cum_sum(
+            vt,
+            score_col,
+            "cnt",
+            bounds=bounds,
+            partition_cols=[label_col],
+            out_col="cum_pos_below",
+            offsets=totals_to_offsets(totals, nb),
+        ).join(tot, score_col)
     n_total = tot.agg(F.sum("c").cast("long").alias("n_total"))
     per = j.groupBy(label_col).agg(
         F.sum("cnt").cast("long").alias("n_pos"),
@@ -233,9 +280,14 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt = ev.groupBy("value", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    # split points ride the materialize; one per-bucket totals collect
+    # (over vt — same mass as the value support) feeds the prefix sum
+    vt, bounds = materialize_with_bounds(vt, "value")
+    totals = collect_bucket_totals(vt, "value", "cnt", bounds=bounds)
     vv = vt.groupBy("value").agg(F.sum("cnt").cast("long").alias("cv"))
     vv = bucketed_cum_sum(
-        vv, "value", "cv", bounds=range_bounds(vv, "value")
+        vv, "value", "cv", bounds=bounds,
+        offsets=totals_to_offsets(totals, len(bounds) + 1),
     )
     b = (
         vt.join(vv.select("value", "cum_below"), "value")
@@ -601,8 +653,16 @@ def ks_from_counts(
     operators/ranks sharing one set of split points (hash exchanges
     only — no single-partition stage, and no per-label window
     funneling a whole label through one task).  A degenerate label
-    covering the whole frame emits NULL d_stat, not 0/0 = NaN."""
-    bounds = range_bounds(vt, value_col)
+    covering the whole frame emits NULL d_stat, not 0/0 = NaN.
+    Two bounded eager jobs, same fusion as auc_from_score_counts; the
+    grid's per-(label, bucket) offsets reuse the vt totals (zero-count
+    grid rows add no mass), DENSIFIED over all buckets so a label
+    empty in some bucket still gets its carried offset row."""
+    vt, bounds = materialize_with_bounds(vt, value_col)
+    nb = len(bounds) + 1
+    totals = collect_bucket_totals(
+        vt, value_col, "cnt", bounds=bounds, partition_cols=[label_col]
+    )
     tot = bucketed_cum_sum(
         vt.groupBy(value_col).agg(F.sum("cnt").cast("long").alias("c")),
         value_col,
@@ -610,6 +670,7 @@ def ks_from_counts(
         bounds=bounds,
         inclusive=True,
         out_col="cum_all",
+        offsets=totals_to_offsets(drop_partition_level(totals), nb),
     )
     types = vt.select(label_col).distinct()
     n = tot.agg(F.sum("c").cast("long").alias("n_total"))
@@ -629,6 +690,7 @@ def ks_from_counts(
         partition_cols=[label_col],
         inclusive=True,
         out_col="cum_t",
+        offsets=totals_to_offsets(totals, nb),
     )
     nt = vt.groupBy(label_col).agg(F.sum("cnt").cast("long").alias("n_t"))
     num = F.abs(
@@ -826,12 +888,13 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
 
     def doubled_midranks(key: str, out: str) -> DataFrame:
+        # support materialized WITH its split points in one job; the
+        # offset collect and the final row join read the checkpoint
         sup = ev.groupBy(key).agg(
             F.count(F.lit(1)).cast("long").alias("cnt")
         )
-        sup = bucketed_cum_sum(
-            sup, key, "cnt", bounds=range_bounds(sup, key)
-        )
+        sup, bounds = materialize_with_bounds(sup, key)
+        sup = bucketed_cum_sum(sup, key, "cnt", bounds=bounds)
         return sup.select(
             key,
             (2 * F.col("cum_below") + F.col("cnt") + 1)

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DateType,
@@ -91,19 +91,114 @@ def range_bounds(
     return sorted({float(v) for v in vals if v is not None})
 
 
+def materialize_with_bounds(
+    g: DataFrame, key_col: str, num_buckets: int = 64
+) -> tuple[DataFrame, list[float]]:
+    """Materialize the support frame AND compute its split points in
+    the SAME job: the percentile_approx aggregate rides the
+    localCheckpoint action via observe(), so callers pay one job where
+    ``materialize`` + ``range_bounds`` would pay two — and every later
+    job reads the checkpoint instead of re-deriving the support."""
+    from fastetl_spark.checkpointing import materialize
+
+    kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    obs = Observation()
+    g2 = g.observe(
+        obs, F.percentile_approx(kd, qs, 10000).alias("b")
+    ).transform(materialize)
+    vals = obs.get.get("b") or []
+    return g2, sorted({float(v) for v in vals if v is not None})
+
+
+def collect_bucket_totals(
+    g: DataFrame,
+    key_col: str,
+    cnt_col: str,
+    *,
+    bounds: list[float],
+    partition_cols: tuple[str, ...] | list[str] = (),
+) -> list[tuple]:
+    """One bounded job: per-(partition_cols, bucket) totals of
+    ``cnt_col`` as plain tuples (*group, bucket, total).  Feed the
+    result to ``bucketed_cum_sum(offsets=...)`` — and derive COARSER
+    offset sets (e.g. global per-bucket totals from per-label ones) by
+    summing driver-side instead of paying a second job."""
+    kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
+    pc = list(partition_cols)
+    rows = (
+        g.withColumn(_BKT, bucket_of(kd, bounds).cast("int"))
+        .groupBy(*pc, _BKT)
+        .agg(F.sum(cnt_col).cast("long").alias("t"))
+        .collect()
+    )
+    return [(*(r[c] for c in pc), r[_BKT], r["t"]) for r in rows]
+
+
+def totals_to_offsets(
+    totals: list[tuple], num_buckets: int | None = None
+) -> list[tuple]:
+    """Exclusive running offsets per group from (*group, bucket, total)
+    tuples (bucket order within group): (*group, bucket, offset).
+
+    With ``num_buckets`` the offsets are DENSIFIED — every bucket
+    0..num_buckets-1 gets a row per group, carrying the running offset
+    through empty buckets.  Required whenever the frame being summed
+    can hold (group, bucket) combinations with zero collected mass
+    (e.g. the KS label x support grid): the offset broadcast is an
+    INNER join, and a missing bucket row would silently drop data."""
+    per_group: dict[tuple, dict[int, int]] = defaultdict(dict)
+    for row in totals:
+        *grp, bkt, tot = row
+        per_group[tuple(grp)][bkt] = per_group[tuple(grp)].get(bkt, 0) + tot
+    out = []
+    for grp, by_bkt in per_group.items():
+        running = 0
+        buckets = (
+            range(num_buckets)
+            if num_buckets is not None
+            else sorted(by_bkt)
+        )
+        for bkt in buckets:
+            out.append((*grp, bkt, running))
+            running += by_bkt.get(bkt, 0)
+    return out
+
+
+def drop_partition_level(totals: list[tuple]) -> list[tuple]:
+    """Sum (*group, bucket, total) tuples across the group columns to
+    plain (bucket, total) — the driver-side coarsening that lets one
+    collect serve both the per-label and the global prefix sums."""
+    acc: dict[int, int] = defaultdict(int)
+    for row in totals:
+        *_, bkt, tot = row
+        acc[bkt] += tot
+    return [(b, t) for b, t in acc.items()]
+
+
 def bucket_of(key: Column, bounds: list[float]) -> Column:
     """Monotone bucket id of a NUMERIC ``key`` given literal split
     points: bucket = #{b in bounds : key > b}.  Ties at a split point
-    land in the lower bucket; equal keys always share a bucket."""
+    land in the lower bucket; equal keys always share a bucket.
+
+    Implemented as a BINARY when-tree (log2(|bounds|) comparisons per
+    row, all inside whole-stage codegen) — the F.aggregate-over-array
+    form this replaced evaluated an interpreted lambda per split point
+    per row and dominated the support jobs at ~1M distinct keys."""
     if not bounds:
         return F.lit(0)
     kd = key.cast("double")
-    arr = F.array(*[F.lit(b) for b in bounds])
-    return F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, b: acc + F.when(kd > b, 1).otherwise(0),
-    )
+
+    def build(lo: int, hi: int) -> Column:
+        # bucket range [lo, hi]; x lands right of split m-1 iff x > b[m-1]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(
+            kd > F.lit(bounds[mid - 1]), build(mid, hi)
+        ).otherwise(build(lo, mid - 1))
+
+    return build(0, len(bounds))
 
 
 def bucketed_cum_sum(
@@ -115,6 +210,7 @@ def bucketed_cum_sum(
     partition_cols: tuple[str, ...] | list[str] = (),
     inclusive: bool = False,
     out_col: str = "cum_below",
+    offsets: list[tuple] | None = None,
 ) -> DataFrame:
     """``g`` + ``out_col`` = prefix sum of ``cnt_col`` in ``key_col``
     order (per ``partition_cols`` group) with no single-partition stage.
@@ -124,25 +220,30 @@ def bucketed_cum_sum(
     collect is |groups| * buckets rows).  ``inclusive=False`` gives the
     exclusive prefix (rows strictly below), ``True`` includes the
     current key.  Runs one bounded driver job eagerly (the offset
-    totals); the returned frame is lazy."""
+    totals) unless ``offsets`` supplies precomputed
+    (*group, bucket, exclusive_offset) tuples (see
+    collect_bucket_totals / totals_to_offsets — one collect can serve
+    several prefix sums); the returned frame is lazy.
+
+    Exactness caveat for precomputed offsets: they must total the SAME
+    cnt mass per (group, bucket) as ``g`` — rows absent from ``g`` but
+    present in the collect (or zero-count rows either way) are fine,
+    a genuine mass mismatch is not."""
     spark = g.sparkSession
     pc = list(partition_cols)
     kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
     gb = g.withColumn(_BKT, bucket_of(kd, bounds).cast("int"))
-    totals = (
-        gb.groupBy(*pc, _BKT)
-        .agg(F.sum(cnt_col).cast("long").alias("t"))
-        .collect()
-    )
-    per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
-    for r in totals:
-        per_group[tuple(r[c] for c in pc)].append((r[_BKT], r["t"]))
-    rows = []
-    for grp, lst in per_group.items():
-        running = 0
-        for bkt, tot in sorted(lst):
-            rows.append((*grp, bkt, running))
-            running += tot
+    if offsets is None:
+        totals = (
+            gb.groupBy(*pc, _BKT)
+            .agg(F.sum(cnt_col).cast("long").alias("t"))
+            .collect()
+        )
+        rows = totals_to_offsets(
+            [(*(r[c] for c in pc), r[_BKT], r["t"]) for r in totals]
+        )
+    else:
+        rows = [tuple(r) for r in offsets]
     schema = StructType(
         [
             *(StructField(c, g.schema[c].dataType) for c in pc),

@@ -1693,9 +1693,12 @@ def streaming_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def auc_batch(batch_df: DataFrame, batch_id: int) -> None:
-        auc_from_score_counts(batch_df, "event_type", "value").write.mode(
-            "overwrite"
-        ).parquet(dest)
+        # small_support: the complete-mode count state is
+        # dictionary-sized — the one-job window form beats five
+        # scheduled jobs per micro-batch (bit-equal, tested)
+        auc_from_score_counts(
+            batch_df, "event_type", "value", small_support=True
+        ).write.mode("overwrite").parquet(dest)
 
     q = (
         counts.writeStream.foreachBatch(auc_batch)

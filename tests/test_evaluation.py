@@ -113,3 +113,26 @@ def test_auc_degenerate_single_class_is_null(spark):
     )
     rows = auc_by_class(df, "cls", "score").collect()
     assert rows[0]["n_neg"] == 0 and rows[0]["auc"] is None
+
+
+def test_auc_small_support_form_bit_equal(spark, sf_dir):
+    # the streaming monitor's one-job window branch must produce the
+    # SAME bits as the distributed-rank branch on identical counts
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.evaluation import auc_from_score_counts
+
+    vt = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    big = {r["event_type"]: r for r in auc_from_score_counts(vt, "event_type", "value").collect()}
+    small = {r["event_type"]: r for r in auc_from_score_counts(vt, "event_type", "value", small_support=True).collect()}
+    assert set(big) == set(small)
+    for k in big:
+        assert (big[k]["n_pos"], big[k]["n_neg"], big[k]["auc"]) == (
+            small[k]["n_pos"], small[k]["n_neg"], small[k]["auc"]
+        )

@@ -128,3 +128,56 @@ def test_no_single_partition_exchange(spark, sf_dir):
         got._jdf.queryExecution(), "simple"
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_precomputed_offsets_match_default_path(spark, sf_dir):
+    from fastetl_spark.operators.ranks import (
+        collect_bucket_totals,
+        totals_to_offsets,
+    )
+
+    g = _support(spark, sf_dir, "event_type", "value")
+    bounds = range_bounds(g, "value")
+    totals = collect_bucket_totals(
+        g, "value", "cnt", bounds=bounds, partition_cols=["event_type"]
+    )
+    a = bucketed_cum_sum(
+        g, "value", "cnt", bounds=bounds, partition_cols=["event_type"]
+    ).select("event_type", "value", F.col("cum_below").alias("ca"))
+    b = bucketed_cum_sum(
+        g,
+        "value",
+        "cnt",
+        bounds=bounds,
+        partition_cols=["event_type"],
+        offsets=totals_to_offsets(totals, len(bounds) + 1),
+    ).select("event_type", "value", F.col("cum_below").alias("cb"))
+    j = a.join(b, ["event_type", "value"])
+    assert j.filter(F.col("ca") != F.col("cb")).count() == 0
+    assert j.count() == g.count()
+
+
+def test_densified_offsets_carry_through_empty_buckets(spark):
+    # group A occupies buckets 0 and 2 only; a grid-like frame has a
+    # zero-count row in bucket 1 whose offset must still be carried
+    # (a sparse offsets list would silently DROP it on the inner join)
+    from fastetl_spark.operators.ranks import totals_to_offsets
+
+    bounds = [10.0, 20.0]  # buckets: <=10, (10,20], >20
+    g = spark.createDataFrame(
+        [("A", 5.0, 3), ("A", 15.0, 0), ("A", 25.0, 7)],
+        "grp string, k double, cnt long",
+    )
+    offs = totals_to_offsets([("A", 0, 3), ("A", 2, 7)], num_buckets=3)
+    got = {
+        r["k"]: r["cum_below"]
+        for r in bucketed_cum_sum(
+            g,
+            "k",
+            "cnt",
+            bounds=bounds,
+            partition_cols=["grp"],
+            offsets=offs,
+        ).collect()
+    }
+    assert got == {5.0: 0, 15.0: 3, 25.0: 3}
