@@ -109,6 +109,8 @@ HEADLINE = [
     "spearman_rank_corr",
     "ks_two_sample",
     "streaming_late_dedup",
+    "exact_group_quantiles",
+    "iqr_outlier_screen",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the

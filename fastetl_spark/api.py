@@ -1190,6 +1190,38 @@ class Engine:
         )
         return ks_from_counts(vt, label_col, value_col)
 
+    def exact_quantiles(self, df: DataFrame, value_col: str,
+                        probs: list[tuple[int, int]] | None = None,
+                        key_col: str | None = None) -> DataFrame:
+        """Exact DISC quantiles at rational probs by distributed rank
+        selection (operators/rank_quantiles, gated by
+        `exact_value_quantiles` / `exact_group_quantiles`): distinct-
+        value compression + bucketed cumulative counts, value at rank
+        k = ceil(num*n/den) as filter+min — no gathered value lists
+        (percentile_disc's ceiling) and no single-partition sort.
+        With ``key_col`` the cum partitions by (key, bucket); keys
+        must be dictionary-bounded.  2 bounded eager jobs per call."""
+        from fastetl_spark.operators.rank_quantiles import (
+            _PROBS,
+            exact_quantiles_by_key,
+            exact_quantiles_global,
+        )
+
+        pr = probs or _PROBS
+        if key_col is None:
+            return exact_quantiles_global(df, value_col, probs=pr)
+        return exact_quantiles_by_key(df, key_col, value_col, probs=pr)
+
+    def iqr_outliers(self, df: DataFrame, key_col: str, value_col: str,
+                     whisker: float = 1.5) -> DataFrame:
+        """Tukey-fence outlier counts per key on the distributed exact
+        quartiles (gated by `iqr_outlier_screen`): two passes, fences
+        broadcast, zero value gathering — the scale twin of
+        robust_outlier_events' MAD screen."""
+        from fastetl_spark.operators.rank_quantiles import iqr_outlier_counts
+
+        return iqr_outlier_counts(df, key_col, value_col, whisker=whisker)
+
 
 # --- operator-shaped wrappers (reference operator parity) ----------------
 

@@ -49,6 +49,7 @@ def load_all() -> None:
     import fastetl_spark.operators.ivm  # noqa: F401
     import fastetl_spark.operators.kmeans  # noqa: F401
     import fastetl_spark.operators.packing  # noqa: F401
+    import fastetl_spark.operators.rank_quantiles  # noqa: F401
     import fastetl_spark.operators.lateral_udtf  # noqa: F401
     import fastetl_spark.operators.relational  # noqa: F401
     import fastetl_spark.operators.relational2  # noqa: F401
