@@ -672,17 +672,62 @@ GROUP BY vocab_k
 def oov_rate_by_vocab_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary sizing: for each candidate vocab size k
     (top-k terms by frequency), the fraction of corpus tokens that
-    would fall out-of-vocabulary. The term table is corpus-aggregated
-    first (map-side combinable), so the rank/cutoff stage works on
-    |vocab| rows, never corpus-scale; exact integer token counts."""
+    would fall out-of-vocabulary.  Exact integer token counts.
+
+    The (cnt DESC, term ASC) row_number no longer runs through a
+    global window — an OPEN vocabulary at web scale is corpus-sized,
+    so rank decomposes through the distributed prefix sums of
+    operators/ranks instead: rnk(term) = #terms with a higher count
+    (a suffix sum over the tiny count-value support) + the term's
+    ASC position within its count group (string-keyed cum partitioned
+    by (cnt, byte-prefix bucket) — the cnt=1 long tail spreads over
+    buckets instead of one task).  Tie-INVARIANT per-k masses come
+    from vocab_oov_from_histogram (the gated histogram twin); this
+    query keeps the per-term-exact rank convention of its oracle."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    from fastetl_spark.operators.ranks import (
+        bucketed_cum_sum,
+        materialize_with_bounds,
+        range_bounds,
+    )
+
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
-    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    counts, term_bounds = materialize_with_bounds(counts, "term")
+    csup = counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    csup = bucketed_cum_sum(
+        csup,
+        "cnt",
+        "n_terms",
+        bounds=range_bounds(csup, "cnt"),
+        inclusive=True,
+        out_col="cum_le",
+    )
+    tt = counts.agg(F.count(F.lit(1)).cast("long").alias("t_terms"))
+    rk_in = bucketed_cum_sum(
+        counts.withColumn("__one", F.lit(1).cast("long")),
+        "term",
+        "__one",
+        bounds=term_bounds,
+        partition_cols=["cnt"],
+        inclusive=True,
+        out_col="rk_in",
+    )
+    ranked = (
+        rk_in.join(F.broadcast(csup.select("cnt", "cum_le")), "cnt")
+        .crossJoin(F.broadcast(tt))
+        .withColumn(
+            "rnk",
+            (F.col("t_terms") - F.col("cum_le") + F.col("rk_in")).cast(
+                "long"
+            ),
+        )
+    )
     ks = spark.range(0).sparkSession.createDataFrame(
         [(k,) for k in _OOV_KS], "vocab_k int"
     )

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     DateType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -70,6 +71,20 @@ def _as_double(key: Column, dtype) -> Column:
         )
     if isinstance(dtype, DateType):
         return F.unix_date(key).cast("double")
+    if isinstance(dtype, StringType):
+        # first 7 UTF-8 bytes as a big-endian integer, zero-padded on
+        # the RIGHT (variable-length prefixes are not order-preserving
+        # unpadded: "AZ" < "B" bytewise but 0x415A > 0x42).  7 bytes
+        # keep the value under 2^56 — positive in conv's signed BIGINT,
+        # and double rounding of the low bits is monotone (neighbors
+        # may merge into one bucket; order never inverts).  Matches
+        # Spark's binary string comparison order; longer shared
+        # prefixes simply share a bucket.
+        return F.conv(
+            F.rpad(F.hex(F.substring(key.cast("binary"), 1, 7)), 14, "0"),
+            16,
+            10,
+        ).cast("double")
     return key.cast("double")
 
 

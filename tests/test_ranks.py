@@ -181,3 +181,51 @@ def test_densified_offsets_carry_through_empty_buckets(spark):
         ).collect()
     }
     assert got == {5.0: 0, 15.0: 3, 25.0: 3}
+
+
+def test_string_key_cum_matches_window(spark, sf_dir):
+    # the vocab rewrite's shape: within-count ASC term rank via the
+    # byte-prefix string image — must match the window row_number
+    from fastetl_spark.operators.ranks import materialize_with_bounds
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    counts, bounds = materialize_with_bounds(counts, "term")
+    got = bucketed_cum_sum(
+        counts.withColumn("__one", F.lit(1).cast("long")),
+        "term",
+        "__one",
+        bounds=bounds,
+        partition_cols=["cnt"],
+        inclusive=True,
+        out_col="rk",
+    )
+    w = Window.partitionBy("cnt").orderBy("term")
+    ref = counts.withColumn("rk_ref", F.row_number().over(w).cast("long"))
+    j = got.join(ref.select("term", "rk_ref"), "term")
+    assert j.filter(F.col("rk") != F.col("rk_ref")).count() == 0
+
+
+def test_string_image_monotone_variable_length(spark):
+    # "AZ" < "B" bytewise: unpadded prefixes would invert this pair
+    from fastetl_spark.operators.ranks import _as_double
+    from pyspark.sql.types import StringType
+
+    df = spark.createDataFrame(
+        [("A",), ("AZ",), ("B",), ("",), ("AAAAAAAAAA",), ("AAAAAAAAAB",)],
+        "s string",
+    )
+    rows = (
+        df.select("s", _as_double(F.col("s"), StringType()).alias("img"))
+        .orderBy("s")
+        .collect()
+    )
+    for i in range(len(rows) - 1):
+        assert rows[i]["img"] <= rows[i + 1]["img"], (
+            rows[i]["s"],
+            rows[i + 1]["s"],
+        )

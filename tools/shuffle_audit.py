@@ -47,10 +47,6 @@ SINGLE_PART_ALLOWLIST: dict[str, str] = {
     "cumulative_new_users": "per-day",
     # one row per corpus SOURCE (features.py:171)
     "mixture_temperature_weights": "per-source",
-    # rank over the aggregated TERM DICTIONARY (features.py:676 —
-    # vocab-bounded; a web-scale open vocabulary would route this
-    # through operators/ranks like the rank-statistic tier)
-    "oov_rate_by_vocab_k": "vocab-dict",
     # cum over ~64 power-of-two length buckets (features.py:884)
     "seq_length_buckets": "bucket-grid",
     # prefix over the fixed packing-bucket grid (packing.py:72 — the
