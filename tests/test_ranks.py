@@ -229,3 +229,132 @@ def test_string_image_monotone_variable_length(spark):
             rows[i]["s"],
             rows[i + 1]["s"],
         )
+
+
+def test_null_group_key_rows_survive(spark):
+    # r11 ADVICE (medium): a NULL group key is a legitimate GROUP BY
+    # group — the offset join must be null-safe, not drop the rows
+    g = spark.createDataFrame(
+        [("A", 1.0, 2), ("A", 3.0, 1), (None, 2.0, 5), (None, 4.0, 1)],
+        "grp string, k double, cnt long",
+    )
+    got = bucketed_cum_sum(
+        g, "k", "cnt", bounds=[2.5], partition_cols=["grp"]
+    )
+    assert got.count() == 4, "NULL-group rows vanished from the join"
+    ref = _window_ref(g, "k", "cnt", parts=["grp"])
+    j = got.join(
+        ref.select("grp", "k", "cum_ref"),
+        [got["grp"].eqNullSafe(ref["grp"]), got["k"] == ref["k"]],
+    )
+    assert j.filter(F.col("cum_below") != F.col("cum_ref")).count() == 0
+
+
+def test_timestamp_key_monotone_under_dst_tz(spark):
+    # r11 ADVICE (low): the TIMESTAMP image must be tz-free.  Under a
+    # DST fall-back session timezone the old calendar-field form
+    # inverted instants around the transition; unix_micros cannot.
+    import datetime as dt
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # US fall-back 2024-11-03 06:00 UTC: local wall clock repeats
+        # 01:00-02:00.  Instants straddling the transition, 20 min apart.
+        base = dt.datetime(2024, 11, 3, 4, 30, tzinfo=dt.timezone.utc)
+        rows = [
+            (base + dt.timedelta(minutes=20 * i), 1)
+            for i in range(12)
+        ]
+        g = spark.createDataFrame(rows, "ts timestamp, cnt long")
+        got = bucketed_cum_sum(
+            g, "ts", "cnt", bounds=range_bounds(g, "ts", 8)
+        )
+        ref = _window_ref(g, "ts", "cnt").select("ts", "cum_ref")
+        _assert_equal(got.join(ref, "ts"), ["ts"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_skew_one_hot_support(spark):
+    # one key carries ~all the mass; the rest are singletons
+    rows = [(0.0, 1_000_000)] + [(float(i), 1) for i in range(1, 200)]
+    g = spark.createDataFrame(rows, "k double, cnt long")
+    got = bucketed_cum_sum(g, "k", "cnt", bounds=range_bounds(g, "k", 16))
+    ref = _window_ref(g, "k", "cnt").select("k", "cum_ref")
+    _assert_equal(got.join(ref, "k"), ["k"])
+
+
+def test_skew_all_equal_keys(spark):
+    # a single distinct key per group: bounds collapse, bucket 0 only
+    g = spark.createDataFrame(
+        [("A", 7.0, 5), ("B", 7.0, 3), ("C", 7.0, 11)],
+        "grp string, k double, cnt long",
+    )
+    bounds = range_bounds(g, "k", 16)
+    got = bucketed_cum_sum(
+        g, "k", "cnt", bounds=bounds, partition_cols=["grp"], inclusive=True
+    )
+    vals = {r["grp"]: r["cum_below"] for r in got.collect()}
+    assert vals == {"A": 5, "B": 3, "C": 11}
+
+
+def test_skew_multibyte_utf8_string_keys(spark):
+    # multi-byte code points must keep byte order through the 7-byte
+    # prefix image (Spark compares strings bytewise)
+    from fastetl_spark.operators.ranks import materialize_with_bounds
+
+    words = ["a", "ação", " açaí", "z", "Ωmega", "ωmega", "日本語",
+             "日本", "émigré", "e", "é", "é", "ß", "ss"]
+    g = spark.createDataFrame(
+        [(w, i + 1) for i, w in enumerate(words)], "k string, cnt long"
+    )
+    g2, bounds = materialize_with_bounds(g, "k", 8)
+    got = bucketed_cum_sum(g2, "k", "cnt", bounds=bounds)
+    ref = _window_ref(g2, "k", "cnt").select("k", "cum_ref")
+    _assert_equal(got.join(ref, "k"), ["k"])
+
+
+def test_offset_boundedness_contract_enforced(spark):
+    # r11 VERDICT ask #1b: an unbounded group column fails loudly
+    import pytest
+
+    from fastetl_spark.operators.ranks import collect_bucket_totals
+
+    g = spark.range(0, 500).select(
+        F.col("id").alias("grp"),
+        (F.col("id") % 7).cast("double").alias("k"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    with pytest.raises(RuntimeError, match="max_offset_rows"):
+        bucketed_cum_sum(
+            g, "k", "cnt", bounds=[2.0, 4.0], partition_cols=["grp"],
+            max_offset_rows=100,
+        )
+    with pytest.raises(RuntimeError, match="max_offset_rows"):
+        collect_bucket_totals(
+            g, "k", "cnt", bounds=[2.0, 4.0], partition_cols=["grp"],
+            max_offset_rows=100,
+        )
+    # precomputed offsets are guarded too
+    with pytest.raises(RuntimeError, match="max_offset_rows"):
+        bucketed_cum_sum(
+            g, "k", "cnt", bounds=[], partition_cols=["grp"],
+            offsets=[(i, 0, 0) for i in range(500)], max_offset_rows=100,
+        )
+
+
+def test_adaptive_num_buckets_default(spark):
+    # num_buckets=None adapts to the cluster; floor keeps this box at
+    # the r11 fixed value so existing plans and hashes are unchanged
+    from fastetl_spark.operators.ranks import default_num_buckets
+
+    nb = default_num_buckets(spark)
+    assert 64 <= nb <= 1024
+    g = spark.range(0, 1000).select(
+        (F.col("id") % 97).cast("double").alias("k"),
+        F.lit(1).cast("long").alias("cnt"),
+    ).groupBy("k").agg(F.sum("cnt").alias("cnt"))
+    got = bucketed_cum_sum(g, "k", "cnt", bounds=range_bounds(g, "k"))
+    ref = _window_ref(g, "k", "cnt").select("k", "cum_ref")
+    _assert_equal(got.join(ref, "k"), ["k"])
