@@ -428,7 +428,7 @@ WITH ordered AS (
   FROM events
 ), flagged AS (
   SELECT user_id, ts,
-         CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+         CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ), numbered AS (
   SELECT user_id, ts,
@@ -446,9 +446,14 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window (30-min gap) run as a REAL stream under the
     oracle gate. The SQL oracle re-derives the same sessions with the
     LAG/cumulative-flag construction — note the boundary: Spark merges
-    an event into a session only while its start is strictly BEFORE
-    the current end (last ts + gap), so a gap of exactly the gap
-    length STARTS a session; the oracle's is_new uses >= to match.
+    an event whose start TOUCHES the current end (last ts + gap) —
+    windows [s, e) and [e, e+gap) are adjacent and MERGE — so only a
+    gap STRICTLY GREATER than the gap length starts a session; the
+    oracle's is_new uses > to match (pinned by
+    tests/test_streaming.py::test_session_window_exact_gap_edge_merges;
+    the earlier >= rule was wrong at the boundary and survived only
+    because no same-user pair sits exactly 1 800.000000 s apart at any
+    tested SF — measure-zero on the raw microsecond timestamps).
     The gap is compared in MICROSECONDS: session_window has sub-second
     semantics, and date_diff('second', ...) counts whole-second
     boundary crossings, so a 1799.3 s gap would read as 1800 and split
@@ -1814,3 +1819,151 @@ def streaming_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy(
         F.date_trunc("day", "tss").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+
+
+# --- 22nd gate: session-window MERGE under late data --------------------------
+#
+# The one stateful composition the first 21 gates did not pin: a late
+# event arriving AFTER the sessions around it were built in state —
+# extending a session backward, bridging two sessions into one, and
+# then FINALIZING through the append-mode watermark.  session_window
+# semantics pinned empirically on this engine build (and asserted by
+# tests/test_streaming.py::test_session_late_merge_semantics /
+# test_session_append_final_batch_emission):
+#
+#   * sessions merge when windows TOUCH: an event at exactly the
+#     current session end joins it (only a gap STRICTLY greater than
+#     the gap length starts a session) — so the merged result over a
+#     set of accepted rows is arrival-order-independent and a batch
+#     islands oracle (gap_us > gap) replays it;
+#   * the LATE-ROW FILTER of batch k drops a row iff its own initial
+#     window end (t + gap) <= max(event time over batches <= k-2) -
+#     delay, boundary inclusive — the session analogue of the 18th
+#     gate's two-watermark rule;
+#   * update output mode is UNSUPPORTED for session aggregations
+#     (STREAMING_OUTPUT_MODE error), so append is THE streaming form:
+#     a session emits once its end <= eviction watermark, boundary
+#     inclusive;
+#   * availableNow runs a FINAL NO-DATA batch after the last file:
+#     the closing eviction watermark is max(event time over ALL
+#     batches) - delay, not max(batches <= last-1) - delay — sessions
+#     newer than that line stay in state and never reach the sink.
+#
+# Fixture: slice 0 = [Jan 12, Jan 20) MINUS the carve-out
+# [Jan 15, Jan 16 12:00) (builds sessions with holes), slice 1 =
+# [Jan 20, Jan 27) (advances the watermark), slice 2 = the carve-out
+# (late rows that land INSIDE slice-0's span and merge/bridge its
+# in-state sessions) + the too-old days (< Jan 12, mostly dropped by
+# the late filter, sliver kept) + the newest tail (>= Jan 27, kept,
+# too new to finalize).  The merged sessions around the carve-out sit
+# far below the closing eviction line, so the late-merge-then-finalize
+# path is exactly what the sink receives.
+
+_SML_WM_DAYS = 8
+_SML_CUT_MID = "2024-01-20"
+_SML_CARVE_LO = "2024-01-15"
+_SML_CARVE_HI = "2024-01-16 12:00:00"
+# Sessions key on user_id % 16: per-user streams are too sparse for a
+# 30-min gap to ever bridge across the carve-out organically (0 merged
+# sessions at sf<=0.01), while 16 shards give measured late+on-time
+# MERGED sessions in the emitted set (2 at sf0.01, 46 at sf0.1) with
+# non-trivial emitted/in-state splits at every SF (360/223, 2374/1753,
+# 440/366).  The deterministic bridge/boundary cases are pinned by the
+# unit tests either way.
+_SML_SHARD_MOD = 16
+
+
+def _stream_session_merge_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id % {_SML_SHARD_MOD} AS shard,
+         date_trunc('second', ts) AS tss FROM events
+), sliced AS (
+  SELECT shard, tss,
+         CASE WHEN tss < TIMESTAMP '{_LATE_CUT_LO}'
+                OR tss >= TIMESTAMP '{_LATE_CUT_TAIL}'
+                OR (tss >= TIMESTAMP '{_SML_CARVE_LO}'
+                    AND tss < TIMESTAMP '{_SML_CARVE_HI}') THEN 2
+              WHEN tss < TIMESTAMP '{_SML_CUT_MID}' THEN 0
+              ELSE 1 END AS b
+  FROM ev
+), fwm AS (
+  SELECT MAX(tss) - INTERVAL {_SML_WM_DAYS} DAYS AS w FROM sliced WHERE b = 0
+), ewm AS (
+  SELECT MAX(tss) - INTERVAL {_SML_WM_DAYS} DAYS AS w FROM sliced
+), accepted AS (
+  SELECT shard, tss FROM sliced, fwm
+  WHERE b < 2 OR (tss + INTERVAL 30 MINUTES) > fwm.w
+), ordered AS (
+  SELECT shard, tss,
+         date_diff('microsecond',
+                   LAG(tss) OVER (PARTITION BY shard ORDER BY tss),
+                   tss) AS gap_us
+  FROM accepted
+), numbered AS (
+  SELECT shard, tss,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY shard ORDER BY tss
+                 ROWS UNBOUNDED PRECEDING) AS seq
+  FROM ordered
+), sessions AS (
+  SELECT shard, MIN(tss) AS session_start,
+         MAX(tss) + INTERVAL 30 MINUTES AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY shard, seq
+)
+SELECT shard, session_start, n_events
+FROM sessions, ewm WHERE session_end <= ewm.w
+"""
+
+
+@query("streaming_session_merge_late", _stream_session_merge_sql())
+def streaming_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30-min gap) under an 8-day watermark fed OUT OF
+    ORDER: a 1.5-day carve-out of the stream arrives two batches late,
+    lands inside already-built session state, extends and BRIDGES the
+    sessions around it, and the merged results finalize through the
+    append watermark.  Too-old rows fall to the late filter (window
+    end <= the frozen filter line, inclusive), the newest tail stays
+    unfinalized in state, and the drained sink must hash-match the
+    batch oracle that replays the pinned rules (strict-gap islands
+    over accepted rows, closing eviction at global max - delay)."""
+    from fastetl_spark.io.readers import read_table
+
+    root = _scratch_root(sf_dir, "stream_session_merge")
+    in_dir = f"{root}/in"
+    ev = read_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _SML_SHARD_MOD).alias("shard"),
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("tss"),
+    )
+    slice_no = (
+        F.when(
+            (F.col("tss") < F.lit(_LATE_CUT_LO).cast("timestamp"))
+            | (F.col("tss") >= F.lit(_LATE_CUT_TAIL).cast("timestamp"))
+            | (
+                (F.col("tss") >= F.lit(_SML_CARVE_LO).cast("timestamp"))
+                & (F.col("tss") < F.lit(_SML_CARVE_HI).cast("timestamp"))
+            ),
+            2,
+        )
+        .when(F.col("tss") < F.lit(_SML_CUT_MID).cast("timestamp"), 0)
+        .otherwise(1)
+    )
+    _stage_slices(ev, root, in_dir, slice_no)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("tss", f"{_SML_WM_DAYS} days")
+        .groupBy(F.session_window("tss", "30 minutes").alias("w"), "shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "shard",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _drain_to_memory(agg, "st_sml_", "append")

@@ -467,3 +467,252 @@ def test_dedup_watermark_eviction_filter_complement(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped == 2  # E@10 and G@10, both on the line
+
+
+def _stage_session_slices(spark, root, rows):
+    """rows: list of (key:int, dt, batch:int). Lands 3 slice files."""
+    import glob as _glob
+    import os
+    import shutil
+
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    df = spark.createDataFrame(rows, "user_id long, tss timestamp, b int")
+    for i in range(3):
+        stage = f"{root}/s{i}"
+        df.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        shutil.copy(
+            _glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{in_dir}/slice_{i}.parquet",
+        )
+    return in_dir, "user_id long, tss timestamp"
+
+
+def _run_session_append(spark, in_dir, schema, gap="30 minutes",
+                        delay="2 hours"):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("tss", delay)
+        .groupBy(F.session_window("tss", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n")
+    )
+    import uuid
+
+    name = "sess_sem_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r["user_id"], r["s"].strftime("%H:%M")): (
+            r["e"].strftime("%H:%M"),
+            r["n"],
+        )
+        for r in spark.table(name).collect()
+    }
+
+
+def test_session_window_exact_gap_edge_merges(spark):
+    """session_window merges windows that TOUCH: an event at exactly
+    last + gap joins the session (the r12 boundary finding — the
+    streaming_session_counts oracle's is_new must use >, not >=)."""
+    import datetime as dt
+
+    T = lambda h, m: dt.datetime(2024, 3, 1, h, m, 0)
+    df = spark.createDataFrame(
+        [(1, T(10, 0)), (1, T(10, 30)), (1, T(11, 0)),  # chain of touches
+         (2, T(10, 0)), (2, T(10, 30, ))],
+        "user_id long, tss timestamp",
+    )
+    got = (
+        df.groupBy(F.session_window("tss", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "w.start", "n")
+        .collect()
+    )
+    by_user = {(r["user_id"], r["start"].strftime("%H:%M")): r["n"] for r in got}
+    assert by_user == {(1, "10:00"): 3, (2, "10:00"): 2}
+
+
+def test_session_late_merge_semantics(spark, tmp_path):
+    """Pin the session_window lateness contract the 22nd gate's oracle
+    encodes (measured on this engine build): the late filter of batch
+    k drops a row iff its initial window end (t + gap) <=
+    max(batches <= k-2) - delay (inclusive); accepted late rows MERGE
+    with live state — extending a session's start backward, bridging
+    two sessions into one, and chaining through the touch-merge edge
+    (a late row exactly at a session's end joins it)."""
+    import datetime as dt
+
+    T = lambda h, m: dt.datetime(2024, 3, 1, h, m, 0)
+    rows = [
+        # batch 0: user1 two sessions [10:00,10:35) {10:00,10:05} and
+        # [10:55,11:30); user2 sessions [10:00,10:30) and [10:52,11:22);
+        # max(batch 0) = 11:30 -> filter line for batch 2 = 09:30
+        (1, T(10, 0), 0), (1, T(10, 5), 0), (1, T(10, 55), 0), (1, T(11, 0), 0),
+        (2, T(10, 0), 0), (2, T(10, 52), 0),
+        (98, T(11, 30), 0),
+        # batch 1: newest row -> closing eviction = 23:00 - 2h = 21:00
+        (99, T(23, 0), 1),
+        # batch 2 (late):
+        (1, T(10, 26), 2),  # bridges user1's sessions -> one [10:00,11:30)
+        (2, T(10, 30), 2),  # exactly at user2 session-1 end: touch-merge
+                            # AND end 11:00 > 10:52 chains into session 2
+        (3, T(9, 1), 2),    # end 09:31 > 09:30: ACCEPTED
+        (3, T(9, 0), 2),    # end 09:30 == line: DROPPED (inclusive)
+        (4, T(8, 0), 2),    # far too old: dropped
+    ]
+    in_dir, schema = _stage_session_slices(spark, str(tmp_path / "sml"), rows)
+    got = _run_session_append(spark, in_dir, schema)
+    assert got == {
+        (1, "10:00"): ("11:30", 5),   # late bridge merged everything
+        (2, "10:00"): ("11:22", 3),   # touch-merge chained both sessions
+        (3, "09:01"): ("09:31", 1),   # the 09:00 twin fell to the filter
+        (98, "11:30"): ("12:00", 1),
+        # user99 (end 23:30 > eviction 21:00) stays in state
+    }
+
+
+def test_session_append_final_batch_emission(spark, tmp_path):
+    """availableNow runs a FINAL NO-DATA batch: the closing eviction
+    watermark is max(ALL batches) - delay (not max(batches <= last-1)),
+    and a session whose end sits EXACTLY on it is emitted (boundary
+    inclusive) — both pins the 22nd gate's oracle relies on."""
+    import datetime as dt
+
+    T = lambda h, m: dt.datetime(2024, 3, 1, h, m, 0)
+    rows = [
+        (1, T(10, 0), 0),    # end 10:30
+        (99, T(11, 0), 1),   # if eviction stopped at max(batches<=1)-2h
+                             # = 09:00, NOTHING would emit
+        (2, T(11, 0), 2),    # end 11:30 == closing line: emitted
+        (98, T(13, 30), 2),  # newest: closing line = 13:30 - 2h = 11:30
+    ]
+    in_dir, schema = _stage_session_slices(spark, str(tmp_path / "snb"), rows)
+    got = _run_session_append(spark, in_dir, schema)
+    assert got == {
+        (1, "10:00"): ("10:30", 1),
+        (2, "11:00"): ("11:30", 1),   # exactly on the line: emitted
+        (99, "11:00"): ("11:30", 1),
+        # user98 (end 14:00 > 11:30) stays in state
+    }
+
+
+def _replay_dedup_lateness(slices, delay):
+    """Pure-python replay of the pinned dropDuplicates lateness rule:
+    filter(batch k) drops event seconds <= max(batches <= k-2) - delay
+    (inclusive); an accepted duplicate's original state is still alive
+    by the complement invariant, so a key emits at most once — on its
+    first ACCEPTED arrival.  Returns (emitted per key, dropped count)."""
+    from collections import Counter
+
+    prefix_max: list[int] = []
+    emitted: Counter = Counter()
+    seen: set = set()
+    dropped = 0
+    for k, rows in enumerate(slices):
+        fw = (
+            max(prefix_max[: k - 1]) - delay
+            if k >= 2 and prefix_max[: k - 1]
+            else None
+        )
+        for key, sec in rows:
+            if fw is not None and sec <= fw:
+                dropped += 1
+                continue
+            if (key, sec) not in seen:
+                seen.add((key, sec))
+                emitted[key] += 1
+        prefix_max.append(
+            max([s for _, s in rows], default=prefix_max[-1] if prefix_max else 0)
+        )
+    return emitted, dropped
+
+
+@pytest.mark.parametrize("delay", [5, 10, 20])
+@pytest.mark.parametrize("layout", ["advancing", "stalled"])
+def test_dedup_filter_eviction_invariant_property(spark, tmp_path, delay,
+                                                  layout):
+    """r11 VERDICT ask #6: the 21st gate leans on the empirically
+    pinned filter/eviction complement — sweep DELAY values and batch
+    maxima patterns so a Spark version bump that shifts either
+    boundary fails here, not as a gate-hash mystery.  Every layout
+    plants rows ON the moving watermark line (scaled by the delay) and
+    redelivers duplicates after 0, 1 and 2 watermark advances; the
+    expectation comes from the generic replay, not hand-coded cases."""
+    import glob as _glob
+    import os
+    import shutil
+    from collections import Counter
+
+    D = delay
+    if layout == "advancing":
+        # maxima strictly advance: 2D, 3D, 4D
+        slices = [
+            [("A", D), ("B", 2 * D)],
+            [("C", 3 * D), ("A", D)],              # dup after 0 advances
+            [("A", D), ("B", 2 * D), ("X", D),     # line = 2D - D = D
+             ("Y", D + 1), ("Z", 4 * D)],
+        ]
+    else:
+        # the late batch does NOT advance the max; dup after 2 advances
+        slices = [
+            [("A", 3 * D)],
+            [("B", 3 * D + 1)],
+            [("A", 3 * D), ("C", 2 * D), ("E", 2 * D + 1)],  # line = 2D
+        ]
+    root = str(tmp_path / f"prop_{layout}_{delay}")
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    base = 1704070000
+    for i, rows in enumerate(slices):
+        df = spark.createDataFrame(rows, "k string, sec long").select(
+            "k", F.timestamp_seconds(F.col("sec") + base).alias("ts")
+        )
+        stage = f"{root}/s{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            _glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{in_dir}/slice_{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    dd = stream.withWatermark("ts", f"{D} seconds").dropDuplicates(["k", "ts"])
+    got: Counter = Counter()
+
+    def fb(bdf, bid):
+        for r in bdf.collect():
+            got[str(r["k"])] += 1
+
+    q = (
+        dd.writeStream.foreachBatch(fb)
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want, want_dropped = _replay_dedup_lateness(slices, D)
+    assert got == want, (layout, D, dict(got), dict(want))
+    assert max(got.values(), default=0) <= 1  # the invariant itself
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == want_dropped, (layout, D, dropped, want_dropped)
