@@ -605,7 +605,10 @@ def label_propagation(
     ``converged`` (True only for a genuine zero-change fixpoint),
     ``two_cycle`` (stopped on a detected period-2 oscillation) and
     ``rounds`` (rounds actually run) — a silent truncation is not
-    distinguishable from convergence otherwise.
+    distinguishable from convergence otherwise.  ``info`` also carries
+    ``und``, the loop's materialized symmetrized+distinct edge frame,
+    so downstream consumers (modularity_terms) can skip their own
+    corpus-sized re-symmetrize/distinct shuffle.
 
     Scale shape per iteration: ONE keyed join (labels onto the
     symmetrized edge list, keyed by src), one map-side-combinable
@@ -706,6 +709,7 @@ def label_propagation(
             )
     if info is not None:
         info.update(state)
+        info["und"] = und
     return labels.select("node", F.col("lab").cast("long").alias("community"))
 
 
@@ -841,8 +845,12 @@ def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     n = d.count()
     nodes, edges = _doc_graph(d, n)
-    labels = label_propagation(nodes, edges)
-    return modularity_terms(labels, edges).orderBy("community")
+    info: dict = {}
+    labels = label_propagation(nodes, edges, info=info)
+    # reuse the loop's materialized symmetrized edge frame: passing raw
+    # edges would pay a second full symmetrize+distinct+materialize
+    # (r12 triage of the r11 lpa_modularity wall drift)
+    return modularity_terms(labels, und=info["und"]).orderBy("community")
 
 
 # --- k-core peeling (fixed rounds, gated) -----------------------------------

@@ -220,7 +220,10 @@ def test_label_propagation_converge_mode(spark):
             onodes, oe, converge=True, info=oinfo
         ).collect()
     }
-    assert oinfo == {"converged": False, "two_cycle": True, "rounds": 2}
+    assert {k: oinfo[k] for k in ("converged", "two_cycle", "rounds")} == {
+        "converged": False, "two_cycle": True, "rounds": 2
+    }
+    assert oinfo["und"] is not None  # the reusable symmetrized frame
     assert osc == {1: 1, 2: 2}
 
 
