@@ -111,6 +111,8 @@ HEADLINE = [
     "streaming_late_dedup",
     "exact_group_quantiles",
     "iqr_outlier_screen",
+    # round 12: session-window merge under late data
+    "streaming_session_merge_late",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the

@@ -136,3 +136,28 @@ def test_auc_small_support_form_bit_equal(spark, sf_dir):
         assert (big[k]["n_pos"], big[k]["n_neg"], big[k]["auc"]) == (
             small[k]["n_pos"], small[k]["n_neg"], small[k]["auc"]
         )
+
+
+def test_auc_null_label_group_survives_both_forms(spark):
+    # the r11 ADVICE scenario: a NULL label is a legitimate GROUP BY
+    # group — the distributed-rank branch's null-safe offset join must
+    # keep it, bit-equal to the bounded window branch
+    from pyspark.sql import functions as F
+
+    from fastetl_spark.operators.evaluation import auc_from_score_counts
+
+    vt = spark.createDataFrame(
+        [("a", 1.0, 3), ("a", 2.0, 1), (None, 1.5, 2), (None, 3.0, 4),
+         ("b", 0.5, 2)],
+        "lab string, score double, cnt long",
+    )
+    big = {r["lab"]: r for r in
+           auc_from_score_counts(vt, "lab", "score").collect()}
+    small = {r["lab"]: r for r in
+             auc_from_score_counts(vt, "lab", "score",
+                                   small_support=True).collect()}
+    assert set(big) == set(small) == {"a", "b", None}
+    for k in big:
+        assert (big[k]["n_pos"], big[k]["n_neg"], big[k]["auc"]) == (
+            small[k]["n_pos"], small[k]["n_neg"], small[k]["auc"]
+        ), k
