@@ -170,6 +170,13 @@ def materialize_with_bounds(
 
 
 def _check_offset_rows(n: int, max_offset_rows: int, where: str) -> None:
+    # Checked AFTER the collect on purpose: a .limit(max+1).collect()
+    # would bound the driver intake itself but costs a second scheduled
+    # job (CollectLimit's incremental execution — measured 2 jobs vs
+    # 1), regressing the one-eager-job discipline every caller relies
+    # on.  The guard's job is the CONTRACT (fail loudly before the
+    # broadcast instead of silently degrading); 2^20 Row objects of
+    # intake is ~100 MB — far from a driver melt.
     if n > max_offset_rows:
         raise RuntimeError(
             f"{where}: {n} offset tuples exceed max_offset_rows="
