@@ -1016,7 +1016,9 @@ class Engine:
         (operators/curation2.quantile_map_values, gated by
         `quantile_mapping_normalize`): each value mapped to the global
         distribution's value at its per-key relative rank through a
-        ``levels+1``-point percentile_disc grid. The DEFAULT stays
+        ``levels+1``-point exact-DISC grid (distributed rank selection
+        on rank_quantiles — same elements percentile_disc would pick,
+        without its gathered-multiset merge buffer). The DEFAULT stays
         ``exact=True`` (the gated query's rank-window form): unlike
         drift_report/winsorize_report, whose sketch modes are bit-equal
         at covering accuracy, here the two LEVEL CONVENTIONS differ

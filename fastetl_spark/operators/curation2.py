@@ -779,14 +779,29 @@ def quantile_map_values(
         F.col(key_col).alias("__k"),
         F.col(value_col).alias("__v"),
     )
-    qexprs = [
-        F.expr(
-            f"percentile_disc({l}.0 / {levels}) WITHIN GROUP (ORDER BY __v)"
-        ).alias(f"q{l}")
-        for l in range(levels + 1)
-    ]
-    glob = e.agg(*qexprs).select(
-        F.array(*[F.col(f"q{l}") for l in range(levels + 1)]).alias("g")
+    # Global grid via DISTRIBUTED exact DISC selection (rank_quantiles),
+    # not a percentile_disc aggregate: percentile_disc is a gathering
+    # TypedImperativeAggregate — its keyless merge funnels the FULL
+    # value multiset through one task x (levels+1) buffers, which OOMs
+    # a default-heap session at sf0.1 and is a hard stop at 100 TB (the
+    # r12 audit finding).  exact_quantiles_global picks the identical
+    # lower-DISC element (k = ceil(p*n), same rule as percentile_disc's
+    # first-cume_dist>=p) with hash exchanges only, so the grid values
+    # — and every downstream hash — are unchanged.  The 129 grid rows
+    # fold to one array row through constant-size conditional-max
+    # buffers (no collect_list: keep the keyless merge non-gathering).
+    from fastetl_spark.operators.rank_quantiles import exact_quantiles_global
+
+    q = exact_quantiles_global(
+        e, "__v", probs=[(l, levels) for l in range(levels + 1)]
+    )
+    glob = q.agg(
+        F.array(
+            *[
+                F.max(F.when(F.col("p_num") == l, F.col("value")))
+                for l in range(levels + 1)
+            ]
+        ).alias("g")
     )
     if exact:
         w = Window.partitionBy("__k").orderBy("__v", "__o")
@@ -847,9 +862,13 @@ def quantile_mapping_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines pick identically.
 
     Scale shape: one window shuffle per group for ranks (partitioned by
-    event_type, never global), one single-pass aggregation for the
-    {_QM_LEVELS + 1} global grid values, broadcast back — no global
-    sort, no per-row global rank."""
+    event_type, never global), and the {_QM_LEVELS + 1} global grid
+    values by distributed exact rank selection on the ranks primitive
+    (hash exchanges + two bounded driver jobs; NOT a percentile_disc
+    gather — that shape buffered the full value multiset in one
+    keyless-merge task and OOM'd a default-heap session at sf0.1),
+    broadcast back — no global sort, no per-row global rank, no
+    gathered value lists."""
     e = ensure_parallelism(read_table(spark, sf_dir, "events")).select(
         "event_id", "event_type", "value"
     )

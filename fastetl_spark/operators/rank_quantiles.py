@@ -126,13 +126,20 @@ def exact_quantiles_by_key(
         list(per_key.items()),
         StructType(
             [
-                StructField(key_col, df.schema[key_col].dataType),
+                StructField("__nk_key", df.schema[key_col].dataType),
                 StructField("n_key", LongType(), False),
             ]
         ),
     )
+    # eqNullSafe, mirroring bucketed_cum_sum's offset join: a NULL key
+    # is a legitimate GROUP BY group — a plain equi-join would carry it
+    # through the null-safe offset join only to silently drop its
+    # quantile rows here (the r12 ADVICE finding).
     return (
-        cum.join(F.broadcast(nk), key_col)
+        cum.join(
+            F.broadcast(nk), F.col(key_col).eqNullSafe(F.col("__nk_key"))
+        )
+        .drop("__nk_key")
         .crossJoin(_probs_df(df.sparkSession, probs))
         .filter(
             F.col("cum") >= F.expr("(p_num * n_key + p_den - 1) DIV p_den")

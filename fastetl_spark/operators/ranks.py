@@ -123,6 +123,22 @@ def _as_double(key: Column, dtype) -> Column:
     return key.cast("double")
 
 
+def _finite_bounds(vals) -> list[float]:
+    """Dedup, sort, and drop NON-FINITE split points.  Keys of +/-inf
+    make percentile_approx return +/-inf values, which would collide
+    with the Bucketizer's [-inf, *bounds, +inf] sentinels and violate
+    its strictly-increasing-splits requirement — a hard
+    IllegalArgumentException (the r12 ADVICE finding).  Exactness never
+    depends on split values (any monotone bucketing is exact), so
+    dropping them only affects balance: infinite keys share the edge
+    buckets."""
+    import math
+
+    return sorted(
+        {float(v) for v in vals if v is not None and math.isfinite(v)}
+    )
+
+
 def range_bounds(
     g: DataFrame, key_col: str, num_buckets: int | None = None
 ) -> list[float]:
@@ -142,7 +158,7 @@ def range_bounds(
     kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
     row = g.agg(F.percentile_approx(kd, qs, 10000).alias("b")).head()
     vals = (row["b"] if row is not None else None) or []
-    return sorted({float(v) for v in vals if v is not None})
+    return _finite_bounds(vals)
 
 
 def materialize_with_bounds(
@@ -166,7 +182,7 @@ def materialize_with_bounds(
         obs, F.percentile_approx(kd, qs, 10000).alias("b")
     ).transform(materialize)
     vals = obs.get.get("b") or []
-    return g2, sorted({float(v) for v in vals if v is not None})
+    return g2, _finite_bounds(vals)
 
 
 def _check_offset_rows(n: int, max_offset_rows: int, where: str) -> None:

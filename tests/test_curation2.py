@@ -220,3 +220,49 @@ def test_ngram_contamination_planted_leak(spark):
     words = ("intro words " + leak + " trailing text here").split()
     grams = {" ".join(words[i:i + 8]) for i in range(len(words) - 7)}
     assert got[1]["n_grams"] == len(grams)
+
+
+_QM_VANILLA_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+import __spark_entry__ as m
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("vanilla-qm-regression")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+n = m.queries()["quantile_mapping_normalize"](spark, {sf_dir!r}).count()
+print("QM_ROWS", n)
+spark.stop()
+"""
+
+
+def test_quantile_mapping_completes_on_default_heap_sf01():
+    """Regression for the r12 scale-shape finding: the global grid used
+    to be a x129 percentile_disc gather whose keyless merge buffered the
+    FULL value multiset in one task — it OOM'd a default-config (1g
+    driver heap) local[8] session at sf0.1.  The grid now rides the
+    distributed exact-selection path (rank_quantiles), so the same
+    vanilla session must complete.  Runs in a FRESH subprocess because
+    driver heap is fixed at JVM launch."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    p = subprocess.run(
+        [sys.executable, "-c", _QM_VANILLA_SCRIPT.format(repo=repo, sf_dir=sf_dir)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=repo,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "QM_ROWS 100000" in p.stdout

@@ -101,3 +101,19 @@ def test_no_single_partition_exchange(spark):
     spec.loader.exec_module(mod)
     cls = mod.classify_single_parts(plan)
     assert cls["sort"] == 0 and cls["other"] == 0
+
+
+def test_null_key_is_a_group(spark):
+    """A NULL group key is legitimate under SQL GROUP BY.  It survives
+    the null-safe offset join inside bucketed_cum_sum; the final n_key
+    join must be eqNullSafe too or the NULL group silently emits no
+    quantile rows (the r12 ADVICE finding)."""
+    rows = [(None, float(x)) for x in (10, 20, 30)] + [
+        ("a", float(x)) for x in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        (r["k"], r["p_num"], r["p_den"]): r["value"]
+        for r in exact_quantiles_by_key(df, "k", "v", probs=[(1, 2)]).collect()
+    }
+    assert got == {(None, 1, 2): 20.0, ("a", 1, 2): 2.0}

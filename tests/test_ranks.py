@@ -358,3 +358,25 @@ def test_adaptive_num_buckets_default(spark):
     got = bucketed_cum_sum(g, "k", "cnt", bounds=range_bounds(g, "k"))
     ref = _window_ref(g, "k", "cnt").select("k", "cum_ref")
     _assert_equal(got.join(ref, "k"), ["k"])
+
+
+def test_infinite_keys_share_edge_buckets(spark):
+    """+/-inf keys must not crash the Bucketizer path: percentile_approx
+    can return infinite split points, which would collide with the
+    [-inf, *bounds, +inf] sentinels (strictly-increasing-splits
+    IllegalArgumentException — the r12 ADVICE finding).  Non-finite
+    values are dropped from the bounds; infinite keys simply share the
+    edge buckets, and the cum sums stay exact."""
+    inf = float("inf")
+    rows = [(-inf, 1), (1.0, 2), (2.0, 3), (3.0, 4), (inf, 5), (inf, 0)]
+    g = (
+        spark.createDataFrame(rows, "k double, cnt long")
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    bounds = range_bounds(g, "k", num_buckets=4)
+    assert all(b == b and abs(b) != float("inf") for b in bounds)
+    got = _window_ref(
+        bucketed_cum_sum(g, "k", "cnt", bounds=bounds), "k", "cnt"
+    )
+    _assert_equal(got, ["k"])
