@@ -281,3 +281,53 @@ def test_exhaustive_ivf_matches_exact_topk(spark, sf_dir, tmp_path):
         for r in cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
     )
     assert got == want and got
+
+
+def _audit_mod():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "shuffle_audit_mod",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "shuffle_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_keyless_gathering_aggregate_classified_as_gather(spark, sf_dir):
+    """The r12 audit blind spot, pinned: a keyless percentile_disc
+    merge (the OLD quantile_mapping grid shape) carries the full value
+    multiset through one task but used to auto-classify as a benign
+    1part-scalar.  The audit must now call it `gather` — both in the
+    single-part classifier and in the plan-wide gather counter — so
+    the next one fails the gate instead of sailing through."""
+    mod = _audit_mod()
+    e = read_table(spark, sf_dir, "events")
+    df = e.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("m")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    cls = mod.classify_single_parts(plan)
+    assert cls["gather"] >= 1 and cls["scalar"] == 0
+    ga = mod.count_gathers(plan)
+    assert ga["keyless"] >= 1
+
+    # sketches are constant-size buffers and must stay benign scalar
+    df2 = e.agg(F.percentile_approx("value", 0.5).alias("m"))
+    plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
+        df2._jdf.queryExecution(), "simple"
+    )
+    cls2 = mod.classify_single_parts(plan2)
+    assert cls2["gather"] == 0 and cls2["scalar"] >= 1
+    assert sum(mod.count_gathers(plan2).values()) == 0
+
+    # keyed gathers are counted by shape
+    df3 = e.groupBy("event_type").agg(F.collect_list("value").alias("vs"))
+    plan3 = df3._sc._jvm.PythonSQLUtils.explainString(
+        df3._jdf.queryExecution(), "simple"
+    )
+    assert mod.count_gathers(plan3)["keyed"] >= 1

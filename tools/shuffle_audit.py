@@ -11,8 +11,17 @@ queries shipped with global sort windows and nothing failed): every
 ``Exchange SinglePartition`` is CLASSIFIED by its parent operator.
 
 * ``scalar``  — parent is a KEYLESS aggregate (HashAggregate(keys=[])
-  etc.): the exchange merges one partial row per upstream task.
-  Bounded by task count, inherent to any scalar statistic — benign.
+  etc.) whose buffers are CONSTANT-SIZE: the exchange merges one
+  partial row per upstream task.  Bounded by task count, inherent to
+  any scalar statistic — benign.
+* ``gather``  — parent is a keyless aggregate containing a GATHERING
+  TypedImperativeAggregate (percentile_disc, percentile, median,
+  mode, collect_list/set, listagg/string_agg/array_agg): the "one row
+  per task" argument is FALSE — each partial row carries the task's
+  whole value multiset, so the merge funnels ALL input values through
+  one task (the r12 lesson: quantile_mapping_normalize's grid OOM'd a
+  default-heap session at sf0.1 while the audit called it benign).
+  ERROR unless on GATHER_ALLOWLIST with a bounded-input reason.
 * ``limit``   — parent is TakeOrderedAndProject / CollectLimit: a
   top-k / LIMIT merge of per-partition prefixes — benign.
 * ``sort``    — parent is Sort / Window / WindowGroupLimit: EVERY ROW
@@ -22,9 +31,18 @@ queries shipped with global sort windows and nothing failed): every
   top-k shortlists, per-day rollups, fixed bucket grids — qualify).
 * ``other``   — anything else: always an error (classify it first).
 
+KEYED gathering aggregates (and Window nodes evaluating a gathering
+function) are audited too: the buffer is per-GROUP rather than global,
+which is only safe when per-group input is bounded — so every query
+whose plan evaluates a gathering aggregate must carry a
+GATHER_ALLOWLIST entry naming that bound (df-capped posting lists,
+per-session event caps, documented moderate-group contracts).
+
 ``python tools/shuffle_audit.py --check`` (used by release_gate) exits
-non-zero on any unlisted sort/other single-part, so the next
-single-partition sort fails the gate instead of sailing through.
+non-zero on any unlisted sort/other single-part or any unlisted
+gathering aggregate, so the next single-partition sort — or
+single-task multiset buffer — fails the gate instead of sailing
+through.
 """
 
 from __future__ import annotations
@@ -54,8 +72,91 @@ SINGLE_PART_ALLOWLIST: dict[str, str] = {
     "sequence_packing_layout": "bucket-grid",
 }
 
+# Queries allowed to evaluate a GATHERING aggregate (multiset buffer),
+# each with the input bound that keeps the buffer small.  Keyless
+# gathers (the whole frame through ONE merge task) should not be here
+# at all unless the frame itself is dictionary-sized; keyed/window
+# gathers qualify only with a per-group cap.  A gathering aggregate
+# anywhere else fails the gate (the r12 blind spot: a keyless
+# percentile_disc grid was auto-classified a benign 1part-scalar and
+# OOM'd a default-heap session at sf0.1 — quantile_mapping_normalize,
+# since rerouted through rank_quantiles' distributed exact selection).
+GATHER_ALLOWLIST: dict[str, str] = {
+    # collect_set(event_type) per user: set bounded by the event-type
+    # dictionary (6 values), not by the user's event count
+    "array_agg_cluster": "event-type dictionary",
+    # per-doc (pos, ln p) lists for the ordered surprisal fold:
+    # bounded by per-document token count
+    "bigram_surprisal": "per-doc tokens",
+    "unigram_surprisal": "per-doc tokens",
+    # shingle posting lists gathered ONLY after the two-phase df-cap
+    # eliminates hot shingles as (shingle, count) rows — buffer <=
+    # df_cap elements (dedup.py two-phase df-cap note)
+    "dedup_containment": "df-capped postings",
+    "dedup_jaccard_prefix": "df-capped postings",
+    "dedup_ngram_jaccard": "df-capped postings",
+    # composes ngram_jaccard_pairs -> same df-capped posting bound
+    "split_leakage_report": "df-capped postings",
+    # df-capped inverted-index posting lists (curation2 prefix filter)
+    "sparse_cosine_shingles": "df-capped postings",
+    # KEYLESS, but over the km curve frame: one row per distinct
+    # duration DAY — bounded by the observation window, not by users
+    # (docstring 'Scale shape')
+    "kaplan_meier_conversion": "per-day curve state",
+    # per-src (rnk, sim) lists over the kNN output: <= k rows/group
+    "mutual_margin_pairs": "top-k shortlist",
+    # EXACT-twin PageRank: per-node ordered contribution folds gather
+    # in-degree lists for bit-reproducible sums; the scale path is the
+    # throughput fold's plain F.sum (pagerank_*_throughput), this form
+    # exists to be oracle-verifiable
+    "pagerank_doc_graph": "exact-twin ordered fold (scale: throughput form)",
+    "pagerank_link_graph": "exact-twin ordered fold (scale: throughput form)",
+    # exact F.percentile over 3 return-flag groups: the documented
+    # moderate-group contract (integral qty; sketch route at scale)
+    "quantity_percentiles": "moderate-group contract",
+    # percentile_disc median/MAD per event type: the documented
+    # moderate-group contract (analytics.py 'Shape at scale' — route
+    # through approx_quantiles_events at 100 TB/group)
+    "robust_outlier_events": "moderate-group contract",
+    # per-(user, session) event lists: bounded by session length
+    "top_session_paths": "per-session events",
+}
+
 _SORT_PARENTS = ("Sort ", "Sort(", "Window ", "Window(", "WindowGroupLimit")
 _LIMIT_PARENTS = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
+
+# Gathering aggregate functions: TypedImperativeAggregates whose buffer
+# holds the input multiset (or a list of it) rather than a constant-size
+# state.  percentile_approx / approx_percentile are SKETCHES (constant
+# buffer) and intentionally do not match — `percentile(` cannot match
+# `percentile_approx(`.  The optional partial_/merge_/final_ prefixes
+# cover the plan's aggregate-mode spellings.
+_GATHER_FUNCS = re.compile(
+    r"\b(?:partial_|merge_|final_)?"
+    r"(percentile_disc|percentile_cont|percentile|median|mode|"
+    r"collect_list|collect_set|listagg|string_agg|array_agg)\("
+)
+_AGG_NODE = re.compile(r"\b(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[(\]|[^\]])")
+
+
+def count_gathers(plan: str) -> dict[str, int]:
+    """Count plan nodes evaluating a GATHERING aggregate function,
+    split by shape: ``keyless`` (global multiset through one merge
+    task), ``keyed`` (per-group multiset buffers), ``window`` (a
+    Window node evaluating e.g. collect_list over a frame).  Partial
+    and final nodes of one logical aggregate both count — the audit
+    cares about presence, not arity."""
+    out = {"keyless": 0, "keyed": 0, "window": 0}
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-: *")
+        if not _GATHER_FUNCS.search(s):
+            continue
+        m = _AGG_NODE.search(s)
+        if m:
+            out["keyless" if m.group(2) == "]" else "keyed"] += 1
+        elif s.startswith(("Window ", "Window(", "WindowGroupLimit")):
+            out["window"] += 1
+    return out
 
 
 def _indent(line: str) -> int:
@@ -69,9 +170,13 @@ def _indent(line: str) -> int:
 
 
 def classify_single_parts(plan: str) -> dict[str, int]:
-    """Count Exchange SinglePartition nodes per class (scalar / limit /
-    sort / other) by walking up to each node's parent operator."""
-    out = {"scalar": 0, "limit": 0, "sort": 0, "other": 0}
+    """Count Exchange SinglePartition nodes per class (scalar / gather
+    / limit / sort / other) by walking up to each node's parent
+    operator.  A keyless-aggregate parent is ``scalar`` (benign, one
+    constant-size row per task) UNLESS it evaluates a gathering
+    function — then it is ``gather``: the merge carries the full input
+    multiset through one task."""
+    out = {"scalar": 0, "gather": 0, "limit": 0, "sort": 0, "other": 0}
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
@@ -83,7 +188,7 @@ def classify_single_parts(plan: str) -> dict[str, int]:
                 parent = lines[j].strip().lstrip("+-: *")
                 break
         if re.match(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]", parent):
-            out["scalar"] += 1
+            out["gather" if _GATHER_FUNCS.search(parent) else "scalar"] += 1
         elif parent.startswith(_LIMIT_PARENTS):
             out["limit"] += 1
         elif parent.startswith(_SORT_PARENTS):
@@ -122,6 +227,7 @@ def main() -> None:
             continue
         exchanges = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan))
         sp = classify_single_parts(plan)
+        ga = count_gathers(plan)
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
         bnlj = plan.count("BroadcastNestedLoopJoin")
@@ -142,13 +248,40 @@ def main() -> None:
                     f"{name}: {sp['sort']} sort + {sp['other']} other"
                     " single-part exchange(s) not on SINGLE_PART_ALLOWLIST"
                 )
+        n_gather = ga["keyless"] + ga["keyed"] + ga["window"]
+        if n_gather:
+            shape = "/".join(
+                f"{ga[k]} {k}" for k in ("keyless", "keyed", "window") if ga[k]
+            )
+            reason = GATHER_ALLOWLIST.get(name)
+            if reason:
+                note.append(f"gather[{shape}] (allowed: {reason})")
+            else:
+                note.append(f"gather[{shape}] UNLISTED")
+                violations.append(
+                    f"{name}: gathering aggregate ({shape}) not on"
+                    " GATHER_ALLOWLIST — a multiset buffer needs a"
+                    " documented input bound"
+                )
+        if sp["gather"] and not ga["keyless"]:
+            # belt-and-braces: a keyless gather merge whose parent line
+            # the node scan missed still fails the gate
+            violations.append(
+                f"{name}: {sp['gather']} 1part-gather exchange(s)"
+                " (keyless gathering-aggregate merge) not matched by"
+                " count_gathers — classify it"
+            )
         if bnlj:
             note.append("nested-loop")
         rows.append((name, exchanges, bhj, smj, bnlj, scans, "; ".join(note)))
 
-    stale = sorted(set(SINGLE_PART_ALLOWLIST) - set(queries))
-    if stale:
-        violations.append(f"allowlist names unknown queries: {stale}")
+    for lst, lname in (
+        (SINGLE_PART_ALLOWLIST, "SINGLE_PART_ALLOWLIST"),
+        (GATHER_ALLOWLIST, "GATHER_ALLOWLIST"),
+    ):
+        stale = sorted(set(lst) - set(queries))
+        if stale:
+            violations.append(f"{lname} names unknown queries: {stale}")
 
     lines = [
         "# Shuffle / join audit (generated by tools/shuffle_audit.py)",
@@ -156,11 +289,19 @@ def main() -> None:
         "Per-query physical-plan statistics at sf0.01. `exch` counts",
         "hash/range repartition exchanges (shuffles). Exchange",
         "SinglePartition nodes are classified by parent operator:",
-        "`1part-scalar` (keyless-aggregate merge, one row per task —",
-        "benign), `1part-limit` (top-k/LIMIT merge — benign),",
-        "`1part-sort` (global Sort/Window: every row through one task —",
-        "scale-killer, must be on the audit's SINGLE_PART_ALLOWLIST",
-        "with a bounded-frame reason, else the release gate fails).",
+        "`1part-scalar` (keyless-aggregate merge of CONSTANT-SIZE",
+        "buffers, one row per task — benign), `1part-limit`",
+        "(top-k/LIMIT merge — benign), `1part-sort` (global",
+        "Sort/Window: every row through one task — scale-killer, must",
+        "be on the audit's SINGLE_PART_ALLOWLIST with a bounded-frame",
+        "reason, else the release gate fails). `gather[...]` marks",
+        "plans evaluating a GATHERING aggregate (percentile_disc,",
+        "collect_list/set, mode, ...): keyless = the full input",
+        "multiset through ONE merge task, keyed/window = per-group",
+        "multiset buffers — every occurrence must be on",
+        "GATHER_ALLOWLIST with the input bound that keeps the buffer",
+        "small, else the gate fails (sketches like percentile_approx",
+        "are constant-size and exempt).",
         "Nested-loop joins are legitimate only on dictionary-sized",
         "inputs (fuzzy matching) or scalar-subquery broadcasts.",
         "Iterative operators (connected components) and",
