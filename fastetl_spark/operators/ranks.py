@@ -79,7 +79,40 @@ def default_num_buckets(spark) -> int:
     return max(64, min(1024, 2 * par))
 
 
-def _as_double(key: Column, dtype) -> Column:
+class KeyBounds(list):
+    """Split points (a plain ``list[float]``) that optionally carry a
+    STRING-KEY common-prefix strip: ``prefix`` is the byte prefix every
+    key in the bounds frame shares, and the bounds are percentiles of
+    the image of bytes ``len(prefix)+1 .. len(prefix)+7``.  Bucket
+    assignment (``_with_bucket`` via ``_as_double``) reads the prefix
+    off the bounds object, so the totals collect and the final prefix
+    sum always bucket with the SAME image as the split points — the
+    one invariant exactness rests on.  Plain lists (every existing
+    caller, precomputed bounds) mean ``prefix = b""``: byte-identical
+    behavior to the absolute 7-byte image."""
+
+    prefix: bytes = b""
+
+    def __init__(self, vals=(), prefix: bytes = b""):
+        super().__init__(vals)
+        self.prefix = prefix
+
+
+def _common_prefix(mn: str | None, mx: str | None) -> bytes:
+    """Byte-level common prefix of the key range.  Every key k with
+    mn <= k <= mx (Spark's string order IS unsigned-bytewise UTF-8
+    order) shares it: a first-difference below len(prefix) against mn
+    or mx would put k outside the range."""
+    if mn is None or mx is None:
+        return b""
+    a, b = mn.encode("utf-8"), mx.encode("utf-8")
+    i = 0
+    while i < min(len(a), len(b)) and a[i] == b[i]:
+        i += 1
+    return a[:i]
+
+
+def _as_double(key: Column, dtype, prefix: bytes = b"") -> Column:
     """Monotone numeric image of ``key`` for bucketing.
 
     TIMESTAMP (an instant) maps through ``unix_micros`` — a genuinely
@@ -107,19 +140,39 @@ def _as_double(key: Column, dtype) -> Column:
     if isinstance(dtype, DateType):
         return F.unix_date(key).cast("double")
     if isinstance(dtype, StringType):
-        # first 7 UTF-8 bytes as a big-endian integer, zero-padded on
-        # the RIGHT (variable-length prefixes are not order-preserving
-        # unpadded: "AZ" < "B" bytewise but 0x415A > 0x42).  7 bytes
-        # keep the value under 2^56 — positive in conv's signed BIGINT,
-        # and double rounding of the low bits is monotone (neighbors
-        # may merge into one bucket; order never inverts).  Matches
-        # Spark's binary string comparison order; longer shared
-        # prefixes simply share a bucket.
-        return F.conv(
-            F.rpad(F.hex(F.substring(key.cast("binary"), 1, 7)), 14, "0"),
-            16,
-            10,
+        # A 7-byte window of the UTF-8 bytes as a big-endian integer,
+        # zero-padded on the RIGHT (variable-length prefixes are not
+        # order-preserving unpadded: "AZ" < "B" bytewise but
+        # 0x415A > 0x42).  7 bytes keep the value under 2^56 —
+        # positive in conv's signed BIGINT, and double rounding of the
+        # low bits is monotone (neighbors may merge into one bucket;
+        # order never inverts).  Matches Spark's binary string
+        # comparison order.
+        #
+        # ``prefix`` (from KeyBounds) shifts the window PAST the
+        # corpus-wide common prefix: an ABSOLUTE first-7-bytes image
+        # collapses URL/path/ISO-date-style corpora (>= 7 shared
+        # leading bytes) to ONE double, so the split points degenerate
+        # and the whole frame lands in a single bucket — a parallelism
+        # cliff at scale (the r12 VERDICT finding).  Keys that do NOT
+        # share the prefix (possible when the assignment frame is not
+        # the bounds frame) clamp to sentinel images below/above the
+        # shared-prefix block, keeping the image TOTAL and monotone
+        # for any key.
+        kb = key.cast("binary")
+        L = len(prefix)
+        img = F.conv(
+            F.rpad(F.hex(F.substring(kb, L + 1, 7)), 14, "0"), 16, 10
         ).cast("double")
+        if L == 0:
+            return img
+        head = F.substring(kb, 1, L)
+        p = F.lit(bytearray(prefix))
+        return (
+            F.when(head < p, F.lit(-1.0))
+            .when(head > p, F.lit(float(2**57)))
+            .otherwise(img)
+        )
     return key.cast("double")
 
 
@@ -139,13 +192,25 @@ def _finite_bounds(vals) -> list[float]:
     )
 
 
+def _degenerate(bounds: list[float], num_buckets: int) -> bool:
+    """Too few distinct split points to spread load: the re-percentile
+    trigger for prefix-shared string corpora.  >= 7 shared leading
+    bytes collapse the absolute image to ONE value (0 or 1 distinct
+    split points); a partial overlap (1-6 shared bytes) still leaves
+    1-6 varying window bytes and near-full split sets, so the 8-point
+    threshold only fires on genuine collapse (or on supports so small
+    that a second bounded job is free anyway)."""
+    return len(bounds) < min(num_buckets - 1, 8)
+
+
 def range_bounds(
     g: DataFrame, key_col: str, num_buckets: int | None = None
 ) -> list[float]:
     """Approximate equi-depth split points for ``key_col``, returned as
-    a sorted list of literal floats (one bounded job).
-    ``num_buckets=None`` (default) adapts to the cluster via
-    ``default_num_buckets``.
+    a sorted list of literal floats (one bounded job; see KeyBounds —
+    for string keys the list may carry a common-prefix strip, computed
+    from min/max that ride the SAME job).  ``num_buckets=None``
+    (default) adapts to the cluster via ``default_num_buckets``.
 
     Exactness of downstream prefix sums does NOT depend on these values
     — any monotone bucketing works — so percentile_approx error only
@@ -153,12 +218,35 @@ def range_bounds(
     if num_buckets is None:
         num_buckets = default_num_buckets(g.sparkSession)
     if num_buckets < 2:
-        return []
+        return KeyBounds()
     qs = [i / num_buckets for i in range(1, num_buckets)]
-    kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
+    dtype = g.schema[key_col].dataType
+    kd = _as_double(F.col(key_col), dtype)
+    exprs = [F.percentile_approx(kd, qs, 10000).alias("b")]
+    is_str = isinstance(dtype, StringType)
+    if is_str:
+        exprs += [F.min(key_col).alias("mn"), F.max(key_col).alias("mx")]
+    row = g.agg(*exprs).head()
+    vals = (row["b"] if row is not None else None) or []
+    bounds = _finite_bounds(vals)
+    if is_str and row is not None:
+        prefix = _common_prefix(row["mn"], row["mx"])
+        if prefix and _degenerate(bounds, num_buckets):
+            return _restripe_string_bounds(g, key_col, dtype, prefix, qs)
+    return KeyBounds(bounds)
+
+
+def _restripe_string_bounds(
+    g: DataFrame, key_col: str, dtype, prefix: bytes, qs: list[float]
+) -> "KeyBounds":
+    """Second bounded percentile job on the PREFIX-STRIPPED image —
+    paid only when the absolute image collapsed (all keys share >= 7
+    leading bytes), i.e. exactly when the first job's split points
+    cannot spread load anyway."""
+    kd = _as_double(F.col(key_col), dtype, prefix)
     row = g.agg(F.percentile_approx(kd, qs, 10000).alias("b")).head()
     vals = (row["b"] if row is not None else None) or []
-    return _finite_bounds(vals)
+    return KeyBounds(_finite_bounds(vals), prefix=prefix)
 
 
 def materialize_with_bounds(
@@ -175,14 +263,25 @@ def materialize_with_bounds(
 
     if num_buckets is None:
         num_buckets = default_num_buckets(g.sparkSession)
-    kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
+    dtype = g.schema[key_col].dataType
+    kd = _as_double(F.col(key_col), dtype)
     qs = [i / num_buckets for i in range(1, num_buckets)]
     obs = Observation()
-    g2 = g.observe(
-        obs, F.percentile_approx(kd, qs, 10000).alias("b")
-    ).transform(materialize)
-    vals = obs.get.get("b") or []
-    return g2, _finite_bounds(vals)
+    exprs = [F.percentile_approx(kd, qs, 10000).alias("b")]
+    is_str = isinstance(dtype, StringType)
+    if is_str:
+        # min/max ride the same observe: the common-prefix length is
+        # free, and the (rare) re-percentile below scans the fresh
+        # CHECKPOINT, not the upstream plan
+        exprs += [F.min(key_col).alias("mn"), F.max(key_col).alias("mx")]
+    g2 = g.observe(obs, *exprs).transform(materialize)
+    got = obs.get
+    bounds = _finite_bounds(got.get("b") or [])
+    if is_str:
+        prefix = _common_prefix(got.get("mn"), got.get("mx"))
+        if prefix and _degenerate(bounds, num_buckets):
+            return g2, _restripe_string_bounds(g2, key_col, dtype, prefix, qs)
+    return g2, KeyBounds(bounds)
 
 
 def _check_offset_rows(n: int, max_offset_rows: int, where: str) -> None:
@@ -219,7 +318,11 @@ def collect_bucket_totals(
     summing driver-side instead of paying a second job.  Raises
     ``RuntimeError`` past ``max_offset_rows`` tuples (the boundedness
     contract, enforced)."""
-    kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
+    kd = _as_double(
+        F.col(key_col),
+        g.schema[key_col].dataType,
+        getattr(bounds, "prefix", b""),
+    )
     pc = list(partition_cols)
     rows = (
         _with_bucket(g, kd, bounds)
@@ -371,7 +474,11 @@ def bucketed_cum_sum(
     equi-join silently dropped NULL-labelled rows)."""
     spark = g.sparkSession
     pc = list(partition_cols)
-    kd = _as_double(F.col(key_col), g.schema[key_col].dataType)
+    kd = _as_double(
+        F.col(key_col),
+        g.schema[key_col].dataType,
+        getattr(bounds, "prefix", b""),
+    )
     gb = _with_bucket(g, kd, bounds)
     if offsets is None:
         totals = (

@@ -380,3 +380,94 @@ def test_infinite_keys_share_edge_buckets(spark):
         bucketed_cum_sum(g, "k", "cnt", bounds=bounds), "k", "cnt"
     )
     _assert_equal(got, ["k"])
+
+
+def test_common_prefix_string_keys_spread_and_stay_exact(spark):
+    """URL-style corpora share >= 7 leading bytes, which collapses the
+    ABSOLUTE first-7-bytes image to one double — split points
+    degenerate and the whole frame lands in a single bucket (the r12
+    VERDICT finding).  materialize_with_bounds now strips the global
+    common prefix (min/max ride the same observe), so the buckets
+    spread again; the cum sums stay bit-equal to the window form."""
+    from pyspark.sql.types import StringType
+
+    from fastetl_spark.operators.ranks import (
+        _BKT,
+        _as_double,
+        _with_bucket,
+        materialize_with_bounds,
+    )
+
+    g = (
+        spark.range(2000)
+        .select(
+            F.concat(
+                F.lit("https://example.com/"),
+                F.md5(F.col("id").cast("string")),
+            ).alias("k"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    g2, bounds = materialize_with_bounds(g, "k", num_buckets=64)
+    assert bounds.prefix == b"https://example.com/"
+    assert len(bounds) > 8  # split points no longer degenerate
+    kd = _as_double(F.col("k"), StringType(), bounds.prefix)
+    n_buckets_used = _with_bucket(g2, kd, bounds).select(_BKT).distinct().count()
+    assert n_buckets_used > 8  # was exactly 1 with the absolute image
+    got = _window_ref(
+        bucketed_cum_sum(g2, "k", "cnt", bounds=bounds), "k", "cnt"
+    )
+    _assert_equal(got, ["k"])
+
+
+def test_prefix_strip_preserves_order_for_out_of_prefix_keys(spark):
+    """The stripped image must stay TOTAL and monotone even for keys
+    that do NOT share the bounds frame's prefix (assignment frame !=
+    bounds frame): they clamp to sentinel images below/above the
+    shared-prefix block, so ordering never inverts and the prefix sum
+    stays exact."""
+    from fastetl_spark.operators.ranks import materialize_with_bounds
+
+    base = (
+        spark.range(1000)
+        .select(
+            F.concat(
+                F.lit("https://example.com/"),
+                F.md5(F.col("id").cast("string")),
+            ).alias("k"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    g2, bounds = materialize_with_bounds(base, "k", num_buckets=32)
+    assert bounds.prefix  # strip engaged
+    extra = spark.createDataFrame(
+        [("aaa", 3), ("zzzz", 2), (None, 1)], "k string, cnt long"
+    )
+    sup = g2.select("k", "cnt").unionByName(extra)
+    got = _window_ref(
+        bucketed_cum_sum(sup, "k", "cnt", bounds=bounds), "k", "cnt"
+    )
+    _assert_equal(got, ["k"])
+
+
+def test_plain_list_bounds_mean_no_strip(spark):
+    """Precomputed plain-list bounds (every existing caller) must keep
+    the absolute image — a KeyBounds prefix only applies when the
+    bounds object carries it, so bounds and assignment can never
+    disagree on the image."""
+    from pyspark.sql.types import StringType
+
+    from fastetl_spark.operators.ranks import KeyBounds, _as_double
+
+    img_abs = _as_double(F.col("k"), StringType())
+    img_plain = _as_double(F.col("k"), StringType(), b"")
+    df = spark.createDataFrame([("abc",), ("abd",)], "k string")
+    a = df.select(img_abs.alias("i")).collect()
+    b = df.select(img_plain.alias("i")).collect()
+    assert a == b
+    kb = KeyBounds([1.0, 2.0])
+    assert kb.prefix == b"" and list(kb) == [1.0, 2.0]
