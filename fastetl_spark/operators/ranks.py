@@ -448,19 +448,34 @@ def bucketed_cum_sum(
     out_col: str = "cum_below",
     offsets: list[tuple] | None = None,
     max_offset_rows: int = MAX_OFFSET_ROWS,
+    strict: bool = True,
 ) -> DataFrame:
     """``g`` + ``out_col`` = prefix sum of ``cnt_col`` in ``key_col``
     order (per ``partition_cols`` group) with no single-partition stage.
 
     Requirements: one row per (partition_cols, key_col) — compress with
-    a groupBy first — and |distinct partition_cols| bounded (the offset
-    collect is |groups| * buckets rows).  ``inclusive=False`` gives the
-    exclusive prefix (rows strictly below), ``True`` includes the
-    current key.  Runs one bounded driver job eagerly (the offset
-    totals) unless ``offsets`` supplies precomputed
-    (*group, bucket, exclusive_offset) tuples (see
+    a groupBy first.  ``inclusive=False`` gives the exclusive prefix
+    (rows strictly below), ``True`` includes the current key.  Runs one
+    bounded driver job eagerly (the offset totals) unless ``offsets``
+    supplies precomputed (*group, bucket, exclusive_offset) tuples (see
     collect_bucket_totals / totals_to_offsets — one collect can serve
     several prefix sums); the returned frame is lazy.
+
+    Group-cardinality contract: the offset collect is |distinct
+    partition_cols| x buckets rows, reaching the driver and a
+    broadcast.  ``strict=True`` (default) keeps the loud failure —
+    RuntimeError past ``max_offset_rows`` — so a misused unbounded
+    group column cannot silently grow a driver collect.
+    ``strict=False`` makes the primitive TOTAL: a count probe sizes
+    the offset table first (so driver intake is bounded — nothing is
+    collected past the cap), and past the cap the offsets are computed
+    DISTRIBUTED — an exclusive prefix window over the per-(group,
+    bucket) totals (<= buckets rows per group, hash-partitioned by
+    group) joined back on (group, bucket).  Costs one extra count job
+    plus a shuffle join where the broadcast path pays one collect.
+    With NO partition cols the fallback's offsets window would be a
+    single-partition stage, but it is unreachable: the offset table is
+    then <= len(bounds)+1 <= 1025 rows, always under the cap.
 
     Exactness caveat for precomputed offsets: they must total the SAME
     cnt mass per (group, bucket) as ``g`` — rows absent from ``g`` but
@@ -468,10 +483,11 @@ def bucketed_cum_sum(
     a genuine mass mismatch is not.
 
     NULL group keys are legitimate groups: the offset join is
-    null-safe (``eqNullSafe`` per partition column), so a NULL label
-    keeps its rows — matching the window form and the SQL engines'
-    GROUP BY, where NULL is one group (the r11 ADVICE finding: a plain
-    equi-join silently dropped NULL-labelled rows)."""
+    null-safe (``eqNullSafe`` per partition column) on BOTH the
+    broadcast and the distributed-fallback path, so a NULL label keeps
+    its rows — matching the window form and the SQL engines' GROUP BY,
+    where NULL is one group (the r11 ADVICE finding: a plain equi-join
+    silently dropped NULL-labelled rows)."""
     spark = g.sparkSession
     pc = list(partition_cols)
     kd = _as_double(
@@ -480,34 +496,52 @@ def bucketed_cum_sum(
         getattr(bounds, "prefix", b""),
     )
     gb = _with_bucket(g, kd, bounds)
-    if offsets is None:
-        totals = (
-            gb.groupBy(*pc, _BKT)
-            .agg(F.sum(cnt_col).cast("long").alias("t"))
-            .collect()
-        )
-        _check_offset_rows(len(totals), max_offset_rows, "bucketed_cum_sum")
-        rows = totals_to_offsets(
-            [(*(r[c] for c in pc), r[_BKT], r["t"]) for r in totals]
-        )
-    else:
-        rows = [tuple(r) for r in offsets]
-        _check_offset_rows(len(rows), max_offset_rows, "bucketed_cum_sum")
     # offset-side columns get private names so the join condition can
     # be null-safe per group column without ambiguous references
     off_names = [f"__rank_offg_{i}" for i in range(len(pc))]
     obkt = "__rank_off_bkt"
-    schema = StructType(
-        [
-            *(
-                StructField(n, g.schema[c].dataType)
-                for n, c in zip(off_names, pc)
-            ),
-            StructField(obkt, IntegerType(), False),
-            StructField(_OFF, LongType(), False),
-        ]
-    )
-    off = F.broadcast(spark.createDataFrame(rows, schema))
+    off = None
+    if offsets is None:
+        tot_df = gb.groupBy(*pc, _BKT).agg(
+            F.sum(cnt_col).cast("long").alias("__rank_t")
+        )
+        if not strict and tot_df.count() > max_offset_rows:
+            # distributed offsets: exclusive prefix over buckets per
+            # group (<= len(bounds)+1 rows each), joined back — no
+            # driver collect, no broadcast, one extra hash exchange
+            woff = (
+                Window.partitionBy(*pc)
+                .orderBy(_BKT)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            off = tot_df.select(
+                *(F.col(c).alias(n) for c, n in zip(pc, off_names)),
+                F.col(_BKT).alias(obkt),
+                F.coalesce(F.sum("__rank_t").over(woff), F.lit(0))
+                .cast("long")
+                .alias(_OFF),
+            )
+        else:
+            totals = tot_df.collect()
+            _check_offset_rows(len(totals), max_offset_rows, "bucketed_cum_sum")
+            rows = totals_to_offsets(
+                [(*(r[c] for c in pc), r[_BKT], r["__rank_t"]) for r in totals]
+            )
+    else:
+        rows = [tuple(r) for r in offsets]
+        _check_offset_rows(len(rows), max_offset_rows, "bucketed_cum_sum")
+    if off is None:
+        schema = StructType(
+            [
+                *(
+                    StructField(n, g.schema[c].dataType)
+                    for n, c in zip(off_names, pc)
+                ),
+                StructField(obkt, IntegerType(), False),
+                StructField(_OFF, LongType(), False),
+            ]
+        )
+        off = F.broadcast(spark.createDataFrame(rows, schema))
     cond = F.col(_BKT) == F.col(obkt)
     for c, n in zip(pc, off_names):
         cond = cond & F.col(c).eqNullSafe(F.col(n))

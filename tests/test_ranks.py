@@ -471,3 +471,76 @@ def test_plain_list_bounds_mean_no_strip(spark):
     assert a == b
     kb = KeyBounds([1.0, 2.0])
     assert kb.prefix == b"" and list(kb) == [1.0, 2.0]
+
+
+def test_nonstrict_fallback_matches_window(spark):
+    """strict=False makes the primitive TOTAL: past max_offset_rows the
+    offsets come from a distributed prefix window joined back (no
+    driver collect) and must stay bit-equal to the window form --
+    including NULL group labels (the join is eqNullSafe on both
+    paths).  strict=True keeps the loud RuntimeError."""
+    import pytest as _pytest
+
+    rows = [
+        (grp, float(k), (k + 1) * (i + 1))
+        for i, grp in enumerate(["a", "b", None, "c"])
+        for k in range(5)
+    ]
+    g = spark.createDataFrame(rows, "grp string, k double, cnt long")
+    bounds = range_bounds(g, "k", num_buckets=4)
+    with _pytest.raises(RuntimeError, match="max_offset_rows"):
+        bucketed_cum_sum(
+            g, "k", "cnt", bounds=bounds, partition_cols=["grp"],
+            max_offset_rows=3,
+        ).collect()
+    got = _window_ref(
+        bucketed_cum_sum(
+            g, "k", "cnt", bounds=bounds, partition_cols=["grp"],
+            max_offset_rows=3, strict=False,
+        ),
+        "k", "cnt", parts=["grp"],
+    )
+    _assert_equal(got, ["grp", "k"])
+    # under the cap, strict=False must take the broadcast path and
+    # produce identical numbers
+    got2 = _window_ref(
+        bucketed_cum_sum(
+            g, "k", "cnt", bounds=bounds, partition_cols=["grp"],
+            strict=False,
+        ),
+        "k", "cnt", parts=["grp"],
+    )
+    _assert_equal(got2, ["grp", "k"])
+
+
+def test_nonstrict_fallback_past_contract_cap(spark):
+    """The fallback at the REAL boundary: > 2^20 distinct groups
+    (ranks.MAX_OFFSET_ROWS) -- the cardinality the strict contract
+    rejects -- runs distributed and matches the window form.  Two keys
+    per group so the within-group prefix is non-trivial."""
+    from fastetl_spark.operators.ranks import MAX_OFFSET_ROWS
+
+    n_groups = MAX_OFFSET_ROWS + 1024
+    g = (
+        spark.range(2 * n_groups)
+        .select(
+            (F.col("id") / 2).cast("long").alias("grp"),
+            (F.col("id") % 2).cast("double").alias("k"),
+            ((F.col("id") % 5) + 1).cast("long").alias("cnt"),
+        )
+    )
+    got = bucketed_cum_sum(
+        g, "k", "cnt", bounds=[], partition_cols=["grp"], strict=False
+    )
+    # per group: exclusive prefix of k=1 row == cnt of its k=0 row
+    bad = (
+        got.withColumn(
+            "exp",
+            F.when(F.col("k") == 0.0, F.lit(0)).otherwise(
+                ((F.col("grp") * 2) % 5) + 1
+            ).cast("long"),
+        )
+        .filter(F.col("cum_below") != F.col("exp"))
+        .count()
+    )
+    assert bad == 0

@@ -117,6 +117,36 @@ def main() -> None:
     timed("utf-8 string keys | single-partition window",
           run_window(st, "k"))
 
+    # URL-style corpus: ALL keys share a 20-byte prefix. The absolute
+    # 7-byte image collapses to one double -> one bucket -> the
+    # within-bucket window degrades to a single task (the r12 VERDICT
+    # finding). The prefix strip (KeyBounds) must restore flat-key
+    # performance; `collapsed` below forces the old behavior for
+    # comparison by discarding the carried prefix.
+    url = (
+        spark.range(n)
+        .select(
+            F.concat(
+                F.lit("https://example.com/"),
+                F.md5(F.col("id").cast("string")),
+            ).alias("k"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+        .groupBy("k").agg(F.sum("cnt").alias("cnt"))
+    )
+    url, ub = materialize_with_bounds(url, "k")
+    print(f"url corpus: stripped prefix = {bytes(ub.prefix)!r}, "
+          f"{len(ub) + 1} buckets")
+    timed("url-prefix keys | bucketed, PREFIX-STRIPPED image",
+          run_bucketed(url, "k", ub))
+    # [] = every row in one bucket: exactly what the collapsed
+    # absolute image produced (any split list vs a constant image
+    # lands all mass in the split's bucket)
+    timed("url-prefix keys | bucketed, collapsed absolute image (old)",
+          run_bucketed(url, "k", []))
+    timed("url-prefix keys | single-partition window",
+          run_window(url, "k"))
+
 
 if __name__ == "__main__":
     main()
