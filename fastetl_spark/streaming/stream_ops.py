@@ -19,7 +19,7 @@ for deterministic batch-equivalence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1866,16 +1866,30 @@ _SML_CARVE_HI = "2024-01-16 12:00:00"
 # Sessions key on user_id % 16: per-user streams are too sparse for a
 # 30-min gap to ever bridge across the carve-out organically (0 merged
 # sessions at sf<=0.01), while 16 shards give measured late+on-time
-# MERGED sessions in the emitted set (2 at sf0.01, 46 at sf0.1) with
-# non-trivial emitted/in-state splits at every SF (360/223, 2374/1753,
-# 440/366).  The deterministic bridge/boundary cases are pinned by the
-# unit tests either way.
+# MERGED sessions in the emitted set (2 at sf0.01, 30 at sf0.1) with
+# non-trivial emitted/in-state splits at every SF.  The deterministic
+# bridge/boundary cases are pinned by the unit tests either way.
 _SML_SHARD_MOD = 16
+# At sf0.001 (~1000 events) NO shard mod yields a merged session under
+# a 30-min gap (measured: 0 at mod 1/2/3/4/8/16) — events are ~45 min
+# apart even in one shard.  Below _SML_SMALL_N total events the gap
+# widens to 6 h (measured: 2 merged sessions at sf0.001), so the
+# late-merge path provably carries mass at EVERY graded SF; the oracle
+# derives the same gap from COUNT(*) so both engines stay in lockstep,
+# and the in-query assertion below turns "merge mass exists" from a
+# fixture comment into a hard failure (r12 VERDICT ask #6).
+_SML_SMALL_N = 3000
+_SML_GAP_MIN_SMALL = 360
+_SML_GAP_MIN = 30
 
 
 def _stream_session_merge_sql() -> str:
     return f"""
-WITH ev AS (
+WITH gp AS (
+  SELECT CAST(CASE WHEN (SELECT COUNT(*) FROM events) < {_SML_SMALL_N}
+              THEN {_SML_GAP_MIN_SMALL} ELSE {_SML_GAP_MIN} END
+         AS BIGINT) AS m
+), ev AS (
   SELECT user_id % {_SML_SHARD_MOD} AS shard,
          date_trunc('second', ts) AS tss FROM events
 ), sliced AS (
@@ -1892,8 +1906,8 @@ WITH ev AS (
 ), ewm AS (
   SELECT MAX(tss) - INTERVAL {_SML_WM_DAYS} DAYS AS w FROM sliced
 ), accepted AS (
-  SELECT shard, tss FROM sliced, fwm
-  WHERE b < 2 OR (tss + INTERVAL 30 MINUTES) > fwm.w
+  SELECT shard, tss FROM sliced, fwm, gp
+  WHERE b < 2 OR (tss + gp.m * INTERVAL 1 MINUTE) > fwm.w
 ), ordered AS (
   SELECT shard, tss,
          date_diff('microsecond',
@@ -1902,14 +1916,15 @@ WITH ev AS (
   FROM accepted
 ), numbered AS (
   SELECT shard, tss,
-         SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+         SUM(CASE WHEN gap_us IS NULL
+                    OR gap_us > (SELECT m FROM gp) * 60000000
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY shard ORDER BY tss
                  ROWS UNBOUNDED PRECEDING) AS seq
   FROM ordered
 ), sessions AS (
   SELECT shard, MIN(tss) AS session_start,
-         MAX(tss) + INTERVAL 30 MINUTES AS session_end,
+         MAX(tss) + (SELECT m FROM gp) * INTERVAL 1 MINUTE AS session_end,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM numbered GROUP BY shard, seq
 )
@@ -1918,17 +1933,68 @@ FROM sessions, ewm WHERE session_end <= ewm.w
 """
 
 
+def _session_merge_mass(ev: DataFrame, slice_no, gap_min: int) -> int:
+    """Batch replay of the 22nd gate's pinned rules over the fixture,
+    counting EMITTED sessions that mix late carve-out rows with on-time
+    rows — i.e. sessions that exist ONLY because the late batch merged
+    into built state.  One fixture-sized eager job; the gated query
+    asserts the result > 0 so the merge path provably carries mass in
+    every graded run (not just at sf0.1)."""
+    carve = (F.col("tss") >= F.lit(_SML_CARVE_LO).cast("timestamp")) & (
+        F.col("tss") < F.lit(_SML_CARVE_HI).cast("timestamp")
+    )
+    base = ev.withColumn("b", slice_no).withColumn("carve", carve)
+    wm = base.agg(
+        F.max(F.when(F.col("b") == 0, F.col("tss"))).alias("m0"),
+        F.max("tss").alias("mall"),
+    ).head()
+    delay = F.expr(f"INTERVAL {_SML_WM_DAYS} DAYS")
+    gap = F.expr(f"INTERVAL {gap_min} MINUTES")
+    fwm = F.lit(wm["m0"]).cast("timestamp") - delay
+    ewm = F.lit(wm["mall"]).cast("timestamp") - delay
+    acc = base.filter((F.col("b") < 2) | (F.col("tss") + gap > fwm))
+    w = Window.partitionBy("shard").orderBy("tss")
+    gap_us = F.unix_micros(F.col("tss")) - F.unix_micros(F.lag("tss").over(w))
+    sess = (
+        acc.withColumn(
+            "seq",
+            F.sum(
+                F.when(
+                    gap_us.isNull() | (gap_us > gap_min * 60_000_000), 1
+                ).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("shard", "seq")
+        .agg(
+            F.max("tss").alias("t_end"),
+            F.sum(F.col("carve").cast("long")).alias("n_late"),
+            F.sum((~F.col("carve")).cast("long")).alias("n_ontime"),
+        )
+    )
+    return sess.filter(
+        (F.col("t_end") + gap <= ewm)
+        & (F.col("n_late") > 0)
+        & (F.col("n_ontime") > 0)
+    ).count()
+
+
 @query("streaming_session_merge_late", _stream_session_merge_sql())
 def streaming_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """session_window (30-min gap) under an 8-day watermark fed OUT OF
-    ORDER: a 1.5-day carve-out of the stream arrives two batches late,
-    lands inside already-built session state, extends and BRIDGES the
+    """session_window under an 8-day watermark fed OUT OF ORDER: a
+    1.5-day carve-out of the stream arrives two batches late, lands
+    inside already-built session state, extends and BRIDGES the
     sessions around it, and the merged results finalize through the
     append watermark.  Too-old rows fall to the late filter (window
     end <= the frozen filter line, inclusive), the newest tail stays
     unfinalized in state, and the drained sink must hash-match the
     batch oracle that replays the pinned rules (strict-gap islands
-    over accepted rows, closing eviction at global max - delay)."""
+    over accepted rows, closing eviction at global max - delay).
+
+    The session gap is corpus-size-adaptive (30 min; 6 h under
+    {_SML_SMALL_N} total events, where no 30-min session can straddle
+    the carve-out) and the query ASSERTS, by batch replay, that at
+    least one emitted session mixes late and on-time rows — a graded
+    run can never silently exercise only the non-merging paths."""
     from fastetl_spark.io.readers import read_table
 
     root = _scratch_root(sf_dir, "stream_session_merge")
@@ -1937,6 +2003,8 @@ def streaming_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % _SML_SHARD_MOD).alias("shard"),
         F.date_trunc("second", F.col("ts").cast("timestamp")).alias("tss"),
     )
+    n_total = ev.count()
+    gap_min = _SML_GAP_MIN_SMALL if n_total < _SML_SMALL_N else _SML_GAP_MIN
     slice_no = (
         F.when(
             (F.col("tss") < F.lit(_LATE_CUT_LO).cast("timestamp"))
@@ -1950,6 +2018,13 @@ def streaming_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("tss") < F.lit(_SML_CUT_MID).cast("timestamp"), 0)
         .otherwise(1)
     )
+    merged = _session_merge_mass(ev, slice_no, gap_min)
+    if merged == 0:
+        raise RuntimeError(
+            "streaming_session_merge_late: fixture carries NO merged"
+            " late+on-time session at this SF — the late-merge path"
+            " under test would not execute (widen the gap rule)"
+        )
     _stage_slices(ev, root, in_dir, slice_no)
     stream = (
         spark.readStream.schema(ev.schema)
@@ -1958,7 +2033,9 @@ def streaming_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         stream.withWatermark("tss", f"{_SML_WM_DAYS} days")
-        .groupBy(F.session_window("tss", "30 minutes").alias("w"), "shard")
+        .groupBy(
+            F.session_window("tss", f"{gap_min} minutes").alias("w"), "shard"
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .select(
             "shard",
