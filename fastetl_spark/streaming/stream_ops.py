@@ -2044,3 +2044,183 @@ def streaming_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(agg, "st_sml_", "append")
+
+
+# --- 23rd gate: stream-stream JOIN under late data --------------------------
+#
+# The one stateful composition still unpinned after the 22nd gate:
+# join-state EVICTION under out-of-order delivery.  Semantics pinned
+# empirically on this engine build (and asserted second-exact by
+# tests/test_streaming.py::test_stream_join_filter_boundary_and_
+# eviction_complement) for a two-sided-watermark INNER interval join
+# (clicks within [purchase - W, purchase]):
+#
+#   * the INPUT FILTER of batch k drops a row iff its event time is
+#     <= L_k = min(max click_ts, max purchase_ts over batches <= k-2)
+#     - delay — min-of-sides (the default multipleWatermarkPolicy,
+#     pinned by advancing only one side), the same two-batch lag and
+#     the same INCLUSIVE-drop boundary as the 18th/21st gates;
+#   * state eviction is exactly COMPLEMENTARY: partners strictly
+#     above the line always survive for the next batch (pinned to one
+#     second above on both sides: purchases at line + 1 s, clicks at
+#     line - W + 1 s).  At or below the line no pair is observable at
+#     all — the interval condition plus the arriving row's own filter
+#     (arriving > L, partner within W on the filtered side) squeezes
+#     any would-be pair out of existence — so eviction can never be
+#     caught removing a match the filter admitted.  That two-sided
+#     invariant is what makes append-mode inner joins exact;
+#   * consequently the drained inner join equals the batch join over
+#     rows that pass their own batch's filter — which is exactly what
+#     the oracle below replays.  A hash mismatch would mean either a
+#     lost match (state evicted too early) or a double emit — the two
+#     silent failure modes this gate exists to catch.
+#
+# Fixture: the 22nd gate's slice layout (on-time [Jan 12, Jan 20) minus
+# the carve-out, then [Jan 20, Jan 27), then the late batch = carve-out
+# + too-old days + newest tail).  The late batch's carve-out rows join
+# already-seen partners ACROSS the carve boundary (mass asserted
+# in-query at every SF); the too-old days fall below L_2 except a
+# kept sliver in [L_2, Jan 12).
+
+_SJL_WM_DAYS = 8
+_SJL_WINDOW_H = 48
+
+
+def _stream_join_late_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS tss
+  FROM events WHERE event_type IN ('click', 'purchase')
+), sliced AS (
+  SELECT *, CASE WHEN tss < TIMESTAMP '{_LATE_CUT_LO}'
+                OR tss >= TIMESTAMP '{_LATE_CUT_TAIL}'
+                OR (tss >= TIMESTAMP '{_SML_CARVE_LO}'
+                    AND tss < TIMESTAMP '{_SML_CARVE_HI}') THEN 2
+              WHEN tss < TIMESTAMP '{_SML_CUT_MID}' THEN 0
+              ELSE 1 END AS b
+  FROM ev
+), line AS (
+  SELECT LEAST(
+    (SELECT MAX(tss) FROM sliced WHERE b = 0 AND event_type = 'click'),
+    (SELECT MAX(tss) FROM sliced WHERE b = 0 AND event_type = 'purchase')
+  ) - INTERVAL {_SJL_WM_DAYS} DAYS AS l2
+), kept AS (
+  SELECT s.* FROM sliced s, line WHERE b < 2 OR tss > line.l2
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.tss AS purchase_ts,
+       c.event_id AS click_id, c.tss AS click_ts
+FROM kept p
+JOIN kept c
+  ON c.user_id = p.user_id
+ AND c.tss <= p.tss
+ AND c.tss >= p.tss - INTERVAL {_SJL_WINDOW_H} HOURS
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@query("streaming_join_late_attribution", _stream_join_late_sql())
+def streaming_join_late_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase attribution) fed OUT OF
+    ORDER: a 1.5-day carve-out arrives two batches late — its
+    purchases must still match already-seen clicks (and its clicks
+    already-seen purchases) inside the 48 h window, the too-old days
+    must fall to the documented two-watermark filter line, and join-
+    state eviction must never lose a match the filter admitted.  The
+    oracle replays the pinned rule (keep iff event time > the frozen
+    min-of-sides line for the late batch); the in-query assertion
+    proves late-cross-batch pairs carry mass in every graded run."""
+    from fastetl_spark.io.readers import read_table
+
+    root = _scratch_root(sf_dir, "stream_join_late")
+    in_dir = f"{root}/in"
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("tss"),
+    )
+    slice_no = (
+        F.when(
+            (F.col("tss") < F.lit(_LATE_CUT_LO).cast("timestamp"))
+            | (F.col("tss") >= F.lit(_LATE_CUT_TAIL).cast("timestamp"))
+            | (
+                (F.col("tss") >= F.lit(_SML_CARVE_LO).cast("timestamp"))
+                & (F.col("tss") < F.lit(_SML_CARVE_HI).cast("timestamp"))
+            ),
+            2,
+        )
+        .when(F.col("tss") < F.lit(_SML_CUT_MID).cast("timestamp"), 0)
+        .otherwise(1)
+    )
+    base = ev.withColumn("b", slice_no)
+    # batch replay of the pinned rule: late-cross-batch pair mass must
+    # exist, or the run would exercise only the in-order paths
+    wm = base.filter(F.col("b") == 0).agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("tss"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("tss"))).alias("mp"),
+    ).head()
+    l2 = min(wm["mc"], wm["mp"]) - __import__("datetime").timedelta(
+        days=_SJL_WM_DAYS
+    )
+    kept = base.filter((F.col("b") < 2) | (F.col("tss") > F.lit(l2)))
+    kp = kept.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("tss").alias("pt"), F.col("b").alias("bp")
+    )
+    kc = kept.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("tss").alias("ct"), F.col("b").alias("bc")
+    )
+    cross = kp.join(
+        kc,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") >= F.col("pt") - F.expr(f"INTERVAL {_SJL_WINDOW_H} HOURS"))
+        & (
+            ((F.col("bp") == 2) & (F.col("bc") < 2))
+            | ((F.col("bc") == 2) & (F.col("bp") < 2))
+        ),
+    ).count()
+    if cross == 0:
+        raise RuntimeError(
+            "streaming_join_late_attribution: fixture carries NO"
+            " late-cross-batch pair at this SF — the late-merge join"
+            " path under test would not execute (widen the window)"
+        )
+    staged = base.select("event_id", "user_id", "event_type", "tss")
+    _stage_slices(staged, root, in_dir, slice_no)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("tss").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{_SJL_WM_DAYS} days")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("tss").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{_SJL_WM_DAYS} days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {_SJL_WINDOW_H} HOURS
+            """
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    return _drain_to_memory(joined, "st_sjl_", "append")

@@ -763,3 +763,121 @@ def test_session_merge_fixture_carries_mass_at_small_sf(spark):
             .otherwise(1)
         )
         assert _session_merge_mass(ev, slice_no, gap_min) > 0, sf
+
+
+def test_stream_join_filter_boundary_and_eviction_complement(spark, tmp_path):
+    """Pins the 23rd gate's two-watermark rule with second-exact rows
+    (delay 2 h, window 1 h, min-of-sides policy):
+
+    * the input filter of batch k drops a row iff its event time is
+      <= L_k = min-side max(batches <= k-2) - delay -- INCLUSIVE drop,
+      same boundary as the aggs/dedup gates (p@L dropped, p@L+1s
+      kept);
+    * state eviction is exactly complementary: partners one second
+      above the relevant lines (purchase > L, click > L - W) still
+      match arrivals two batches later -- eviction never removes a
+      match the filter admits, which is what makes the append-mode
+      inner join exact;
+    * rows at/below the lines yield no pair through EITHER mechanism
+      (the interval condition squeezes would-be pairs out), asserted
+      by their absence.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    def t(s):
+        return f"2024-01-01 {s}"
+
+    # (side, uid, ts, rid) per slice; all uids distinct per case
+    slices = [
+        [  # batch 0 -- max = 18:01 BOTH sides (c119 / p107)
+            ("c", 1, t("15:40:00"), 110),   # partner of the AT-line purchase
+            ("c", 2, t("15:41:00"), 111),   # partner of the below-line purchase
+            ("c", 5, t("15:42:00"), 114),   # partner of the above-line purchase
+            ("c", 3, t("17:00:00"), 112),   # at L_3 - W
+            ("c", 4, t("17:00:01"), 113),   # one second above L_3 - W
+            ("p", 6, t("18:00:00"), 106),   # at L_3
+            ("p", 7, t("18:01:00"), 107),   # above L_3
+            ("c", 9, t("18:01:00"), 119),   # click-side max, unpaired
+        ],
+        [  # batch 1 -- advance both sides to 20:00
+            ("c", 8, t("20:00:00"), 118),
+            ("p", 8, t("20:00:00"), 108),
+        ],
+        [  # batch 2 -- L_2 = 18:01 - 2h = 16:01
+            ("p", 1, t("16:01:00"), 100),   # exactly AT the line: dropped
+            ("p", 2, t("16:00:00"), 101),   # below: dropped
+            ("p", 5, t("16:01:01"), 104),   # one second above: kept
+        ],
+        [  # batch 3 -- L_3 = 20:00 - 2h = 18:00
+            ("c", 6, t("18:00:00"), 116),   # at L_3: dropped by filter
+            ("c", 7, t("18:00:30"), 117),   # kept; p107 must still be in state
+            ("p", 3, t("18:00:00"), 102),   # at L_3: dropped by filter
+            ("p", 4, t("18:00:01"), 103),   # kept; c113 must still be in state
+        ],
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, rows in enumerate(slices):
+        df = spark.createDataFrame(
+            rows, "side string, uid int, tss string, rid int"
+        ).select("side", "uid", _F.col("tss").cast("timestamp").alias("tss"), "rid")
+        stage = str(tmp_path / f"stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            _glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{in_dir}/slice_{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema("side string, uid int, tss timestamp, rid int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    clicks = (
+        stream.filter("side = 'c'")
+        .select(
+            _F.col("uid").alias("c_uid"),
+            _F.col("rid").alias("click_id"),
+            _F.col("tss").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter("side = 'p'")
+        .select(
+            "uid",
+            _F.col("rid").alias("purchase_id"),
+            _F.col("tss").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        _F.expr(
+            "uid = c_uid AND click_ts <= purchase_ts"
+            " AND click_ts >= purchase_ts - INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sjl_complement")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(map(tuple, spark.table("sjl_complement").collect()))
+    assert got == {
+        (108, 118),  # in-order control
+        (104, 114),  # purchase one second above the filter line: kept
+        (107, 117),  # purchase above the line still in state at b3
+        (103, 113),  # click one second above line - W still in state
+        # absent: (100, 110) purchase exactly AT the line (inclusive drop)
+        # absent: (101, 111) purchase below the line
+        # absent: (106, 116) click at L_3: dropped by filter
+        # absent: (102, 112) purchase at L_3: dropped by filter
+    }
