@@ -113,6 +113,10 @@ HEADLINE = [
     "iqr_outlier_screen",
     # round 12: session-window merge under late data
     "streaming_session_merge_late",
+    # round 13: quantile-mapping off the gathered grid + join-state
+    # eviction under late data
+    "quantile_mapping_normalize",
+    "streaming_join_late_attribution",
 ]
 
 # Always in the 10x scaling guard alongside the measured top-5: the

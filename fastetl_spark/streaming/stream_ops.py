@@ -1933,25 +1933,30 @@ FROM sessions, ewm WHERE session_end <= ewm.w
 """
 
 
-def _session_merge_mass(ev: DataFrame, slice_no, gap_min: int) -> int:
+def _session_merge_mass(
+    ev: DataFrame, slice_no, gap_min: int, wm=None
+) -> int:
     """Batch replay of the 22nd gate's pinned rules over the fixture,
     counting EMITTED sessions that mix late carve-out rows with on-time
     rows — i.e. sessions that exist ONLY because the late batch merged
-    into built state.  One fixture-sized eager job; the gated query
-    asserts the result > 0 so the merge path provably carries mass in
-    every graded run (not just at sf0.1)."""
+    into built state.  One fixture-sized eager job (plus a watermark
+    agg when ``wm`` = (slice0_max, global_max) is not supplied); the
+    gated query asserts the result > 0 so the merge path provably
+    carries mass in every graded run (not just at sf0.1)."""
     carve = (F.col("tss") >= F.lit(_SML_CARVE_LO).cast("timestamp")) & (
         F.col("tss") < F.lit(_SML_CARVE_HI).cast("timestamp")
     )
     base = ev.withColumn("b", slice_no).withColumn("carve", carve)
-    wm = base.agg(
-        F.max(F.when(F.col("b") == 0, F.col("tss"))).alias("m0"),
-        F.max("tss").alias("mall"),
-    ).head()
+    if wm is None:
+        row = base.agg(
+            F.max(F.when(F.col("b") == 0, F.col("tss"))).alias("m0"),
+            F.max("tss").alias("mall"),
+        ).head()
+        wm = (row["m0"], row["mall"])
     delay = F.expr(f"INTERVAL {_SML_WM_DAYS} DAYS")
     gap = F.expr(f"INTERVAL {gap_min} MINUTES")
-    fwm = F.lit(wm["m0"]).cast("timestamp") - delay
-    ewm = F.lit(wm["mall"]).cast("timestamp") - delay
+    fwm = F.lit(wm[0]).cast("timestamp") - delay
+    ewm = F.lit(wm[1]).cast("timestamp") - delay
     acc = base.filter((F.col("b") < 2) | (F.col("tss") + gap > fwm))
     w = Window.partitionBy("shard").orderBy("tss")
     gap_us = F.unix_micros(F.col("tss")) - F.unix_micros(F.lag("tss").over(w))
@@ -2003,8 +2008,6 @@ def streaming_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % _SML_SHARD_MOD).alias("shard"),
         F.date_trunc("second", F.col("ts").cast("timestamp")).alias("tss"),
     )
-    n_total = ev.count()
-    gap_min = _SML_GAP_MIN_SMALL if n_total < _SML_SMALL_N else _SML_GAP_MIN
     slice_no = (
         F.when(
             (F.col("tss") < F.lit(_LATE_CUT_LO).cast("timestamp"))
@@ -2018,7 +2021,18 @@ def streaming_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("tss") < F.lit(_SML_CUT_MID).cast("timestamp"), 0)
         .otherwise(1)
     )
-    merged = _session_merge_mass(ev, slice_no, gap_min)
+    # one agg serves the gap choice AND the replay's two watermarks
+    stats = ev.withColumn("b", slice_no).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("b") == 0, F.col("tss"))).alias("m0"),
+        F.max("tss").alias("mall"),
+    ).head()
+    gap_min = (
+        _SML_GAP_MIN_SMALL if stats["n"] < _SML_SMALL_N else _SML_GAP_MIN
+    )
+    merged = _session_merge_mass(
+        ev, slice_no, gap_min, wm=(stats["m0"], stats["mall"])
+    )
     if merged == 0:
         raise RuntimeError(
             "streaming_session_merge_late: fixture carries NO merged"
