@@ -211,18 +211,23 @@ def test_facade_defaults_take_scale_path_bit_equal(spark):
         )
     # quantile_normalize default = exact rank-window form (gated query's
     # plan); the scale path is opt-in because it is only within-one-level
-    # equal to exact.
+    # equal to exact.  Both modes now carry the GRID's bucket-partitioned
+    # prefix-sum windows (rank_quantiles — balanced by equi-depth split
+    # points, not a skew risk), so the scale-path assertion is the
+    # sharp one: no PER-KEY rank window (row_number over the
+    # low-cardinality key) rather than no Window node at all.
     qplan_default = (
         eng.quantile_normalize(df, "event_type", "value", "event_id")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" in qplan_default
+    assert "row_number" in qplan_default
     qplan_scale = (
         eng.quantile_normalize(df, "event_type", "value", "event_id",
                                exact=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" not in qplan_scale
+    assert "row_number" not in qplan_scale
+    assert "windowspecdefinition(__k" not in qplan_scale
 
 
 def test_covering_accuracy_derive_once_and_reuse(spark):
