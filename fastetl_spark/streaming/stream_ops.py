@@ -374,21 +374,43 @@ def _gated_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+#: State-store partition count for the GATED availableNow fixtures.
+#: Streaming state partitioning is pinned at the first micro-batch from
+#: spark.sql.shuffle.partitions; at fixture scale (<= a few hundred
+#: thousand rows) the per-partition state-store overhead dominates the
+#: wall — 32 partitions x 4 batches x several stores per side is
+#: hundreds of tiny delta files (measured on the stream-stream join
+#: gate at sf0.1: 15.6 s -> 6.7 s by dropping to 8, identical output).
+#: Production streams size this to load (RUNBOOK streaming notes);
+#: semantics are partition-invariant — batch boundaries come from
+#: maxFilesPerTrigger, not from this.
+_GATE_STATE_PARTITIONS = 8
+
+
 def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
-    sink and return the drained table."""
+    sink and return the drained table.  Pins the fixture-sized
+    state-partition count for the duration of the run (see
+    _GATE_STATE_PARTITIONS), restoring the session conf after."""
     import uuid
 
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
     name = prefix + uuid.uuid4().hex[:8]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark.conf.set(key, str(_GATE_STATE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
+    return spark.table(name)
 
 
 @query("streaming_tumbling_counts", _STREAM_TUMBLING_SQL)
