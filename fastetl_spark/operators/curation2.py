@@ -736,9 +736,9 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS r,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), gq AS (
-  SELECT [{qlist}] AS g FROM events
+  SELECT [{qlist}] AS g FROM events WHERE NOT isnan(value)
 )
 SELECT event_id, event_type, value,
        CAST(CASE WHEN n > 1 THEN (r - 1) * {_QM_LEVELS} // (n - 1)
@@ -764,37 +764,99 @@ def quantile_map_values(
     percentile_disc grid. Returns (order, key, value, level,
     mapped_value); NULL values are dropped.
 
-    ``exact=True`` (the gated form): per-key rank window, level =
-    (r-1)*levels div (n-1) — exact integer arithmetic, hash-gated, but
-    a skewed near-single-partition sort when the key column has few
-    distinct values. ``exact=False`` (the 100 TB plan): level = # of
-    per-key percentile_approx grid boundaries the value REACHES
+    ``exact=True`` (the gated form): per-key EXACT ranks on the
+    bucketed prefix-sum primitive (ranks.grouped_row_ranks), level =
+    (r-1)*levels div (n-1) — exact integer arithmetic, hash-gated, and
+    since r14 partitioned by (key, bucket) instead of the key alone
+    (the r13 VERDICT finding: a window partitioned by a 5-value
+    dictionary column is 5 tasks holding ~20 TB each at 100 TB).
+    ``exact=False`` (the sketch alternative): level = # of per-key
+    percentile_approx grid boundaries the value REACHES
     (operators/quantiles, strict=False binning) — sketch accuracy, no
-    sort window. The two conventions agree to within one level on
+    rank pass. The two conventions agree to within one level on
     distinct values (|floor(r*L/n) - floor((r-1)*L/(n-1))| <= L/n + 1);
     the approx mode is an estimator, not a bit-exact twin — use it when
-    the key cardinality, not the answer's last ulp, is the risk."""
-    e = df.filter(F.col(value_col).isNotNull()).select(
+    even the compressed (key, value) support is the risk, not the
+    answer's last ulp.
+
+    NULL *and NaN* values are dropped symmetrically on the rank side,
+    the grid side and the DuckDB oracle (the r13 ADVICE finding: the
+    grid path filtered NaN via exact_quantiles_global while the rank
+    window kept them, so a NaN-bearing corpus would have diverged)."""
+    e = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(value_col)
+    ).select(
         F.col(order_col).alias("__o"),
         F.col(key_col).alias("__k"),
         F.col(value_col).alias("__v"),
     )
-    # Global grid via DISTRIBUTED exact DISC selection (rank_quantiles),
-    # not a percentile_disc aggregate: percentile_disc is a gathering
+    # Global grid via DISTRIBUTED exact DISC selection, not a
+    # percentile_disc aggregate: percentile_disc is a gathering
     # TypedImperativeAggregate — its keyless merge funnels the FULL
     # value multiset through one task x (levels+1) buffers, which OOMs
     # a default-heap session at sf0.1 and is a hard stop at 100 TB (the
-    # r12 audit finding).  exact_quantiles_global picks the identical
-    # lower-DISC element (k = ceil(p*n), same rule as percentile_disc's
+    # r12 audit finding).  The selection picks the identical lower-DISC
+    # element (k = ceil(p*n), same rule as percentile_disc's
     # first-cume_dist>=p) with hash exchanges only, so the grid values
     # — and every downstream hash — are unchanged.  The 129 grid rows
     # fold to one array row through constant-size conditional-max
     # buffers (no collect_list: keep the keyless merge non-gathering).
-    from fastetl_spark.operators.rank_quantiles import exact_quantiles_global
+    probs = [(l, levels) for l in range(levels + 1)]
+    if exact:
+        from fastetl_spark.operators.rank_quantiles import _probs_df
+        from fastetl_spark.operators.ranks import (
+            bucketed_cum_sum,
+            drop_partition_level,
+            grouped_row_ranks,
+            totals_to_offsets,
+        )
 
-    q = exact_quantiles_global(
-        e, "__v", probs=[(l, levels) for l in range(levels + 1)]
-    )
+        # Per-row ranks ride the (key, value) support; the SAME
+        # materialize + totals collect also serves the global grid
+        # below (per-value global counts are the support summed over
+        # keys; per-bucket global offsets are the totals summed
+        # driver-side) — two bounded eager jobs for BOTH passes, the
+        # fused-collect pattern of evaluation.auc_from_score_counts.
+        ranked, sup, bounds, totals = grouped_row_ranks(
+            e, "__k", "__v", "__o", rank_col="r", n_col="n"
+        )
+        lv = ranked.withColumn(
+            "level",
+            F.when(
+                F.col("n") > 1,
+                F.expr(f"CAST((r - 1) * {levels} div (n - 1) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        gtot = drop_partition_level(totals)
+        n_total = sum(t for _, t in gtot)
+        gsup = sup.groupBy("__v").agg(
+            F.sum("cnt").cast("long").alias("__gc")
+        )
+        gcum = bucketed_cum_sum(
+            gsup,
+            "__v",
+            "__gc",
+            bounds=bounds,
+            inclusive=True,
+            out_col="cum",
+            offsets=totals_to_offsets(gtot, len(bounds) + 1),
+        )
+        q = (
+            gcum.crossJoin(_probs_df(df.sparkSession, probs))
+            .withColumn("n_total", F.lit(n_total).cast("long"))
+            .filter(
+                F.col("cum")
+                >= F.expr("(p_num * n_total + p_den - 1) DIV p_den")
+            )
+            .groupBy("p_num", "p_den")
+            .agg(F.min("__v").alias("value"))
+        )
+    else:
+        from fastetl_spark.operators.rank_quantiles import (
+            exact_quantiles_global,
+        )
+
+        q = exact_quantiles_global(e, "__v", probs=probs)
     glob = q.agg(
         F.array(
             *[
@@ -803,22 +865,7 @@ def quantile_map_values(
             ]
         ).alias("g")
     )
-    if exact:
-        w = Window.partitionBy("__k").orderBy("__v", "__o")
-        lv = e.select(
-            "__o",
-            "__k",
-            "__v",
-            F.row_number().over(w).alias("r"),
-            F.count(F.lit(1)).over(Window.partitionBy("__k")).alias("n"),
-        ).withColumn(
-            "level",
-            F.when(
-                F.col("n") > 1,
-                F.expr(f"CAST((r - 1) * {levels} div (n - 1) AS BIGINT)"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-    else:
+    if not exact:
         from fastetl_spark.operators.quantiles import (
             bin_by_bounds,
             group_quantile_bounds,
@@ -861,14 +908,19 @@ def quantile_mapping_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions, so every mapped value is an actual data element both
     engines pick identically.
 
-    Scale shape: one window shuffle per group for ranks (partitioned by
-    event_type, never global), and the {_QM_LEVELS + 1} global grid
-    values by distributed exact rank selection on the ranks primitive
-    (hash exchanges + two bounded driver jobs; NOT a percentile_disc
+    Scale shape (r14): per-row ranks ride ranks.grouped_row_ranks —
+    the (event_type, value) support's cumulative counts partition by
+    (event_type, BUCKET), never by the 5-value event_type dictionary
+    alone (the r13 VERDICT finding: a per-key rank window here was 5
+    tasks sorting ~20 TB each at 100 TB), with the within-tie
+    row_number partitioned by (event_type, value) — support-scale
+    cardinality.  The {_QM_LEVELS + 1} global grid values come by
+    distributed exact rank selection FROM THE SAME support and totals
+    collect (two bounded driver jobs total; NOT a percentile_disc
     gather — that shape buffered the full value multiset in one
     keyless-merge task and OOM'd a default-heap session at sf0.1),
     broadcast back — no global sort, no per-row global rank, no
-    gathered value lists."""
+    gathered value lists, no dictionary-keyed window."""
     e = ensure_parallelism(read_table(spark, sf_dir, "events")).select(
         "event_id", "event_type", "value"
     )

@@ -128,12 +128,39 @@ def value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE({_NBINS}) feature discretization per event_type with
     per-bin ranges. The (value, event_id) order is total, so both
     engines' standard NTILE row distribution is identical; bin edges
-    are parquet-passthrough doubles."""
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    are parquet-passthrough doubles.
+
+    Scale shape (r14): the NTILE window partitioned by the 5-value
+    event_type dictionary (5 tasks sorting ~20 TB each at 100 TB — the
+    r13 VERDICT finding) is replaced by exact ranks on
+    ranks.grouped_row_ranks (cumulative counts partitioned by
+    (event_type, bucket), cluster-wide parallelism) + NTILE's
+    floor/remainder row distribution as pure integer arithmetic on
+    (r, n): with q = n div B and rem = n mod B the first rem buckets
+    take q+1 rows — bin = (r-1) div (q+1) + 1 while r <= (q+1)*rem,
+    else rem + (r - (q+1)*rem - 1) div q + 1.  Both engines implement
+    exactly this distribution (larger buckets first), so the rewrite
+    is bit-identical — hash-gated at every SF."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    from fastetl_spark.operators.ranks import grouped_row_ranks
+
+    ranked, _sup, _bounds, _totals = grouped_row_ranks(
+        ev, "event_type", "value", "event_id"
+    )
+    b = ranked.withColumn(
+        "bin",
+        F.expr(
+            f"CAST(CASE WHEN r <= (n DIV {_NBINS} + 1) * (n % {_NBINS})"
+            f" THEN (r - 1) DIV (n DIV {_NBINS} + 1) + 1"
+            f" ELSE n % {_NBINS}"
+            f" + (r - (n DIV {_NBINS} + 1) * (n % {_NBINS}) - 1)"
+            f" DIV (n DIV {_NBINS}) + 1 END AS INT)"
+        ),
+    )
     return (
-        ev.select("event_type", "value", F.ntile(_NBINS).over(w).alias("bin"))
-        .groupBy("event_type", "bin")
+        b.groupBy("event_type", "bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("value").alias("min_v"),

@@ -1117,14 +1117,106 @@ def gini_scalar(x) -> float:
 
 @query("gini_by_event_type", _GINI_SQL)
 def gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini concentration of event values per type via a GROUPED_AGG
-    pandas UDF — the custom-UDAF surface: Arrow ships each group's
-    column to Python once, the UDAF returns one scalar per group.
-    Promoted to an EXACT oracle: rank-sum and total are exact integer
-    sums over 1e-6-quantized values (ties between equal quantized
-    values contribute a rank-invariant sum, so the arbitrary tie order
-    cannot change the result), and the closing scalar runs the same
-    IEEE operation shape as the DuckDB window re-derivation."""
+    """Gini concentration of event values per type — EXACT, computed
+    natively on the bucketed prefix-sum primitive (r14; formerly the
+    GROUPED_AGG pandas UDAF now kept as ``gini_grouped_udaf``).
+
+    The rank-sum Gini over 1e-6-quantized values decomposes onto the
+    (event_type, qv) support: a tie block of count c whose group has
+    cb strictly-smaller rows occupies ranks cb+1..cb+c, so its exact
+    rank-sum contribution is qv * (c*cb + c*(c+1)/2) — tie-order
+    invariant by construction, identical to the UDAF's sorted fold and
+    to the oracle's arbitrary-tie row_number.  cb rides
+    ranks.bucketed_cum_sum partitioned by (event_type, bucket) —
+    cluster-wide parallelism instead of one Arrow batch per group
+    (the r13 VERDICT finding: GROUPED_AGG ships each group's ENTIRE
+    value column into one python worker — a per-task memory cliff at 5
+    groups x 20 TB).  Sums run in DECIMAL(38,0) (exact like DuckDB's
+    HUGEINT and the UDAF's Python bigints), cast to DOUBLE only in the
+    closing scalar — the same IEEE operation shape as the oracle."""
+    e = ensure_parallelism(read_table(spark, sf_dir, "events"))
+    q = e.select(
+        "event_type",
+        F.floor(F.col("value") * _Q_UNIT + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    from fastetl_spark.operators.ranks import (
+        bucketed_cum_sum,
+        collect_bucket_totals,
+        materialize_with_bounds,
+        totals_to_offsets,
+    )
+
+    sup = q.groupBy("event_type", "qv").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sup, bounds = materialize_with_bounds(sup, "qv")
+    totals = collect_bucket_totals(
+        sup, "qv", "c", bounds=bounds, partition_cols=["event_type"]
+    )
+    cum = bucketed_cum_sum(
+        sup,
+        "qv",
+        "c",
+        bounds=bounds,
+        partition_cols=["event_type"],
+        out_col="cb",
+        offsets=totals_to_offsets(totals, len(bounds) + 1),
+    )
+    dec = "DECIMAL(38,0)"
+    agg = (
+        cum.withColumn(
+            # c*(c+1)/2 without division: exactly one factor is even
+            "half",
+            F.expr(
+                f"CASE WHEN c % 2 = 0 THEN CAST(c DIV 2 AS {dec})"
+                f" * CAST(c + 1 AS {dec})"
+                f" ELSE CAST(c AS {dec}) * CAST((c + 1) DIV 2 AS {dec})"
+                " END"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.expr(f"CAST(qv AS {dec}) * CAST(c AS {dec})")).alias(
+                "total"
+            ),
+            F.sum(
+                F.expr(
+                    f"CAST(qv AS {dec})"
+                    f" * (CAST(c AS {dec}) * CAST(cb AS {dec}) + half)"
+                )
+            ).alias("rank_sum"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.round(
+            F.when(
+                (F.col("n") == 0) | (F.col("total") == 0), F.lit(0.0)
+            ).otherwise(
+                (F.lit(2) * F.col("rank_sum")).cast("double")
+                / (F.col("n") * F.col("total")).cast("double")
+                - (F.col("n") + F.lit(1)).cast("double")
+                / F.col("n").cast("double")
+            ),
+            9,
+        ).alias("gini"),
+    )
+
+
+def gini_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas-UDF form of ``gini_by_event_type`` — the
+    custom-UDAF plugin surface demo: Arrow ships each group's column to
+    Python once, the UDAF returns one scalar per group.
+
+    MODERATE-GROUP CONTRACT: a GROUPED_AGG buffer is the whole group by
+    construction (each group's entire value column lands in one Arrow
+    batch in one python worker), so this form is bounded by the largest
+    group's size — use the gated native decomposition above when groups
+    are data-scale.  Kept equivalent by
+    tests/test_llm_ops.py::test_gini_udaf_matches_native_formula."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

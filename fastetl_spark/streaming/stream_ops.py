@@ -2197,6 +2197,18 @@ def streaming_join_late_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         F.max(F.when(F.col("event_type") == "click", F.col("tss"))).alias("mc"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("tss"))).alias("mp"),
     ).head()
+    if wm["mc"] is None or wm["mp"] is None:
+        # F.max over an empty side returns NULL: batch 0 of a tiny /
+        # unusual SF carries no clicks or no purchases, so the
+        # two-sided watermark — and with it the late-merge path under
+        # test — cannot exist.  Raise the explicit fixture-mass error
+        # instead of letting min(None, ...) crash with a TypeError
+        # (the r13 ADVICE finding).
+        raise RuntimeError(
+            "streaming_join_late_attribution: fixture carries NO"
+            " late-cross-batch pair at this SF — batch 0 lacks"
+            " clicks or purchases entirely (widen the window)"
+        )
     l2 = min(wm["mc"], wm["mp"]) - __import__("datetime").timedelta(
         days=_SJL_WM_DAYS
     )

@@ -397,12 +397,22 @@ def test_connected_components_chain_and_nonconvergence(spark):
 
 
 def test_gini_udaf_matches_native_formula(spark, sf_dir):
-    from fastetl_spark.operators.multimodal import gini_by_event_type, gini_native_twin
+    """The gated query is the r14 native decomposition on the rank
+    primitive; the GROUPED_AGG pandas-UDAF demo and the window twin
+    must both agree with it (the UDAF exactly — same quantized integer
+    sums, tie-invariant — the double-sum window twin to tolerance)."""
+    from fastetl_spark.operators.multimodal import (
+        gini_by_event_type,
+        gini_grouped_udaf,
+        gini_native_twin,
+    )
 
-    udaf = {r.event_type: r.gini for r in gini_by_event_type(spark, sf_dir).collect()}
+    gated = {r.event_type: r.gini for r in gini_by_event_type(spark, sf_dir).collect()}
+    udaf = {r.event_type: r.gini for r in gini_grouped_udaf(spark, sf_dir).collect()}
     native = {r.event_type: r.gini for r in gini_native_twin(spark, sf_dir).collect()}
-    assert set(udaf) == set(native)
+    assert set(udaf) == set(native) == set(gated)
     for k in udaf:
+        assert gated[k] == udaf[k]
         assert abs(udaf[k] - native[k]) < 1e-9
         assert 0.0 <= udaf[k] < 1.0
 

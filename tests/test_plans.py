@@ -331,3 +331,119 @@ def test_keyless_gathering_aggregate_classified_as_gather(spark, sf_dir):
         df3._jdf.queryExecution(), "simple"
     )
     assert mod.count_gathers(plan3)["keyed"] >= 1
+
+
+def _simple_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_grouped_agg_udaf_classified_as_gather(spark, sf_dir):
+    """r13 audit blind spot (a), pinned: a GROUPED_AGG pandas UDAF
+    ships each group's whole column into one python worker — a keyed
+    gather — but its function name can never match the _GATHER_FUNCS
+    regex, so the audit must classify the NODE TYPE
+    (ArrowAggregatePython on Spark 4 / AggregateInPandas on 3.x)."""
+    mod = _audit_mod()
+    from fastetl_spark.operators.multimodal import gini_grouped_udaf
+
+    plan = _simple_plan(gini_grouped_udaf(spark, sf_dir))
+    assert mod.count_gathers(plan)["udaf"] >= 1
+
+    # grouped-MAP applyInPandas shares the whole-group-buffer property
+    # and is classified the same way (its gated user carries a
+    # GATHER_ALLOWLIST bound)
+    plan2 = _simple_plan(QUERIES["group_zscore_pandas"](spark, sf_dir))
+    assert mod.count_gathers(plan2)["udaf"] >= 1
+    assert "group_zscore_pandas" in mod.GATHER_ALLOWLIST
+
+
+def test_dictionary_keyed_window_classified(spark, sf_dir):
+    """r13 audit blind spot (b), pinned: a Window partitioned ONLY by
+    a dictionary column is a plain hash exchange — never an Exchange
+    SinglePartition — yet its parallelism is bounded at the dictionary
+    cardinality.  The audit must flag exactly that shape and nothing
+    wider."""
+    from pyspark.sql import Window
+
+    mod = _audit_mod()
+    from fastetl_spark.operators.multimodal import gini_native_twin
+
+    plan = _simple_plan(gini_native_twin(spark, sf_dir))
+    assert mod.count_dict_windows(plan) >= 1
+
+    e = read_table(spark, sf_dir, "events")
+    # a data-scale partition key must NOT be flagged ...
+    df = e.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("ts"))
+    )
+    assert mod.count_dict_windows(_simple_plan(df)) == 0
+    # ... nor a (dictionary, high-cardinality) composite key
+    df2 = e.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type", "value").orderBy("event_id")
+        ),
+    )
+    assert mod.count_dict_windows(_simple_plan(df2)) == 0
+    # ... nor a rank-filter top-k: the Partial WindowGroupLimit below
+    # the exchange caps per-group input at k x tasks — a top-k merge,
+    # the keyed analogue of the benign 1part-limit class
+    d = read_table(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    topk = d.withColumn("rn", F.row_number().over(wsrc)).filter("rn <= 5")
+    topk_plan = _simple_plan(topk)
+    assert "WindowGroupLimit" in topk_plan
+    assert mod.count_dict_windows(topk_plan) == 0
+    # the same window WITHOUT the rank filter stays flagged
+    nofilter = d.withColumn("rn", F.row_number().over(wsrc))
+    assert mod.count_dict_windows(_simple_plan(nofilter)) >= 1
+
+
+def _window_partition_widths(mod, plan: str, func: str) -> list[int]:
+    """Partition-key counts of every Window node evaluating ``func``."""
+    widths = []
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-: *")
+        if not s.startswith(("Window ", "Window(")) or func not in s:
+            continue
+        groups = mod._bracket_groups(s)
+        part = groups[1].strip() if len(groups) >= 2 else ""
+        widths.append(len([c for c in part.split(",") if c.strip()]))
+    return widths
+
+
+def test_deskewed_family_plans(spark, sf_dir):
+    """The r14 de-skew rewrites pinned at the plan level (the sharp
+    per-query properties, per the r13 lesson that claims must be
+    visible in the plan):
+
+    - quantile_mapping_normalize: every row_number window carries >= 2
+      partition keys (the within-tie window on (key, value)); none
+      partitions by the key column alone.
+    - value_decile_bins: no ntile window at all, no dict-keyed window.
+    - gini_by_event_type: no python aggregation node (the GROUPED_AGG
+      UDAF is gone from the gated plan).
+    - weighted_median_price: no dict-keyed window (the support cum
+      rides the bucketed prefix sum)."""
+    mod = _audit_mod()
+
+    qm = _simple_plan(
+        QUERIES["quantile_mapping_normalize"](spark, sf_dir)
+    )
+    widths = _window_partition_widths(mod, qm, "row_number")
+    assert widths and all(w >= 2 for w in widths), widths
+    assert mod.count_dict_windows(qm) == 0
+
+    bins = _simple_plan(QUERIES["value_decile_bins"](spark, sf_dir))
+    assert "ntile(" not in bins
+    assert mod.count_dict_windows(bins) == 0
+
+    gini = _simple_plan(QUERIES["gini_by_event_type"](spark, sf_dir))
+    assert "ArrowAggregatePython" not in gini
+    assert "AggregateInPandas" not in gini
+    assert mod.count_dict_windows(gini) == 0
+
+    wmed = _simple_plan(QUERIES["weighted_median_price"](spark, sf_dir))
+    assert mod.count_dict_windows(wmed) == 0

@@ -544,3 +544,46 @@ def test_nonstrict_fallback_past_contract_cap(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_grouped_row_ranks_matches_window_form(spark, sf_dir):
+    """grouped_row_ranks (the r14 de-skew primitive for per-row ranks
+    over dictionary-keyed groups) must be BIT-EQUAL to the window form
+    it replaces: row_number() OVER (PARTITION BY g ORDER BY v, o) and
+    COUNT(*) OVER (PARTITION BY g) — including NULL values (NULLS
+    FIRST) and NULL group keys (one legitimate partition)."""
+    from fastetl_spark.operators.ranks import grouped_row_ranks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value", "event_id"
+    )
+    # inject a NULL value and a NULL group to pin the edge semantics
+    extra = spark.createDataFrame(
+        [(None, 1.0, -1), (None, None, -2), ("click", None, -3)],
+        "event_type string, value double, event_id long",
+    )
+    ev = ev.unionByName(extra)
+    got, sup, bounds, totals = grouped_row_ranks(
+        ev, "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ref = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("r_ref"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n_ref"),
+    )
+    j = got.join(ref, ["event_id"], "inner")
+    n = ev.count()
+    assert j.count() == n
+    bad = j.filter(
+        (F.col("r") != F.col("r_ref")) | (F.col("n") != F.col("n_ref"))
+    ).count()
+    assert bad == 0
+    # the returned support carries one row per (group, value) with cnt
+    assert sup.agg(F.sum("cnt")).first()[0] == n
+    assert sum(t for *_g, t in totals) == n

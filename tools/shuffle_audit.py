@@ -38,11 +38,35 @@ whose plan evaluates a gathering aggregate must carry a
 GATHER_ALLOWLIST entry naming that bound (df-capped posting lists,
 per-session event caps, documented moderate-group contracts).
 
+Two further bounded-parallelism shapes are classified (the r13 VERDICT
+blind spots — both invisible to the single-part walk because they are
+plain hash exchanges / unnamed functions):
+
+* **GROUPED_AGG pandas UDAFs** (``ArrowAggregatePython`` /
+  ``AggregateInPandas`` plan nodes): a custom UDAF's buffer is the
+  WHOLE GROUP by construction — Arrow ships each group's entire
+  column set into one python worker — but its function name can never
+  match the ``_GATHER_FUNCS`` regex, so the node TYPE is matched
+  instead and audited exactly like a keyed gathering aggregate
+  (GATHER_ALLOWLIST entry naming the per-group bound, else the gate
+  fails).
+* **Dictionary-keyed windows**: a Window whose partition spec consists
+  ONLY of known dictionary-cardinality columns (``DICT_COLS``) runs
+  as |dictionary| tasks regardless of cluster size — 5 tasks sorting
+  ~20 TB each at 100 TB.  Flagged as ``dict-window``; ERROR unless on
+  DICT_WINDOW_ALLOWLIST with the bounded-frame reason (only
+  dictionary-sized supports qualify — raw-row or data-scale-support
+  windows must move to ranks.bucketed_cum_sum /
+  ranks.grouped_row_ranks).  The column list is a static nameable
+  class, not inference — the r12 lesson: the gate can only defend
+  shapes it can name, and a nameable class beats no class.
+
 ``python tools/shuffle_audit.py --check`` (used by release_gate) exits
-non-zero on any unlisted sort/other single-part or any unlisted
-gathering aggregate, so the next single-partition sort — or
-single-task multiset buffer — fails the gate instead of sailing
-through.
+non-zero on any unlisted sort/other single-part, any unlisted
+gathering aggregate (built-in OR pandas-UDAF node), or any unlisted
+dictionary-keyed window, so the next single-partition sort —
+single-task multiset buffer — or dictionary-bounded stage fails the
+gate instead of sailing through.
 """
 
 from __future__ import annotations
@@ -120,10 +144,53 @@ GATHER_ALLOWLIST: dict[str, str] = {
     "robust_outlier_events": "moderate-group contract",
     # per-(user, session) event lists: bounded by session length
     "top_session_paths": "per-session events",
+    # grouped-map applyInPandas keyed by user_id: each group is one
+    # user's events — bounded by per-user activity, a data-scale KEY
+    # with moderate groups (the §2.11 plugin-surface demo; heavy
+    # per-user fan-in would move to the native window form the oracle
+    # itself uses)
+    "group_zscore_pandas": "per-user events (grouped-map demo)",
+}
+
+#: Known dictionary-cardinality columns of the fixture tables (static,
+#: nameable — see module docstring).  A Window partitioned ONLY by
+#: these is a bounded-parallelism stage at any cluster size.
+DICT_COLS = {
+    "event_type",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmode",
+    "o_orderstatus",
+    "o_orderpriority",
+    "source",
+}
+
+#: Queries allowed to keep a Window partitioned only by DICT_COLS,
+#: each with the reason its per-group frame is dictionary-sized (NOT
+#: merely "the support is compressed" — a distinct-value support still
+#: scales with the data; only a genuinely fixed grid qualifies).
+DICT_WINDOW_ALLOWLIST: dict[str, str] = {
+    # running min over the (l_returnflag, quantity) support:
+    # l_quantity is a 1..50 integer dictionary, so the window frame is
+    # <= 50 rows per flag — a fixed grid, not a data-scale support
+    "pareto_frontier_lineitems": "1..50 quantity grid per flag",
 }
 
 _SORT_PARENTS = ("Sort ", "Sort(", "Window ", "Window(", "WindowGroupLimit")
 _LIMIT_PARENTS = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
+#: GROUPED_AGG pandas-UDAF plan nodes (Spark 4 spells it
+#: ArrowAggregatePython; 3.x AggregateInPandas) — the buffer is the
+#: whole group, audited as a keyed gather regardless of function name.
+_PANDAS_AGG_NODES = (
+    "ArrowAggregatePython",
+    "AggregateInPandas",
+    # grouped-MAP / cogrouped forms share the property: each group
+    # (pair of groups) lands whole in one python worker batch
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInArrow",
+    "FlatMapCoGroupsInPandas",
+    "FlatMapCoGroupsInArrow",
+)
 
 # Gathering aggregate functions: TypedImperativeAggregates whose buffer
 # holds the input multiset (or a list of it) rather than a constant-size
@@ -146,9 +213,15 @@ def count_gathers(plan: str) -> dict[str, int]:
     Window node evaluating e.g. collect_list over a frame).  Partial
     and final nodes of one logical aggregate both count — the audit
     cares about presence, not arity."""
-    out = {"keyless": 0, "keyed": 0, "window": 0}
+    out = {"keyless": 0, "keyed": 0, "window": 0, "udaf": 0}
     for ln in plan.splitlines():
-        s = ln.strip().lstrip("+-: *")
+        s = ln.strip().lstrip("+-: *!")
+        if s.startswith(_PANDAS_AGG_NODES):
+            # custom GROUPED_AGG UDAF: the buffer is the whole group
+            # by construction; no function-name regex can know it
+            # (the r13 VERDICT blind spot), so match the node type
+            out["udaf"] += 1
+            continue
         if not _GATHER_FUNCS.search(s):
             continue
         m = _AGG_NODE.search(s)
@@ -157,6 +230,77 @@ def count_gathers(plan: str) -> dict[str, int]:
         elif s.startswith(("Window ", "Window(", "WindowGroupLimit")):
             out["window"] += 1
     return out
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan line, in order."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start:i])
+                start = -1
+    return groups
+
+
+_COL_REF = re.compile(r"#\d+L?")
+
+
+def count_dict_windows(plan: str) -> int:
+    """Count Window nodes whose partition spec is non-empty and made
+    up ONLY of DICT_COLS columns — a stage whose parallelism is
+    bounded by the dictionary's cardinality, not the cluster (the r13
+    VERDICT finding: plain hash exchanges, invisible to the
+    single-partition walk).  A Window with no partition spec at all is
+    the global-sort case the 1part-sort class already covers.
+
+    Exemption: a rank-filter top-k (``rank <= k``) plans a
+    ``WindowGroupLimit ... Partial`` BELOW the exchange — every map
+    task forwards at most k rows per group, so the dict-partitioned
+    Window merges <= k x tasks rows per group: a top-k merge, the
+    keyed analogue of the benign 1part-limit class
+    (TakeOrderedAndProject).  Windows whose partition spec matches a
+    Partial-mode WindowGroupLimit in the same plan are not counted."""
+    limited: set[tuple] = set()
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-: *!")
+        if s.startswith("WindowGroupLimit") and s.rstrip().endswith(
+            "Partial"
+        ):
+            groups = _bracket_groups(s)
+            if groups:
+                limited.add(
+                    tuple(
+                        _COL_REF.sub("", c).strip().lower()
+                        for c in groups[0].split(",")
+                    )
+                )
+    n = 0
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-: *!")
+        if not s.startswith(("Window ", "Window(")):
+            continue
+        groups = _bracket_groups(s)
+        # [functions], [partition spec](, [order spec])? — partition
+        # spec is the 2nd top-level group when present
+        if len(groups) < 2 or not groups[1].strip():
+            continue
+        cols = [
+            _COL_REF.sub("", c).strip().lower()
+            for c in groups[1].split(",")
+        ]
+        if (
+            cols
+            and all(c in DICT_COLS for c in cols)
+            and tuple(cols) not in limited
+        ):
+            n += 1
+    return n
 
 
 def _indent(line: str) -> int:
@@ -185,7 +329,7 @@ def classify_single_parts(plan: str) -> dict[str, int]:
         parent = ""
         for j in range(i - 1, -1, -1):
             if lines[j].strip() and _indent(lines[j]) < my:
-                parent = lines[j].strip().lstrip("+-: *")
+                parent = lines[j].strip().lstrip("+-: *!")
                 break
         if re.match(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]", parent):
             out["gather" if _GATHER_FUNCS.search(parent) else "scalar"] += 1
@@ -248,10 +392,12 @@ def main() -> None:
                     f"{name}: {sp['sort']} sort + {sp['other']} other"
                     " single-part exchange(s) not on SINGLE_PART_ALLOWLIST"
                 )
-        n_gather = ga["keyless"] + ga["keyed"] + ga["window"]
+        n_gather = ga["keyless"] + ga["keyed"] + ga["window"] + ga["udaf"]
         if n_gather:
             shape = "/".join(
-                f"{ga[k]} {k}" for k in ("keyless", "keyed", "window") if ga[k]
+                f"{ga[k]} {k}"
+                for k in ("keyless", "keyed", "window", "udaf")
+                if ga[k]
             )
             reason = GATHER_ALLOWLIST.get(name)
             if reason:
@@ -262,6 +408,21 @@ def main() -> None:
                     f"{name}: gathering aggregate ({shape}) not on"
                     " GATHER_ALLOWLIST — a multiset buffer needs a"
                     " documented input bound"
+                )
+        dw = count_dict_windows(plan)
+        if dw:
+            reason = DICT_WINDOW_ALLOWLIST.get(name)
+            if reason:
+                note.append(f"{dw} dict-window (allowed: {reason})")
+            else:
+                note.append(f"{dw} dict-window UNLISTED")
+                violations.append(
+                    f"{name}: {dw} Window(s) partitioned ONLY by"
+                    " dictionary columns — parallelism bounded at the"
+                    " dictionary cardinality; route through"
+                    " ranks.bucketed_cum_sum/grouped_row_ranks or add"
+                    " a DICT_WINDOW_ALLOWLIST entry with the"
+                    " fixed-grid bound"
                 )
         if sp["gather"] and not ga["keyless"]:
             # belt-and-braces: a keyless gather merge whose parent line
@@ -278,6 +439,7 @@ def main() -> None:
     for lst, lname in (
         (SINGLE_PART_ALLOWLIST, "SINGLE_PART_ALLOWLIST"),
         (GATHER_ALLOWLIST, "GATHER_ALLOWLIST"),
+        (DICT_WINDOW_ALLOWLIST, "DICT_WINDOW_ALLOWLIST"),
     ):
         stale = sorted(set(lst) - set(queries))
         if stale:
@@ -298,10 +460,16 @@ def main() -> None:
         "plans evaluating a GATHERING aggregate (percentile_disc,",
         "collect_list/set, mode, ...): keyless = the full input",
         "multiset through ONE merge task, keyed/window = per-group",
-        "multiset buffers — every occurrence must be on",
-        "GATHER_ALLOWLIST with the input bound that keeps the buffer",
-        "small, else the gate fails (sketches like percentile_approx",
-        "are constant-size and exempt).",
+        "multiset buffers, udaf = a GROUPED_AGG pandas-UDAF node whose",
+        "buffer is the whole group by construction — every occurrence",
+        "must be on GATHER_ALLOWLIST with the input bound that keeps",
+        "the buffer small, else the gate fails (sketches like",
+        "percentile_approx are constant-size and exempt).",
+        "`dict-window` marks Window nodes partitioned ONLY by known",
+        "dictionary-cardinality columns (DICT_COLS): parallelism is",
+        "bounded at the dictionary size regardless of cluster — must",
+        "be on DICT_WINDOW_ALLOWLIST with a fixed-grid reason, else",
+        "the gate fails.",
         "Nested-loop joins are legitimate only on dictionary-sized",
         "inputs (fuzzy matching) or scalar-subquery broadcasts.",
         "Iterative operators (connected components) and",
