@@ -48,9 +48,13 @@ def main() -> int:
     skip_bench = "--skip-bench" in sys.argv
     stages: list[tuple[str, bool, float, str]] = []
 
+    # Stage timeouts are sized for a ~3x co-tenant slowdown over the
+    # quiet-box walls (r13 quiet suite: 1428 s; the same suite measured
+    # 4297 s under heavy co-load in r14) — a TIMEOUT here should mean a
+    # hang, not a busy neighbor.
     if not skip_tests:
         ok, wall, tail = run(
-            "pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], 1800
+            "pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], 5400
         )
         stages.append(("pytest", ok, wall, tail))
 
@@ -58,19 +62,19 @@ def main() -> int:
         ok, wall, tail = run(
             f"sweep sf{sf}",
             [sys.executable, "tools/oracle_sweep.py", f"/root/testdata/sf{sf}"],
-            2400,
+            3600,
         )
         stages.append((f"oracle sweep sf{sf}", ok, wall, tail))
 
     ok, wall, tail = run(
         "shuffle audit",
         [sys.executable, "tools/shuffle_audit.py", "--check"],
-        2400,
+        3600,
     )
     stages.append(("shuffle audit", ok, wall, tail))
 
     if not skip_bench:
-        ok, wall, tail = run("bench", [sys.executable, "bench.py"], 1800)
+        ok, wall, tail = run("bench", [sys.executable, "bench.py"], 3600)
         if ok:
             try:
                 d = json.loads(tail)
