@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when a local hash map
+        # fits (r14, measured 1.0-1.38x on the SMJ-heavy queries, no
+        # regressions): the static pick still requires the build side
+        # under autoBroadcastJoinThreshold x shuffle partitions, and at
+        # scale AQE only rewrites when EVERY post-shuffle partition is
+        # below the 128 MB local-map threshold — past either bound the
+        # planner falls back to sort-merge, so big-big joins are
+        # unaffected. Skew-split still applies (AQE handles SHJ too).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -26,8 +26,13 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -91,8 +96,6 @@ def main() -> None:
     # Same two shapes as multimodal.gini_grouped_udaf (old gated form)
     # and the r14 gated gini_by_event_type, inlined over the synthetic
     # frame so both run in this one session.
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from fastetl_spark.operators.multimodal import gini_scalar

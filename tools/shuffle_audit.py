@@ -366,7 +366,7 @@ def main() -> None:
                 df._jdf.queryExecution(), "simple"
             )
         except Exception as e:  # noqa: BLE001 - audit keeps going
-            rows.append((name, "-", "-", "-", "-", "-", f"ERR {type(e).__name__}"))
+            rows.append((name, "-", "-", "-", "-", "-", "-", f"ERR {type(e).__name__}"))
             violations.append(f"{name}: plan error {type(e).__name__}")
             continue
         exchanges = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan))
@@ -374,6 +374,7 @@ def main() -> None:
         ga = count_gathers(plan)
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
+        shj = plan.count("ShuffledHashJoin")
         bnlj = plan.count("BroadcastNestedLoopJoin")
         scans = plan.count("FileScan parquet") + plan.count("Scan parquet")
         note = []
@@ -434,7 +435,7 @@ def main() -> None:
             )
         if bnlj:
             note.append("nested-loop")
-        rows.append((name, exchanges, bhj, smj, bnlj, scans, "; ".join(note)))
+        rows.append((name, exchanges, bhj, smj, shj, bnlj, scans, "; ".join(note)))
 
     for lst, lname in (
         (SINGLE_PART_ALLOWLIST, "SINGLE_PART_ALLOWLIST"),
@@ -474,9 +475,14 @@ def main() -> None:
         "inputs (fuzzy matching) or scalar-subquery broadcasts.",
         "Iterative operators (connected components) and",
         "localCheckpoint-backed plans report the post-checkpoint plan.",
+        "`SHJ` counts ShuffledHashJoin nodes — since r14 the session",
+        "prefers shuffled-hash over sort-merge when a per-partition",
+        "hash map fits (no sort on either side); the planner falls",
+        "back to sort-merge past the size bounds, so a non-zero SMJ",
+        "column marks genuinely big-big joins.",
         "",
-        "| query | exch | bcast join | SMJ | NLJ | scans | notes |",
-        "|---|---|---|---|---|---|---|",
+        "| query | exch | bcast join | SMJ | SHJ | NLJ | scans | notes |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append("| " + " | ".join(str(x) for x in r) + " |")
