@@ -583,31 +583,41 @@ def ngram_contamination(
     benchmark-sized — orders below the corpus), the overlap is one
     equi-join keyed by the gram string, and both sides are generator
     fan-outs (no corpus^2 anything). At 100 TB swap the gram string for
-    xxhash64(gram) to shrink the shuffle key — same plan shape."""
+    xxhash64(gram) to shrink the shuffle key — same plan shape.
+
+    r14: n_grams and n_hits come from ONE pass over the exploded
+    training grams — a LEFT join against the distinct eval-gram set
+    followed by a single per-doc aggregation (count(*) = grams,
+    count(eval-side marker) = hits, since count skips the NULLs a
+    left-join miss leaves) — where the r13 form exploded the training
+    side twice (a sizes groupBy and a separate inner-join + groupBy)
+    and stitched the two aggregates back with a third join. Same
+    integers by construction (ev is distinct, so the left join cannot
+    duplicate a training gram); hash-gated at every SF."""
     toks = F.split(F.col(text_col), " ")
     ev = (
         eval_set.select(
             F.explode(word_shingles(toks, n=n)).alias("gram")
         )
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     tr = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(toks, n=n)).alias("gram"),
     )
-    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = tr.join(ev, "gram").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
     return (
-        sizes.join(hits, "doc_id", "left")
+        tr.join(ev, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hits"),
+        )
         .select(
             "doc_id",
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) >= threshold).alias(
-                "contaminated"
-            ),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") >= threshold).alias("contaminated"),
         )
     )
 

@@ -1321,7 +1321,19 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: truth generation is the df-capped shared-shingle join
     (never all-pairs); the LSH side is the banding pipeline. Run on a
     SAMPLED document stratum in production — the metric needs a truth
-    set, and truth costs more than the LSH it evaluates."""
+    set, and truth costs more than the LSH it evaluates.
+
+    r14 shared-support rewrite: candidate pairs and reachable pairs
+    are unioned into ONE distinct pair set tagged (in_cand, in_reach),
+    the shingle arrays are attached and the exact Jaccard computed
+    ONCE per pair, and all five counters fall out of a single
+    aggregation — where the r13 form attached arrays and computed
+    Jaccard separately per side (5 joins + 2 aggs + a truth-vs-cand
+    anti-probe; candidates overwhelmingly ARE reachable, so the two
+    Jaccard passes overlapped almost completely). Pure refactor of the
+    same integer counters: n_cand/n_tp sum over in_cand pairs,
+    n_truth/n_missed over in_reach pairs with the identical full-set
+    Jaccard threshold — proven by the unchanged DuckDB oracle hash."""
     d = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", word_tokens(F.col("text")).alias("tokens")).filter(
         F.size(F.col("tokens")) >= _SHINGLE_N
@@ -1339,25 +1351,7 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hashed.select(
         "doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig")
     )
-    cands = lsh_candidate_pairs(sigs, "doc_id", "sig").transform(materialize)
-
-    shn = hashed.select("doc_id", F.col("shingles").alias("sh"))
-    a = shn.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = shn.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-
-    def full_jaccard(df: DataFrame) -> Column:
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        return inter * F.lit(1.0) / (
-            F.size("sh_a") + F.size("sh_b") - inter
-        )
-
-    cand_j = cands.join(a, "id_a").join(b, "id_b")
-    cstats = cand_j.agg(
-        F.count(F.lit(1)).alias("n_cand"),
-        F.sum(
-            (full_jaccard(cand_j) >= _JACCARD_THRESHOLD).cast("long")
-        ).alias("n_tp"),
-    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
 
     exploded = hashed.select("doc_id", F.explode("shingles").alias("shingle"))
     kept = (
@@ -1372,25 +1366,44 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ek.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        # no .distinct(): the pair-set groupBy below dedups (one
+        # shuffle instead of two)
     )
-    reach_j = reach.join(a, "id_a").join(b, "id_b")
-    truth = reach_j.filter(full_jaccard(reach_j) >= _JACCARD_THRESHOLD).select(
-        "id_a", "id_b"
-    )
-    tstats = (
-        truth.join(
-            cands.withColumn("in_cand", F.lit(1)), ["id_a", "id_b"], "left"
+
+    # one distinct pair set, tagged with which side(s) produced it
+    pairs = (
+        cands.select(
+            "id_a", "id_b", F.lit(1).alias("in_cand"), F.lit(0).alias("in_reach")
         )
+        .unionAll(
+            reach.select(
+                "id_a", "id_b", F.lit(0).alias("in_cand"), F.lit(1).alias("in_reach")
+            )
+        )
+        .groupBy("id_a", "id_b")
         .agg(
-            F.count(F.lit(1)).alias("n_truth"),
-            F.sum(F.col("in_cand").isNull().cast("long")).alias("n_missed"),
+            F.max("in_cand").alias("in_cand"),
+            F.max("in_reach").alias("in_reach"),
         )
     )
-    return cstats.crossJoin(tstats).select(
-        "n_cand",
-        "n_tp",
-        (F.col("n_cand") - F.col("n_tp")).alias("n_fp"),
-        "n_truth",
-        "n_missed",
+
+    shn = hashed.select("doc_id", F.col("shingles").alias("sh"))
+    a = shn.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shn.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pj = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - inter)
+    scored = pj.select(
+        "in_cand",
+        "in_reach",
+        (jac >= _JACCARD_THRESHOLD).cast("long").alias("hit"),
+    )
+    return scored.agg(
+        F.sum("in_cand").alias("n_cand"),
+        F.sum(F.col("in_cand") * F.col("hit")).alias("n_tp"),
+        F.sum(F.col("in_cand") * (1 - F.col("hit"))).alias("n_fp"),
+        F.sum(F.col("in_reach") * F.col("hit")).alias("n_truth"),
+        F.sum(
+            F.col("in_reach") * F.col("hit") * (1 - F.col("in_cand"))
+        ).alias("n_missed"),
     )
