@@ -601,21 +601,27 @@ def grouped_row_ranks(
     Decomposition (bit-identical to the window form, pinned by
     tests/test_ranks.py):
 
-    * rank r = (# rows in the group with a strictly smaller value)
-      + (1-based position among the row's VALUE TIES ordered by
-      ``order_col``).  The first term rides ``bucketed_cum_sum`` over
-      the (group, value) support — hash exchanges partitioned by
-      (group, bucket), never by the dictionary column alone; the
-      second is a window partitioned by (group, value) — cardinality
-      ~ the support, not the dictionary.
-    * n comes from the SAME bounded totals collect that feeds the
-      prefix-sum offsets (the fused-collect pattern of
-      evaluation.auc_from_score_counts), broadcast back as a
-      dictionary-sized (group, n) frame.
+    * rank r = (exclusive offset of the row's (group, bucket) —
+      densified from the SAME bounded totals collect that serves the
+      callers' prefix sums) + (1-based ``row_number`` within a window
+      partitioned by (group, bucket) and ordered by (value, order)).
+      Bucketing is monotone in the value order and equal values always
+      share a bucket (``_with_bucket``: NULL image -> bucket 0,
+      matching NULLS FIRST), so concatenating buckets in order
+      reproduces the global per-group (value, order) sort exactly.
+    * n is the per-group sum of the same totals, folded into the SAME
+      broadcast offsets frame — ONE dictionary-sized broadcast join
+      attaches both r's offset and n.
 
-    Joins are null-safe on the group column (NULL is a legitimate
-    window partition) and on the value column (Spark joins treat NaN
-    = NaN and NULL <=> NULL like the window's ordering groups them).
+    This is the r14.2 direct form: the base frame is exchanged ONCE
+    (by (group, bucket)) — the earlier decomposition paid a second
+    full exchange of the base to join the support's cum-below back on
+    (group, value), which at 100 TB re-shuffles every byte a second
+    time and at small scale was most of the primitive's fixed cost.
+    The trade is parallelism bounded at |groups| x num_buckets
+    (``default_num_buckets``: 2x cluster parallelism, capped 1024) —
+    for the dictionary-keyed family this primitive exists for, that
+    is cluster-wide, versus the replaced window form's |groups| tasks.
 
     Returns ``(ranked, support, bounds, totals)`` — support has one
     row per (group, value) with a ``cnt`` column, and (bounds,
@@ -630,49 +636,41 @@ def grouped_row_ranks(
     totals = collect_bucket_totals(
         sup, value_col, "cnt", bounds=bounds, partition_cols=[group_col]
     )
-    cum = bucketed_cum_sum(
-        sup,
-        value_col,
-        "cnt",
-        bounds=bounds,
-        partition_cols=[group_col],
-        inclusive=False,
-        out_col="__grr_cb",
-        offsets=totals_to_offsets(totals, len(bounds) + 1),
-    )
     per_group: dict = {}
     for k, _bkt, t in totals:
         per_group[k] = per_group.get(k, 0) + t
-    nk = spark.createDataFrame(
-        list(per_group.items()),
+    off_df = spark.createDataFrame(
+        [
+            (g, int(b), int(o), int(per_group[g]))
+            for g, b, o in totals_to_offsets(totals, len(bounds) + 1)
+        ],
         StructType(
             [
-                StructField("__grr_g2", df.schema[group_col].dataType),
+                StructField("__grr_g", df.schema[group_col].dataType),
+                StructField("__grr_b", IntegerType(), False),
+                StructField("__grr_off", LongType(), False),
                 StructField("__grr_n", LongType(), False),
             ]
         ),
     )
-    wt = Window.partitionBy(group_col, value_col).orderBy(order_col)
+    kd = _as_double(
+        F.col(value_col),
+        df.schema[value_col].dataType,
+        getattr(bounds, "prefix", b""),
+    )
+    wt = Window.partitionBy(group_col, _BKT).orderBy(value_col, order_col)
     ranked = (
-        df.withColumn("__grr_rn", F.row_number().over(wt))
+        _with_bucket(df, kd, bounds)
+        .withColumn("__grr_rn", F.row_number().over(wt))
         .join(
-            cum.select(
-                F.col(group_col).alias("__grr_g"),
-                F.col(value_col).alias("__grr_v"),
-                "__grr_cb",
-            ),
+            F.broadcast(off_df),
             F.col(group_col).eqNullSafe(F.col("__grr_g"))
-            & F.col(value_col).eqNullSafe(F.col("__grr_v")),
+            & (F.col(_BKT) == F.col("__grr_b")),
         )
-        .drop("__grr_g", "__grr_v")
-        .join(
-            F.broadcast(nk), F.col(group_col).eqNullSafe(F.col("__grr_g2"))
-        )
-        .drop("__grr_g2")
         .withColumn(
-            rank_col, (F.col("__grr_cb") + F.col("__grr_rn")).cast("long")
+            rank_col, (F.col("__grr_off") + F.col("__grr_rn")).cast("long")
         )
         .withColumnRenamed("__grr_n", n_col)
-        .drop("__grr_rn", "__grr_cb")
+        .drop("__grr_g", "__grr_b", "__grr_off", "__grr_rn", _BKT)
     )
     return ranked, sup, bounds, totals

@@ -420,9 +420,14 @@ def test_deskewed_family_plans(spark, sf_dir):
     visible in the plan):
 
     - quantile_mapping_normalize: every row_number window carries >= 2
-      partition keys (the within-tie window on (key, value)); none
-      partitions by the key column alone.
+      partition keys (the (key, bucket) rank window); none partitions
+      by the key column alone.
     - value_decile_bins: no ntile window at all, no dict-keyed window.
+    - both grouped_row_ranks consumers (r14.2 direct form): rank
+      metadata attaches to the base rows via BROADCAST joins only —
+      no SortMergeJoin/ShuffledHashJoin anywhere in the plan, i.e.
+      the base frame is exchanged exactly once (for the (group,
+      bucket) window), never a second time for a support join-back.
     - gini_by_event_type: no python aggregation node (the GROUPED_AGG
       UDAF is gone from the gated plan).
     - weighted_median_price: no dict-keyed window (the support cum
@@ -435,10 +440,12 @@ def test_deskewed_family_plans(spark, sf_dir):
     widths = _window_partition_widths(mod, qm, "row_number")
     assert widths and all(w >= 2 for w in widths), widths
     assert mod.count_dict_windows(qm) == 0
+    assert "SortMergeJoin" not in qm and "ShuffledHashJoin" not in qm
 
     bins = _simple_plan(QUERIES["value_decile_bins"](spark, sf_dir))
     assert "ntile(" not in bins
     assert mod.count_dict_windows(bins) == 0
+    assert "SortMergeJoin" not in bins and "ShuffledHashJoin" not in bins
 
     gini = _simple_plan(QUERIES["gini_by_event_type"](spark, sf_dir))
     assert "ArrowAggregatePython" not in gini
