@@ -1355,30 +1355,43 @@ def two_phase_star_cc(edges: DataFrame, nodes: DataFrame | None = None,
     )
     prev_sig: tuple[int, int] | None = None
     for r in range(max_rounds):
-        # ---- large-star: neighbors larger than u point at u's min
-        sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
-            .unionAll(e.select(F.col("b").alias("node"),
-                               F.col("a").alias("nbr")))
+        # ---- large-star: neighbors larger than u point at u's min.
+        # e is canonical (a < b strictly), so the textbook probe side
+        # "sym rows with nbr > node" is exactly e itself renamed — the
+        # symmetric frame is built ONLY for the min aggregation, and
+        # the reversed branch is never scanned just to be filtered out.
+        en = e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        sym = en.unionAll(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
         mins = sym.groupBy("node").agg(
             F.least(F.min("nbr"), F.first("node")).alias("m")
         )
-        ls = (
-            sym.filter(F.col("nbr") > F.col("node"))
-            .join(mins, "node")
-            .select(F.col("nbr").alias("a"), F.col("m").alias("b"))
+        ls = en.join(mins, "node").select(
+            F.col("nbr").alias("a"), F.col("m").alias("b")
         )
-        # ---- small-star over the large-star output
-        sym2 = ls.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
-            .unionAll(ls.select(F.col("b").alias("node"),
-                                F.col("a").alias("nbr")))
-        smalls = sym2.filter(F.col("nbr") <= F.col("node")).unionAll(
-            sym2.select("node", F.col("node").alias("nbr")).distinct()
-        )
-        mins2 = smalls.groupBy("node").agg(F.min("nbr").alias("m"))
+        # ---- small-star over the large-star output.  Every ls edge
+        # has a > b by construction (b = m <= node < nbr = a), so the
+        # symmetric-frame filter "nbr <= node" keeps exactly ls and
+        # drops the whole reversed branch; and the per-node self rows
+        # (node, node) only ever emit one (node, m) edge for nodes that
+        # appear as an ls source — one row per mins2 group.  Building
+        # sym2 + a distinct over it (one data-scale exchange and 2-3
+        # recomputations of the large-star join per round) is therefore
+        # equivalent to ls ⋈ mins2 plus a union of mins2 itself, whose
+        # exchange is shared with the aggregation.  Bag-identical edge
+        # multiset each round → identical fingerprint and convergence.
+        sm = ls.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        mins2 = sm.groupBy("node").agg(F.min("nbr").alias("m"))
         ss = (
-            smalls.join(mins2, "node")
+            sm.join(mins2, "node")
             .filter(F.col("nbr") != F.col("m"))
             .select(F.col("nbr").alias("a"), F.col("m").alias("b"))
+            .unionAll(
+                mins2.filter(F.col("node") != F.col("m")).select(
+                    F.col("node").alias("a"), F.col("m").alias("b")
+                )
+            )
         )
         obs = Observation()
         e = (
