@@ -19,6 +19,8 @@ for deterministic batch-equivalence.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -387,6 +389,26 @@ def _gated_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_STATE_PARTITIONS = 8
 
 
+@contextmanager
+def _pinned_state(spark: SparkSession):
+    """Pin the fixture-sized state-partition count for the duration of
+    a gated streaming drain (see _GATE_STATE_PARTITIONS), restoring the
+    session conf after.  Used by BOTH drain paths — the memory-sink
+    gates (_drain_to_memory) and the foreachBatch gates, which
+    previously ran their stateful aggregations and per-batch sink
+    writes at the session's 32 partitions (r14: the same hundreds of
+    tiny state-store delta files the r13 pin removed from the
+    memory-sink gates; semantics are partition-invariant — batch
+    boundaries come from maxFilesPerTrigger, not from this)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(_GATE_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
     sink and return the drained table.  Pins the fixture-sized
@@ -395,11 +417,8 @@ def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
     import uuid
 
     spark = df.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
     name = prefix + uuid.uuid4().hex[:8]
-    spark.conf.set(key, str(_GATE_STATE_PARTITIONS))
-    try:
+    with _pinned_state(spark):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -408,8 +427,6 @@ def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(key, old)
     return spark.table(name)
 
 
@@ -634,10 +651,11 @@ def streaming_upsert_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = foreach_batch_merge(
-        stream, dest, ["user_id", "event_type"], ckpt, n_buckets=8
-    )
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = foreach_batch_merge(
+            stream, dest, ["user_id", "event_type"], ckpt, n_buckets=8
+        )
+        q.awaitTermination()
     return read_bucketed(spark, dest).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -690,8 +708,9 @@ def streaming_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("value_pos", F.col("value") > 0.0),
         ("type_known", F.col("event_type").isin("click", "view", "purchase", "signup")),
     ]
-    q = foreach_batch_quarantine(stream, rules, valid_p, reject_p, ckpt)
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = foreach_batch_quarantine(stream, rules, valid_p, reject_p, ckpt)
+        q.awaitTermination()
     valid = spark.read.parquet(valid_p).select(
         "event_id",
         F.lit(True).alias("is_valid"),
@@ -733,8 +752,9 @@ def streaming_agg_maintain_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = foreach_batch_agg_maintain(stream, dest, ckpt)
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = foreach_batch_agg_maintain(stream, dest, ckpt)
+        q.awaitTermination()
     agg = spark.read.parquet(dest)
     return agg.select(
         "hour",
@@ -848,8 +868,9 @@ def streaming_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = foreach_batch_cdc_apply(stream, dest, ["event_id"], ckpt)
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = foreach_batch_cdc_apply(stream, dest, ["event_id"], ckpt)
+        q.awaitTermination()
     return read_bucketed(spark, dest).select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -961,13 +982,16 @@ def streaming_ivm_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(make_view_delta_batch(dest, dim, "o_custkey"))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                make_view_delta_batch(dest, dim, "o_custkey")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(dest).select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
     )
@@ -1131,13 +1155,14 @@ def streaming_posting_index_state(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(make_posting_batch(dest))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = (
+            stream.writeStream.foreachBatch(make_posting_batch(dest))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     queries = spark.createDataFrame(
         [(qid, list(terms)) for qid, terms in _BM25_QUERY_SET],
         "query_id int, terms array<string>",
@@ -1385,14 +1410,15 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi_terms_from_counts(full).write.mode("overwrite").parquet(dest)
 
     cur = _binned_current_stream(spark, sf_dir, mid, bounds)
-    q = (
-        cur.writeStream.foreachBatch(psi_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = (
+            cur.writeStream.foreachBatch(psi_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(dest).orderBy("event_type", "bin")
 
 
@@ -1595,14 +1621,15 @@ def streaming_late_data_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    q = (
-        agg.writeStream.foreachBatch(make_batch_partition_sink(dest))
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = (
+            agg.writeStream.foreachBatch(make_batch_partition_sink(dest))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # counts only grow in state, so MAX across the per-batch update
     # emissions is the final value per key
     return (
@@ -1727,14 +1754,15 @@ def streaming_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df, "event_type", "value", small_support=True
         ).write.mode("overwrite").parquet(dest)
 
-    q = (
-        counts.writeStream.foreachBatch(auc_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_state(spark):
+        q = (
+            counts.writeStream.foreachBatch(auc_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(dest)
 
 
