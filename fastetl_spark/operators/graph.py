@@ -867,13 +867,18 @@ _KCORE_ROUNDS = 4
 
 
 def _kcore_iter_sql(t: int) -> str:
+    # n{t} is referenced TWICE by round t+1 (both edge endpoints): if
+    # DuckDB inlines the chain instead of materializing it, the base
+    # graph is re-evaluated 2^rounds times — the 8-round fixpoint
+    # oracle took 257 s at sf0.001 (r15, measured; 1.0 s materialized,
+    # byte-identical result). MATERIALIZED is an evaluation hint only.
     return f"""deg{t} AS (
   SELECT u.src AS node, COUNT(*) AS deg
   FROM und u
   JOIN n{t - 1} a ON a.node = u.src
   JOIN n{t - 1} b ON b.node = u.dst
   GROUP BY 1
-), n{t} AS (
+), n{t} AS MATERIALIZED (
   SELECT node FROM deg{t} WHERE deg >= {_KCORE_K}
 )"""
 
