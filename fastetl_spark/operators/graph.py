@@ -1349,13 +1349,27 @@ def two_phase_star_cc(edges: DataFrame, nodes: DataFrame | None = None,
     forest, so a stable fingerprint is permanent (the per-query oracle
     independently verifies the labels, so a fingerprint collision
     cannot ship a wrong answer silently)."""
+
+    def _canonical(df: DataFrame) -> DataFrame:
+        # INVARIANT (load-bearing for the r14 star rewrites below): the
+        # loop's edge frame is STRICTLY canonical — a < b on every row,
+        # no self-loops, no duplicates. The large-star probe "sym rows
+        # with nbr > node" == e, and the small-star filter "nbr <=
+        # node" == ls, are only equivalences BECAUSE of this. Both the
+        # entry frame and every round's output must pass through this
+        # helper; weakening it silently breaks both rewrites (r14
+        # ADVICE #1).
+        return (
+            df.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+
     e = (
         edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
+        .transform(_canonical)
         .transform(materialize)
     )
     prev_sig: tuple[int, int] | None = None
@@ -1400,10 +1414,7 @@ def two_phase_star_cc(edges: DataFrame, nodes: DataFrame | None = None,
         )
         obs = Observation()
         e = (
-            ss.filter(F.col("a") != F.col("b"))
-            .select(F.least("a", "b").alias("a"),
-                    F.greatest("a", "b").alias("b"))
-            .distinct()
+            ss.transform(_canonical)  # re-establish the strict a < b invariant
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
