@@ -399,9 +399,21 @@ def _pinned_state(spark: SparkSession):
     writes at the session's 32 partitions (r14: the same hundreds of
     tiny state-store delta files the r13 pin removed from the
     memory-sink gates; semantics are partition-invariant — batch
-    boundaries come from maxFilesPerTrigger, not from this)."""
+    boundaries come from maxFilesPerTrigger, not from this).
+
+    The pin mutates the SESSION-global shuffle-partition conf for the
+    drain's duration, which assumes the gated drains run sequentially
+    on the session (they do: the registry executes one query function
+    at a time, and each drain blocks on awaitTermination). A nested or
+    overlapping pin is made harmless rather than silently restoring
+    out of order: when the conf is already at the pinned value, the
+    inner pin is a no-op and the outer pin alone restores (r14 ADVICE
+    #2)."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
+    if old == str(_GATE_STATE_PARTITIONS):
+        yield  # already pinned by an enclosing drain — its exit restores
+        return
     spark.conf.set(key, str(_GATE_STATE_PARTITIONS))
     try:
         yield
@@ -2205,65 +2217,42 @@ def streaming_join_late_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         "event_type",
         F.date_trunc("second", F.col("ts").cast("timestamp")).alias("tss"),
     )
-    slice_no = (
-        F.when(
-            (F.col("tss") < F.lit(_LATE_CUT_LO).cast("timestamp"))
-            | (F.col("tss") >= F.lit(_LATE_CUT_TAIL).cast("timestamp"))
-            | (
-                (F.col("tss") >= F.lit(_SML_CARVE_LO).cast("timestamp"))
-                & (F.col("tss") < F.lit(_SML_CARVE_HI).cast("timestamp"))
-            ),
-            2,
+    def _b_of(c):
+        # the batch tag is a PURE FUNCTION of event time (fixed literal
+        # cuts) — computable identically from the staged inputs and
+        # from the drained join output below
+        return (
+            F.when(
+                (c < F.lit(_LATE_CUT_LO).cast("timestamp"))
+                | (c >= F.lit(_LATE_CUT_TAIL).cast("timestamp"))
+                | (
+                    (c >= F.lit(_SML_CARVE_LO).cast("timestamp"))
+                    & (c < F.lit(_SML_CARVE_HI).cast("timestamp"))
+                ),
+                2,
+            )
+            .when(c < F.lit(_SML_CUT_MID).cast("timestamp"), 0)
+            .otherwise(1)
         )
-        .when(F.col("tss") < F.lit(_SML_CUT_MID).cast("timestamp"), 0)
-        .otherwise(1)
-    )
-    base = ev.withColumn("b", slice_no)
-    # batch replay of the pinned rule: late-cross-batch pair mass must
-    # exist, or the run would exercise only the in-order paths
-    wm = base.filter(F.col("b") == 0).agg(
+
+    slice_no = _b_of(F.col("tss"))
+    # batch-0 watermark guard: F.max over an empty side returns NULL —
+    # batch 0 of a tiny / unusual SF carries no clicks or no purchases,
+    # so the two-sided watermark (and with it the late-merge path under
+    # test) cannot exist; raise the explicit fixture-mass error (the
+    # r13 ADVICE finding). One partial-aggregated scan, the only eager
+    # pre-drain job left.
+    wm = ev.filter(slice_no == 0).agg(
         F.max(F.when(F.col("event_type") == "click", F.col("tss"))).alias("mc"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("tss"))).alias("mp"),
     ).head()
     if wm["mc"] is None or wm["mp"] is None:
-        # F.max over an empty side returns NULL: batch 0 of a tiny /
-        # unusual SF carries no clicks or no purchases, so the
-        # two-sided watermark — and with it the late-merge path under
-        # test — cannot exist.  Raise the explicit fixture-mass error
-        # instead of letting min(None, ...) crash with a TypeError
-        # (the r13 ADVICE finding).
         raise RuntimeError(
             "streaming_join_late_attribution: fixture carries NO"
             " late-cross-batch pair at this SF — batch 0 lacks"
             " clicks or purchases entirely (widen the window)"
         )
-    l2 = min(wm["mc"], wm["mp"]) - __import__("datetime").timedelta(
-        days=_SJL_WM_DAYS
-    )
-    kept = base.filter((F.col("b") < 2) | (F.col("tss") > F.lit(l2)))
-    kp = kept.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("pu"), F.col("tss").alias("pt"), F.col("b").alias("bp")
-    )
-    kc = kept.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cu"), F.col("tss").alias("ct"), F.col("b").alias("bc")
-    )
-    cross = kp.join(
-        kc,
-        (F.col("pu") == F.col("cu"))
-        & (F.col("ct") <= F.col("pt"))
-        & (F.col("ct") >= F.col("pt") - F.expr(f"INTERVAL {_SJL_WINDOW_H} HOURS"))
-        & (
-            ((F.col("bp") == 2) & (F.col("bc") < 2))
-            | ((F.col("bc") == 2) & (F.col("bp") < 2))
-        ),
-    ).count()
-    if cross == 0:
-        raise RuntimeError(
-            "streaming_join_late_attribution: fixture carries NO"
-            " late-cross-batch pair at this SF — the late-merge join"
-            " path under test would not execute (widen the window)"
-        )
-    staged = base.select("event_id", "user_id", "event_type", "tss")
+    staged = ev.select("event_id", "user_id", "event_type", "tss")
     _stage_slices(staged, root, in_dir, slice_no)
     stream = (
         spark.readStream.schema(staged.schema)
@@ -2299,4 +2288,23 @@ def streaming_join_late_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
-    return _drain_to_memory(joined, "st_sjl_", "append")
+    out = _drain_to_memory(joined, "st_sjl_", "append")
+    # late-cross-batch pair mass must exist, or the run exercised only
+    # the in-order paths. r15 (guide §2.4, r14 VERDICT ask #3): derived
+    # from the DRAINED output — each side's batch tag is recomputed
+    # from its event time (_b_of is a pure function of the fixed cuts)
+    # — instead of the r13/r14 eager batch replay, which re-filtered
+    # the raw inputs and re-ran the interval self-join per invocation.
+    # Strictly stronger as a guard: it asserts the STREAM emitted a
+    # late-cross-batch pair, not merely that the fixture contains one.
+    bp, bc = _b_of(F.col("purchase_ts")), _b_of(F.col("click_ts"))
+    cross = out.filter(
+        ((bp == 2) & (bc < 2)) | ((bc == 2) & (bp < 2))
+    ).count()
+    if cross == 0:
+        raise RuntimeError(
+            "streaming_join_late_attribution: fixture carries NO"
+            " late-cross-batch pair at this SF — the late-merge join"
+            " path under test would not execute (widen the window)"
+        )
+    return out
