@@ -96,6 +96,43 @@ def test_sort_merge_join_when_broadcast_disabled(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_shj_size_bound_falls_back_to_smj(spark, sf_dir):
+    """r14 VERDICT ask #7: the session-wide SHJ preference
+    (preferSortMergeJoin=false) must NOT pick a shuffled-hash join when
+    the build side is oversized for a per-partition hash map. The
+    static pick requires build-side size < autoBroadcastJoinThreshold x
+    shuffle partitions; shrinking that bound below the real table size
+    (the local stand-in for the 100 TB regime where join sides dwarf
+    any local-map budget) must yield SortMergeJoin — with a POSITIVE
+    broadcast threshold, unlike the -1 test above, which disables the
+    static SHJ size condition through a different code path."""
+    from fastetl_spark.io.readers import read_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "1024",
+        "spark.sql.shuffle.partitions": "2",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "1024",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, sf_dir, "lineitem")
+        od = read_table(spark, sf_dir, "orders")
+        plan = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_token_budget_cumsum_not_single_partition(spark, sf_dir):
     # the two-phase cumulative sum must not funnel the corpus through a
     # global-order window (Exchange SinglePartition)
