@@ -249,6 +249,12 @@ def main() -> None:
             if median > 0
             else 0.0,
             "la1": la1,
+            # raw sorted rep walls (r14 VERDICT ask #2): lets a judge
+            # separate co-tenant load from code mechanically — a real
+            # regression moves ALL reps, a load spike moves the tail.
+            # BENCH_DETAIL-only addition; the one-line JSON contract
+            # (metric/value/queries keys) is unchanged.
+            "times": [round(t, 3) for t in times],
         }
 
     # scaling-curve guard: the heaviest queries also run at the next
