@@ -3,6 +3,7 @@ fixture: brand-new keys report instead of vanishing; NULLs drop."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from fastetl_spark.operators.analytics import drift_bins
@@ -77,6 +78,7 @@ def test_poisson_bootstrap_statistics(spark):
 # --- approx-boundary scale path (round 8) ---------------------------------
 
 
+@pytest.mark.slow  # full gate only: approx==exact bit-equality also pinned by test_winsorize_approx_bit_equals_exact + test_quantile_map_approx_within_one_level (default profile)
 def test_drift_approx_bit_equals_exact_at_covering_accuracy(spark):
     """drift_bins(exact=False, accuracy >= group) is bit-identical to
     the gated exact path — both take the element at disc rank
@@ -183,6 +185,7 @@ def test_quantile_map_approx_within_one_level(spark):
             assert levels == sorted(levels)
 
 
+@pytest.mark.slow  # full gate only: the facade default wiring is covered by test_covering_accuracy_derive_once_and_reuse + the drift oracle gates (default profile); this re-proves bit-equality end-to-end
 def test_facade_defaults_take_scale_path_bit_equal(spark):
     """Engine.drift_report / winsorize_report default to the
     sketch-boundary plan (no per-key sort window) at a DERIVED covering

@@ -55,6 +55,7 @@ def test_index_search_prunes_to_probed_cells(spark, embeddings, tmp_path):
     assert len(read_files) < len(all_files)
 
 
+@pytest.mark.slow  # full gate only: index search correctness covered by test_index_search_equals_one_shot_ivf / test_ivfpq_index_search_equals_one_shot (default profile); this adds the multi-append file-bound sweep
 def test_append_finds_planted_twin_and_bounds_files(spark, embeddings, tmp_path):
     """Append a near-duplicate of an existing vector: the search must
     surface the original as the twin's top neighbor. 20 appends keep

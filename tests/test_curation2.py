@@ -241,6 +241,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow  # full gate only: an sf0.1 heap-regression canary; the operator's correctness runs in the default profile via the quantile_mapping_normalize oracle gate + test_quantile_map_approx_within_one_level
 def test_quantile_mapping_completes_on_default_heap_sf01():
     """Regression for the r12 scale-shape finding: the global grid used
     to be a x129 percentile_disc gather whose keyless merge buffered the

@@ -613,6 +613,7 @@ def test_shingle_index_matches_and_reads_only_touched_buckets(spark, sf_dir, tmp
     assert all((i, i) in self_pairs for i in ids)
 
 
+@pytest.mark.slow  # full gate only: append/match correctness covered by test_shingle_index_matches_and_reads_only_touched_buckets + the shingle_index_match oracle gate (default profile); this adds the file-count bound sweep
 def test_index_append_auto_compaction_bounds_file_counts(spark, sf_dir, tmp_path):
     """20 successive appends must NOT grow per-bucket file counts
     without bound: auto-compaction keeps every bucket at or under the

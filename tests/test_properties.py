@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -249,6 +250,7 @@ def test_validate_split_is_a_partition(spark, rows):
     assert not (v_ids & r_ids)
 
 
+@pytest.mark.slow  # full gate only: the same partial==full merge equivalence runs in the default profile via test_bucketed's merge tests + the upsert/cdc oracle gates; this adds the randomized sweep
 @given(
     st.data(),
 )

@@ -7,9 +7,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow  # full gate only: an end-to-end subprocess walkthrough of examples/quickstart.py; every operator it touches has its own default-profile test
 def test_quickstart_runs_clean(tmp_path):
     p = subprocess.run(
         [

@@ -51,6 +51,7 @@ def store(spark, tmp_path):
     return path
 
 
+@pytest.mark.slow  # full gate only (with the 3 siblings below): reshard correctness runs in the default profile via the rendezvous_reshard_roundtrip oracle gate + the cheap hrw/validation tests at the bottom of this file
 def test_grow_moves_about_one_nth(spark, store):
     before = _rows(read_bucketed(spark, store))
     stats = reshard_bucketed(spark, store, 5)
@@ -71,6 +72,7 @@ def test_grow_moves_about_one_nth(spark, store):
     assert _rows(read_bucketed(spark, store)) == before
 
 
+@pytest.mark.slow  # full gate only: see test_grow_moves_about_one_nth
 def test_shards_partition_the_store(spark, store):
     reshard_bucketed(spark, store, 5)
     full = _rows(read_bucketed(spark, store))
@@ -84,6 +86,7 @@ def test_shards_partition_the_store(spark, store):
     assert sorted(t for p in parts for t in _rows(p)) == full
 
 
+@pytest.mark.slow  # full gate only: see test_grow_moves_about_one_nth
 def test_same_count_is_noop_and_unmoved_files_survive(spark, store):
     base = store.rstrip("/")
     m = read_manifest(spark, store)
@@ -112,6 +115,7 @@ def test_same_count_is_noop_and_unmoved_files_survive(spark, store):
         } == mtimes[d]
 
 
+@pytest.mark.slow  # full gate only: see test_grow_moves_about_one_nth
 def test_placement_survives_merge_and_rollback(spark, store):
     reshard_bucketed(spark, store, 5)
     placed = shard_map(spark, store)

@@ -5,6 +5,7 @@ one score column)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -70,6 +71,7 @@ def _brute_auc(pos: list[float], neg: list[float]) -> float:
         min_size=2, max_size=60,
     ).filter(lambda rows: len({c for c, _ in rows}) == 2)
 )
+@pytest.mark.slow  # full gate only: AUC exactness runs in the default profile via the auc_score_eval oracle gate + test_auc_binned_equals_exact_when_bins_cover; this adds the randomized brute-force sweep
 @settings(**SETTINGS)
 def test_auc_matches_brute_force_pairs(spark, rows):
     df = spark.createDataFrame(

@@ -321,6 +321,7 @@ def test_batch_partition_sink_redelivery_noop(spark, tmp_path):
     assert got == [("a", 1), ("b", 2)]
 
 
+@pytest.mark.slow  # full gate only: lag/boundary also pinned by the oracle gates (streaming_late_data_windows, streaming_tumbling_counts) and the invariant-property test above
 def test_watermark_two_stage_lag_and_boundary(spark, tmp_path):
     """Pin the Spark lateness semantics the 18th gate's oracle encodes
     (measured on this engine build; if an upgrade changes them, THIS
@@ -397,6 +398,7 @@ def test_watermark_two_stage_lag_and_boundary(spark, tmp_path):
     assert dropped == 2
 
 
+@pytest.mark.slow  # full gate only: the same filter==eviction complement is exercised by test_dedup_filter_eviction_invariant_property (default profile) and the streaming_late_dedup oracle gate
 def test_dedup_watermark_eviction_filter_complement(spark, tmp_path):
     """Pin the dropDuplicates lateness contract the 21st gate's oracle
     encodes (measured on this engine build): the late-row filter of
@@ -585,6 +587,7 @@ def test_session_late_merge_semantics(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # full gate only: session emission semantics covered by test_session_late_merge_semantics (default profile) and the streaming_session_merge_late oracle gate
 def test_session_append_final_batch_emission(spark, tmp_path):
     """availableNow runs a FINAL NO-DATA batch: the closing eviction
     watermark is max(ALL batches) - delay (not max(batches <= last-1)),
@@ -641,7 +644,17 @@ def _replay_dedup_lateness(slices, delay):
     return emitted, dropped
 
 
-@pytest.mark.parametrize("delay", [5, 10, 20])
+@pytest.mark.parametrize(
+    "delay",
+    [
+        # delay=10 runs in the default (driver VERIFY) profile for both
+        # layouts; the 5/20 delay sweeps re-test the same invariant at
+        # shifted boundaries and run in the full release gate only.
+        pytest.param(5, marks=pytest.mark.slow),
+        10,
+        pytest.param(20, marks=pytest.mark.slow),
+    ],
+)
 @pytest.mark.parametrize("layout", ["advancing", "stalled"])
 def test_dedup_filter_eviction_invariant_property(spark, tmp_path, delay,
                                                   layout):
@@ -765,6 +778,7 @@ def test_session_merge_fixture_carries_mass_at_small_sf(spark):
         assert _session_merge_mass(ev, slice_no, gap_min) > 0, sf
 
 
+@pytest.mark.slow  # full gate only: the join gate's two-watermark rule is pinned by the streaming_join_attribution / streaming_join_late_attribution oracle gates (default profile)
 def test_stream_join_filter_boundary_and_eviction_complement(spark, tmp_path):
     """Pins the 23rd gate's two-watermark rule with second-exact rows
     (delay 2 h, window 1 h, min-of-sides policy):

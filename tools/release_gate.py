@@ -53,8 +53,16 @@ def main() -> int:
     # 4297 s under heavy co-load in r14) — a TIMEOUT here should mean a
     # hang, not a busy neighbor.
     if not skip_tests:
+        # -m "slow or not slow" overrides pytest.ini's default
+        # -m "not slow" (the driver VERIFY profile): the release gate
+        # always runs the FULL suite, slow-marked tests included.
         ok, wall, tail = run(
-            "pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], 5400
+            "pytest",
+            [
+                sys.executable, "-m", "pytest", "tests/", "-x", "-q",
+                "-m", "slow or not slow",
+            ],
+            5400,
         )
         stages.append(("pytest", ok, wall, tail))
 
