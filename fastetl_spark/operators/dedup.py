@@ -921,6 +921,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iterations: int = 25,
     driver_edge_cap: int = _CC_DRIVER_EDGE_CAP,
+    nodes_unique: bool = False,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (doc_id, component) where
     component is the smallest doc_id reachable through the pair graph —
@@ -948,6 +949,13 @@ def connected_components(
     of a corpus) are attached once at the end as their own component.
     At 100 TB this is the difference between shuffling the whole corpus
     every round and shuffling only the near-dup subgraph every round.
+
+    ``nodes_unique=True`` declares the ``nodes`` frame already unique
+    on ``id_col`` (a primary key, or a frame the caller has already
+    deduplicated): the isolated-node attach then skips its
+    ``distinct()`` — at corpus scale that distinct is a full shuffle
+    of every node id just to re-prove a uniqueness the caller already
+    guarantees (r15, guide §2.1: remove shuffles outright).
     """
     spark = pairs.sparkSession
     # the size probe rides the materialize action itself (observe), so
@@ -969,9 +977,17 @@ def connected_components(
         )
         if nodes is None:
             return resolved
+        base = nodes.select(F.col(id_col))
+        # broadcast the attach: `resolved` is driver-bounded BY
+        # CONSTRUCTION on this path (the union-find just ran over it in
+        # driver memory), but createDataFrame hands it back as a
+        # stats-less RDD scan, so the planner shuffled the FULL corpus
+        # against it (r15, guide §3.1: force the strategy when the
+        # estimate is known-wrong — plan: ShuffledHashJoin + corpus
+        # Exchange -> BroadcastHashJoin, zero corpus exchanges)
         return (
-            nodes.select(F.col(id_col)).distinct()
-            .join(resolved, id_col, "left")
+            (base if nodes_unique else base.distinct())
+            .join(F.broadcast(resolved), id_col, "left")
             .select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
         )
     labels = (
@@ -1016,8 +1032,9 @@ def connected_components(
     resolved = labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
     if nodes is None:
         return resolved
+    base = nodes.select(F.col(id_col))
     return (
-        nodes.select(F.col(id_col)).distinct()
+        (base if nodes_unique else base.distinct())
         .join(resolved, id_col, "left")
         .select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
     )
@@ -1088,7 +1105,11 @@ def exact_dup_pairs(d: DataFrame) -> DataFrame:
 def resolve_doc_components(d: DataFrame) -> DataFrame:
     """(doc_id, component) for every document via label propagation over
     doc_dup_pairs — the Spark twin of the `comp` CTE."""
-    return connected_components(doc_dup_pairs(d), nodes=d.select("doc_id"))
+    # doc_id is the documents table's key — unique by contract, so the
+    # attach join skips the corpus-wide distinct (r15)
+    return connected_components(
+        doc_dup_pairs(d), nodes=d.select("doc_id"), nodes_unique=True
+    )
 
 
 @query("dedup_connected_components", _CC_SQL)

@@ -118,8 +118,11 @@ def entity_resolution_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)
     )
     pairs = fuzzy_pairs_from_names(names)
+    # `names` is already .distinct()-ed above — skip the re-distinct in
+    # the attach join (r15)
     clusters = connected_components(
-        pairs, nodes=names, a_col="name_a", b_col="name_b", id_col="p_name"
+        pairs, nodes=names, a_col="name_a", b_col="name_b", id_col="p_name",
+        nodes_unique=True,
     )
     from pyspark.sql.window import Window
 
