@@ -133,6 +133,33 @@ def test_shj_size_bound_falls_back_to_smj(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def test_cc_driver_path_attach_broadcasts_without_distinct(spark):
+    """r15: connected_components' driver union-find path must attach
+    isolated nodes with a BROADCAST of the driver-computed component
+    map (it is driver-bounded by construction, but createDataFrame
+    returns it stats-less, which used to pick a corpus-shuffling SHJ),
+    and nodes_unique=True must skip the re-distinct of a key-unique
+    node frame (a full node-id shuffle that proved nothing)."""
+    from fastetl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    df = connected_components(pairs, nodes=nodes, nodes_unique=True)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+    # no distinct aggregate on the node side
+    assert "HashAggregate" not in plan
+    # the flag must not change the labels
+    got = {(r["doc_id"], r["component"]) for r in df.collect()}
+    dup = connected_components(pairs, nodes=nodes, nodes_unique=False)
+    assert got == {(r["doc_id"], r["component"]) for r in dup.collect()}
+
+
 def test_token_budget_cumsum_not_single_partition(spark, sf_dir):
     # the two-phase cumulative sum must not funnel the corpus through a
     # global-order window (Exchange SinglePartition)

@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Interleaved same-session A/B for the r15 index-probe broadcast fix.
+"""Interleaved same-session A/B for the r15 index-probe broadcast idea.
 
 OLD = the r14 shapes (plain semi/equi joins whose localCheckpointed
-probe side carries no stats, so the planner sorts + shuffles the
-fetched bucket rows); NEW = the working-tree code (broadcast-hinted
-probe sides). Both run in ONE Spark session, alternating, best-of-N,
-noop sink — the only methodology that survives this box's co-tenancy
-(PERF.md #50/#53).
+probe side carries no stats); NEW = the working-tree code. Both run in
+ONE Spark session, alternating, best-of-N, noop sink — the only
+methodology that survives this box's co-tenancy (PERF.md #50/#53).
+
+OUTCOME (r15): with the probe sides broadcast-hinted the A/B measured
+0.93x (old 3.538 s vs new 3.793 s best-of-3) — no win — and the hint
+is a scale hazard (an increment is not driver-bounded; AQE already
+flips these joins to broadcast at runtime from accurate post-shuffle
+sizes). The hints were REVERTED; the working tree now matches the r14
+shape, so running this tool today measures noise. Kept as the
+measurement record for OPTIMIZATION_r15.md item 4.
 
 Usage: python tools/r15_index_ab.py [reps]
 """
